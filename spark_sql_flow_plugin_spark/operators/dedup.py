@@ -1,0 +1,455 @@
+"""Deduplication operators for large-scale training-data pipelines (NEW —
+no reference counterpart; SURVEY.md §7 M7).
+
+Five strategies, all pure DataFrame pipelines (no collect(), no Python row
+loops) so they scale to 100 TB:
+
+- exact:        hash-groupBy on the raw text (one shuffle on the group key)
+- fingerprint:  md5 of normalized text, groupBy (robust to whitespace/case)
+- minhash-lsh:  shingle → 16 minhashes → 4 LSH bands → bucket self-join →
+                exact-Jaccard verify. The self-join happens per (band, key)
+                bucket, so candidate generation never goes quadratic.
+- simhash:      per-token 32-bit hashes folded into a 16-bit simhash;
+                banded self-join on simhash halves, Hamming-distance verify.
+- embedding:    cosine self-join within a coarse partition (label) — the
+                brute-force verify stage of an ANN pipeline.
+
+Every hash is md5-derived (`conv(substr(md5(x),1,8),16,10)`) because md5 is
+bit-identical in every engine — Spark's murmur3 `hash()` would diverge from
+the DuckDB oracle.
+
+The synthetic documents table has no duplicates, so each query first
+augments the corpus deterministically: an exact copy (doc_id + 2_000_000,
+every 5th doc) and a near-dup with the first two words dropped
+(doc_id + 1_000_000). The oracle SQL applies the identical augmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import register
+from ..sources import load
+
+# Fixed (a, b) coefficients for the 16 minhash permutations h_j = (a*h+b) % P.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_AB = [
+    (156182, 1434873648), (880047, 4051476735), (802762, 1818614044),
+    (273926, 3941994176), (961770, 3269047055), (308618, 3997975303),
+    (996862, 3283157744), (742647, 2932688482), (164371, 2057481145),
+    (163433, 1758930727), (871890, 2240385137), (984765, 701472990),
+    (381361, 3749379362), (161784, 3715501495), (578786, 342028611),
+    (614408, 2340487227),
+]
+
+# ---------------------------------------------------------------------------
+# Shared corpus augmentation (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_SPARK_TOKS = r"filter(split(lower(text), '\\s+'), t -> t != '')"
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
+
+#: DuckDB CTE producing the augmented corpus: (doc_id, text)
+DUCK_AUG = """
+aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(toks[3:], ' ') AS text
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    WHERE len(toks) > 4
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+""".format(toks=_DUCK_TOKS)
+
+
+def augmented_documents(spark, sf_dir) -> DataFrame:
+    """documents + deterministic exact/near duplicates (see module doc)."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    toks = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    near = (
+        toks.where(F.size("toks") > 4)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.expr("slice(toks, 3, size(toks) - 2)"), " ").alias("text"),
+        )
+    )
+    exact = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return d.union(near).union(exact)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {DUCK_AUG}
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM aug GROUP BY text HAVING COUNT(*) > 1
+    """,
+    "dedup",
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        augmented_documents(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+    WITH {DUCK_AUG}
+    SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM aug) t
+    GROUP BY fp
+    """,
+    "dedup",
+)
+def dedup_fingerprint(spark, sf_dir):
+    aug = augmented_documents(spark, sf_dir)
+    return (
+        aug.select(
+            "doc_id",
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .select("fp", "keeper", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_SPARK_SHINGLES = (
+    "CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct(transform("
+    "  sequence(1, size(toks) - 2),"
+    "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))"
+    ")) END"
+)
+_DUCK_SHINGLES = (
+    "CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(list_transform("
+    "  generate_series(1, len(toks) - 2),"
+    "  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])"
+    ")) END"
+)
+_SPARK_H32 = "cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "('0x' || substr(md5(sh), 1, 8))::BIGINT"
+
+
+def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(shingle_sets, signatures): the scalable explode→groupBy minhash.
+
+    signatures has one row per doc with mh0..mh15; shingle_sets keeps the
+    distinct-shingle array for the exact-Jaccard verify stage.
+    """
+    aug = augmented_documents(spark, sf_dir)
+    sets = (
+        aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    hashed = sets.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sets, hashed.groupBy("doc_id").agg(*mins)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {DUCK_AUG},
+    sets AS (
+        SELECT doc_id, shingles FROM (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM aug))
+        WHERE len(shingles) > 0),
+    hashed AS (
+        SELECT doc_id, {_DUCK_H32} AS h
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM sets)),
+    sig AS (
+        SELECT doc_id,
+        {','.join(f'MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}' for j, (a, b) in enumerate(MINHASH_AB))}
+        FROM hashed GROUP BY doc_id),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {band} AS band_id, concat_ws(',', mh{band * 4}, mh{band * 4 + 1}, mh{band * 4 + 2}, mh{band * 4 + 3}) AS bkey FROM sig"
+            for band in range(4)
+        )}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jacc
+    FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+              JOIN sets sb ON cand.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.6
+    """,
+    "dedup",
+    "bench",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sets, sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        cols = [f"mh{band * 4 + r}" for r in range(4)]
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            F.concat_ws(",", *cols).alias("bkey"),
+        )
+        bands = b if bands is None else bands.union(b)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
+    jacc = inter.cast("double") / union_n
+    return (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jacc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+_SPARK_H32_TOK = "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+_DUCK_H32_TOK = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+_N_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {DUCK_AUG},
+    tok AS (
+        SELECT doc_id, {_DUCK_H32_TOK} AS h FROM (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM aug)),
+    sig AS (
+        SELECT doc_id,
+        {' + '.join(f'(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN {1 << b} ELSE 0 END)' for b in range(_N_SIMHASH_BITS))}
+        AS simhash
+        FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255)))
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 2
+    """,
+    "dedup",
+)
+def dedup_simhash(spark, sf_dir):
+    aug = augmented_documents(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    ).select("doc_id", F.expr(_SPARK_H32_TOK).alias("h"))
+    bit_terms = [
+        F.when(
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
+            )
+            >= 0,
+            F.lit(1 << b),
+        ).otherwise(0)
+        for b in range(_N_SIMHASH_BITS)
+    ]
+    sig = tok.groupBy("doc_id").agg(
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8))
+                | (F.col("a.simhash") % 256 == F.col("b.simhash") % 256)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 2).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Character-n-gram Jaccard near-dedup (banded by source + length bucket)
+# ---------------------------------------------------------------------------
+
+_SPARK_CGRAMS = (
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"
+)
+_DUCK_CGRAMS = (
+    "list_distinct(list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3)))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {DUCK_AUG},
+    g AS (
+        SELECT a.doc_id, d.source, CAST(floor(length(a.text) / 64) AS BIGINT) AS lbucket,
+               {_DUCK_CGRAMS.replace('text', 'a.text')} AS grams
+        FROM aug a JOIN documents d ON (a.doc_id % 1000000) = d.doc_id
+        WHERE length(a.text) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+    FROM g a JOIN g b
+      ON a.source = b.source AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.55
+    """,
+    "dedup",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = (
+        load(spark, sf_dir, "documents")["documents"]
+        .select(F.col("doc_id").alias("orig_id"), "source")
+    )
+    aug = augmented_documents(spark, sf_dir)
+    g = (
+        aug.join(docs, (aug["doc_id"] % 1000000) == docs["orig_id"])
+        .where(F.length(aug["text"]) >= 3)
+        .select(
+            aug["doc_id"].alias("doc_id"),
+            "source",
+            F.floor(F.length(aug["text"]) / 64).alias("lbucket"),
+            F.expr(_SPARK_CGRAMS).alias("grams"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union_n = F.size("a.grams") + F.size("b.grams") - inter
+    jacc = inter.cast("double") / union_n
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lbucket") == F.col("b.lbucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jacc >= 0.55)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 6).alias("jacc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dedup
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _spark_cosine(a: str, b: str):
+    dot = F.expr(_SPARK_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_SPARK_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_SPARK_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+_DUCK_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+_DUCK_COSINE = (
+    f"({_DUCK_DOT.format(a='{a}', b='{b}')} / "
+    f"(sqrt({_DUCK_DOT.format(a='{a}', b='{a}')}) * sqrt({_DUCK_DOT.format(a='{b}', b='{b}')})))"
+)
+
+
+def augmented_embeddings(spark, sf_dir) -> DataFrame:
+    """embeddings + scaled copies (vec_id + 100000, embedding × 1.5) —
+    scaled vectors have cosine 1.0 with their original, giving the near-dup
+    queries deterministic positives."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    scaled = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double) * 1.5d)").alias("embedding"),
+        "label",
+    )
+    base = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"), "label"
+    )
+    return base.union(scaled)
+
+
+DUCK_AUG_EMB = """
+emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 1.5) AS embedding, label
+    FROM embeddings WHERE vec_id % 7 = 0
+)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {DUCK_AUG_EMB}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+    FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.9
+    """,
+    "dedup",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = augmented_embeddings(spark, sf_dir)
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _spark_cosine("a.embedding", "b.embedding")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

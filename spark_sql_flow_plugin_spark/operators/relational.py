@@ -1,0 +1,592 @@
+"""Core relational surface: project/filter, joins (all 8 types), aggregation,
+grouping analytics (CUBE/ROLLUP/GROUPING SETS), sort/limit, set operations.
+
+Reference query surface: SURVEY.md §2.D rows "Projection/filter", "Joins",
+"Aggregation", "Grouping analytics", "Sorts/limits", "Set ops"
+(/root/reference/src/test/resources/sql-flow-tests/inputs/{basics,joins,
+group-by,group-by-filter,group-analytics,set-operations}.sql).
+
+Scale notes: nation/region joins are broadcast (25 / 5 rows at every SF);
+fact-fact set ops shuffle on their full row which AQE coalesces; every
+builder keeps filters before joins so Catalyst pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.exprs import SQL_DAVG, SQL_DSUM, davg, dsum
+from ..registry import register
+from ..sources import load, register_views
+
+
+@register(
+    "project_filter_cast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
+           UPPER(l_returnflag) AS flag_upper
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    """,
+    "projection",
+)
+def project_filter_cast(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.where((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("net_price"),
+        F.upper("l_returnflag").alias("flag_upper"),
+    )
+
+
+@register(
+    "filter_compound",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 5000
+           AND o_orderpriority LIKE '1%')
+       OR (o_custkey % 10 = 0 AND o_totalprice > 9000)
+    """,
+    "projection",
+)
+def filter_compound(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.where(
+        (
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(1000, 5000)
+            & F.col("o_orderpriority").like("1%")
+        )
+        | ((F.col("o_custkey") % 10 == 0) & (F.col("o_totalprice") > 9000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "agg_groupby_having",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {SQL_DSUM.format(x='l_quantity')} AS sum_qty,
+           {SQL_DAVG.format(x='l_extendedprice')} AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+    "aggregate",
+)
+def agg_groupby_having(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sum_qty"),
+            davg("l_extendedprice", "avg_price"),
+        )
+        .where(F.col("cnt") > 10)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM.format(x='o_totalprice')} AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "aggregate",
+)
+def agg_count_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "agg_filter_where",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) AS n_all
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregate",
+)
+def agg_filter_where(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*) FILTER (WHERE l_quantity > 25)").alias("n_heavy"),
+        F.expr("COUNT(*) FILTER (WHERE l_discount > 0.05)").alias("n_discounted"),
+        F.count("*").alias("n_all"),
+    )
+
+
+@register(
+    "agg_min_by_max_by",
+    """
+    SELECT c_nationkey,
+           min_by(c_name, c_acctbal) AS poorest,
+           max_by(c_name, c_acctbal) AS richest,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    "aggregate",
+)
+def agg_min_by_max_by(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+        F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_struct_key",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "aggregate",
+)
+def agg_struct_key(spark, sf_dir):
+    # Groups by a STRUCT key (exercises struct-typed grouping in the plan;
+    # reference corpus: group-by.sql STRUCT keys) then flattens for the oracle.
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy(F.struct("l_returnflag", "l_linestatus").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("k.l_returnflag").alias("rf"),
+            F.col("k.l_linestatus").alias("ls"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_collect_set",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    "aggregate",
+)
+def agg_collect_set(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping-analytics",
+)
+def cube_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {SQL_DSUM.format(x='l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "grouping-analytics",
+)
+def rollup_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+@register(
+    "grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    "grouping-analytics",
+)
+def grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "grouping_id_sel",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping-analytics",
+)
+def grouping_id_sel(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("cnt")
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+    SELECT c_custkey, c_name, n_name, r_name, c_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 1000
+    """,
+    "join",
+)
+def join_inner(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "nation", "region")
+    # nation/region are tiny at every SF: explicit broadcast keeps this a
+    # map-side join with zero shuffle of the customer fact table.
+    return (
+        t["customer"]
+        .where(F.col("c_acctbal") > 1000)
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name", "c_acctbal")
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    "join",
+)
+def join_left_outer(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "nation")
+    return (
+        t["nation"]
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    "join",
+)
+def join_right_outer(spark, sf_dir):
+    t = load(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    "join",
+)
+def join_full_outer(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return c.join(s, c["nk"] == s["nk"], "full").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 9000)
+    """,
+    "join",
+)
+def join_left_semi(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders")
+    big = t["orders"].where(F.col("o_totalprice") > 9000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "join",
+)
+def join_left_anti(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r_name, st AS status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+    """,
+    "join",
+)
+def join_cross(spark, sf_dir):
+    t = load(spark, sf_dir, "region", "orders")
+    statuses = t["orders"].select(F.col("o_orderstatus").alias("st")).distinct()
+    return t["region"].crossJoin(statuses).select("r_name", F.col("st").alias("status"))
+
+
+@register(
+    "join_natural",
+    """
+    SELECT regionkey, n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) a
+    NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b
+    """,
+    "join",
+)
+def join_natural(spark, sf_dir):
+    register_views(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        SELECT regionkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) a
+        NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b
+        """
+    )
+
+
+# --- sort / limit ----------------------------------------------------------
+
+
+@register(
+    "sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    "sort",
+)
+def sort_limit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+@register(
+    "sort_multi_nulls",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_totalprice > 9500
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+    "sort",
+)
+def sort_multi_nulls(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.where(F.col("o_totalprice") > 9500)
+        .orderBy(F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+
+@register(
+    "union_all",
+    """
+    SELECT l_orderkey AS okey, 'heavy' AS src FROM lineitem WHERE l_quantity > 45
+    UNION ALL
+    SELECT l_orderkey AS okey, 'cheap' AS src FROM lineitem WHERE l_extendedprice < 1500
+    """,
+    "setop",
+)
+def union_all(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.where(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("okey"), F.lit("heavy").alias("src")
+    )
+    b = li.where(F.col("l_extendedprice") < 1500).select(
+        F.col("l_orderkey").alias("okey"), F.lit("cheap").alias("src")
+    )
+    return a.union(b)
+
+
+@register(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    "setop",
+)
+def union_distinct(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].select(F.col("c_nationkey").alias("nk"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nk"))
+    return a.union(b).distinct()
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT n_nationkey AS k, n_name AS name FROM nation
+    UNION ALL
+    SELECT r_regionkey AS k, r_name AS name FROM region
+    """,
+    "setop",
+)
+def union_by_name(spark, sf_dir):
+    t = load(spark, sf_dir, "nation", "region")
+    a = t["nation"].select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"))
+    # columns deliberately reordered: unionByName aligns by name, not position
+    b = t["region"].select(F.col("r_name").alias("name"), F.col("r_regionkey").alias("k"))
+    return a.unionByName(b)
+
+
+@register(
+    "intersect_distinct",
+    """
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "setop",
+)
+def intersect_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    a = o.where("o_orderstatus = 'F'").select(F.col("o_custkey").alias("ck"))
+    b = o.where("o_orderstatus = 'O'").select(F.col("o_custkey").alias("ck"))
+    return a.intersect(b)
+
+
+@register(
+    "intersect_all",
+    """
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "setop",
+)
+def intersect_all(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.where("l_returnflag = 'A'").select(F.col("l_suppkey").alias("sk"))
+    b = li.where("l_returnflag = 'R'").select(F.col("l_suppkey").alias("sk"))
+    return a.intersectAll(b)
+
+
+@register(
+    "except_distinct",
+    """
+    SELECT c_custkey AS ck FROM customer
+    EXCEPT
+    SELECT o_custkey AS ck FROM orders
+    """,
+    "setop",
+)
+def except_distinct(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders")
+    a = t["customer"].select(F.col("c_custkey").alias("ck"))
+    b = t["orders"].select(F.col("o_custkey").alias("ck"))
+    return a.subtract(b)
+
+
+@register(
+    "except_all",
+    """
+    SELECT l_partkey AS pk FROM lineitem WHERE l_quantity > 40
+    EXCEPT ALL
+    SELECT l_partkey AS pk FROM lineitem WHERE l_discount > 0.08
+    """,
+    "setop",
+)
+def except_all(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.where("l_quantity > 40").select(F.col("l_partkey").alias("pk"))
+    b = li.where("l_discount > 0.08").select(F.col("l_partkey").alias("pk"))
+    return a.exceptAll(b)
+
+
+@register(
+    "distinct_dropdup",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem
+    """,
+    "setop",
+)
+def distinct_dropdup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select("l_returnflag", "l_linestatus", "l_suppkey").dropDuplicates()

@@ -1,0 +1,160 @@
+"""Subquery surface: scalar (uncorrelated + correlated), EXISTS/NOT EXISTS,
+IN/NOT IN, row-value IN, subquery in FROM, LATERAL.
+
+Reference corpus: /root/reference/src/test/resources/sql-flow-tests/inputs/
+{scalar-subquery,scalar-subquery-predicate,exists-subquery,
+exists-subquery-aggregate,in-subquery,in-subquery-aggregate,
+subquery-in-from}.sql. Catalyst decorrelates these into semi/anti/existence
+joins — the same SQL text runs on DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..sources import register_views
+
+
+def _sql(views: tuple[str, ...], sql: str):
+    def builder(spark, sf_dir, _sql=sql, _views=views):
+        register_views(spark, sf_dir, *_views)
+        return spark.sql(_sql)
+
+    return builder
+
+
+def _register_sql(name: str, views: tuple[str, ...], sql: str, *tags: str) -> None:
+    register(name, sql, *tags)(_sql(views, sql))
+
+
+_register_sql(
+    "scalar_subquery_where",
+    ("orders",),
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.8 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "scalar_subquery_select",
+    ("customer", "orders"),
+    """
+    SELECT c_custkey, c_name,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "exists_subquery",
+    ("customer", "orders"),
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 9000)
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "not_exists_subquery",
+    ("supplier", "lineitem"),
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49.5)
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "in_subquery",
+    ("supplier", "nation"),
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "not_in_subquery",
+    ("part", "lineitem"),
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 30)
+    """,
+    "subquery",
+)
+
+# Spark runs the row-value IN form; DuckDB (which lacks row-value IN
+# subqueries) gets the equivalent EXISTS — both columns are non-null here.
+register(
+    "in_subquery_row",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem a
+    WHERE EXISTS (SELECT 1 FROM lineitem b
+                  WHERE b.l_quantity > 49.9
+                    AND b.l_returnflag = a.l_returnflag
+                    AND b.l_linestatus = a.l_linestatus)
+    """,
+    "subquery",
+)(
+    _sql(
+        ("lineitem",),
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+        WHERE (l_returnflag, l_linestatus) IN
+              (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 49.9)
+        """,
+    )
+)
+
+_register_sql(
+    "subquery_in_from",
+    ("lineitem",),
+    """
+    SELECT rf, cnt FROM (
+        SELECT l_returnflag AS rf, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+    ) t WHERE cnt > 100
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "exists_aggregate",
+    ("nation", "customer"),
+    """
+    SELECT n_nationkey, n_name FROM nation n
+    WHERE EXISTS (SELECT c_nationkey FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  GROUP BY c_nationkey HAVING COUNT(*) >= 5)
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "scalar_subquery_having",
+    ("lineitem", "orders"),
+    """
+    SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM orders) / 2
+    """,
+    "subquery",
+)
+
+_register_sql(
+    "lateral_subquery",
+    ("nation", "customer"),
+    """
+    SELECT n_nationkey, n_name, t.n_cust
+    FROM nation n, LATERAL (
+        SELECT COUNT(*) AS n_cust FROM customer c WHERE c.c_nationkey = n.n_nationkey
+    ) t
+    """,
+    "subquery",
+)

@@ -1,0 +1,218 @@
+"""Text-analysis operators for training-data pipelines (NEW — SURVEY.md §7
+M7): token counting (whitespace + BPE-ish regex), quality scoring,
+n-gram-heuristic language ID, and winnowing document fingerprints.
+
+Everything is built from JVM-side `pyspark.sql.functions` (no Python UDFs in
+the hot path) so the whole stage stays inside whole-stage codegen; the same
+formulas are replicated verbatim in the DuckDB oracle. Ratios are plain
+double divisions of integer counts — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals process backslash escapes; DuckDB's don't.
+_BPE_RE_SPARK = _BPE_RE.replace("\\", "\\\\")
+_SPARK_WTOKS = r"filter(split(lower(text), '\\s+'), t -> t != '')"
+_DUCK_WTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
+
+
+@register(
+    "text_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len({_DUCK_WTOKS}) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+    "text",
+    "bench",
+)
+def text_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_WTOKS)).alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)")).alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SW_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    rf"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_DUCK_WTOKS}) AS n_words,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+               len(list_filter({_DUCK_WTOKS}, t -> t IN ({_SW_LIST_SQL}))) AS n_stop
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           ROUND(LEAST(CAST(n_words AS DOUBLE) / 64.0, 1.0)
+                 * (CAST(n_alpha AS DOUBLE) / n_chars)
+                 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 6) AS quality
+    FROM c WHERE n_words > 0
+    """,
+    "text",
+    "bench",
+)
+def text_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    c = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.expr(_SPARK_WTOKS)).alias("n_words"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        F.size(
+            F.expr(f"filter({_SPARK_WTOKS}, t -> t IN ({_SW_LIST_SQL}))")
+        ).alias("n_stop"),
+    )
+    return c.where(F.col("n_words") > 0).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        (F.col("n_alpha").cast("double") / F.col("n_chars")).alias("alpha_ratio"),
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stop_ratio"),
+        F.round(
+            F.least(F.col("n_words").cast("double") / 64.0, F.lit(1.0))
+            * (F.col("n_alpha").cast("double") / F.col("n_chars"))
+            * (F.lit(1.0) - F.col("n_punct").cast("double") / F.col("n_chars")),
+            6,
+        ).alias("quality"),
+    )
+
+
+# Small disjoint stopword sets per language; the classifier is an n-gram /
+# function-word heuristic: score = matching-token count, argmax with a fixed
+# tie-break order (en > de > fr > es).
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "is", "was"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "es": ("el", "los", "y", "es", "una"),
+}
+
+
+def _lang_counts_sql(toks_expr: str, list_filter: str) -> str:
+    parts = []
+    for lang, words in _LANG_WORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"len({list_filter}({toks_expr}, t -> t IN ({lst}))) AS n_{lang}")
+    return ",\n               ".join(parts)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               {_lang_counts_sql(_DUCK_WTOKS, 'list_filter')}
+        FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr >= n_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           CAST(n_en AS INT) AS n_en, CAST(n_de AS INT) AS n_de,
+           CAST(n_fr AS INT) AS n_fr, CAST(n_es AS INT) AS n_es
+    FROM c
+    """,
+    "text",
+)
+def text_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    counts = [
+        F.size(
+            F.expr(
+                "filter({toks}, t -> t IN ({lst}))".format(
+                    toks=_SPARK_WTOKS, lst=", ".join(f"'{w}'" for w in words)
+                )
+            )
+        ).alias(f"n_{lang}")
+        for lang, words in _LANG_WORDS.items()
+    ]
+    c = d.select("doc_id", F.col("lang").alias("labeled_lang"), *counts)
+    predicted = (
+        F.when(
+            (F.col("n_en") >= F.col("n_de"))
+            & (F.col("n_en") >= F.col("n_fr"))
+            & (F.col("n_en") >= F.col("n_es")),
+            "en",
+        )
+        .when((F.col("n_de") >= F.col("n_fr")) & (F.col("n_de") >= F.col("n_es")), "de")
+        .when(F.col("n_fr") >= F.col("n_es"), "fr")
+        .otherwise("es")
+    )
+    return c.select(
+        "doc_id",
+        "labeled_lang",
+        predicted.alias("predicted_lang"),
+        F.col("n_en").cast("int").alias("n_en"),
+        F.col("n_de").cast("int").alias("n_de"),
+        F.col("n_fr").cast("int").alias("n_fr"),
+        F.col("n_es").cast("int").alias("n_es"),
+    )
+
+
+# Winnowing fingerprints: k-gram (k=5) rolling hashes, sliding window (w=4)
+# minima, distinct fingerprints per document. Standard winnowing as in
+# Schleimer/Wilkerson/Aiken (SIGMOD'03) — public algorithm.
+_K, _W = 5, 4
+_SPARK_KGRAM_HASHES = (
+    f"transform(sequence(1, length(text) - {_K - 1}),"
+    f" i -> cast(conv(substr(md5(substr(text, i, {_K})), 1, 8), 16, 10) as bigint))"
+)
+_DUCK_KGRAM_HASHES = (
+    f"list_transform(generate_series(1, length(text) - {_K - 1}),"
+    f" i -> ('0x' || substr(md5(substr(text, i, {_K})), 1, 8))::BIGINT)"
+)
+_SPARK_WINNOW = (
+    f"array_distinct(transform(sequence(1, size(h) - {_W - 1}),"
+    " i -> array_min(slice(h, i, %d))))" % _W
+)
+_DUCK_WINNOW = (
+    f"list_distinct(list_transform(generate_series(1, len(h) - {_W - 1}),"
+    f" i -> list_aggregate(h[i:i + {_W - 1}], 'min')))"
+)
+
+
+@register(
+    "text_fingerprint_winnow",
+    f"""
+    WITH h AS (SELECT doc_id, {_DUCK_KGRAM_HASHES} AS h
+               FROM documents WHERE length(text) >= {_K + _W}),
+         w AS (SELECT doc_id, {_DUCK_WINNOW} AS fps FROM h)
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+           list_aggregate(fps, 'min') AS min_fp
+    FROM w
+    """,
+    "text",
+)
+def text_fingerprint_winnow(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    h = d.where(F.length("text") >= _K + _W).select(
+        "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
+    )
+    w = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps"))
+    return w.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+    )

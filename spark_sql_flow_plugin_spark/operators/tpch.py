@@ -1,0 +1,212 @@
+"""Flagship analytics: TPC-H-shaped multi-join aggregate queries plus
+time-series rollups over the events table. These are the bench headliners —
+each is written so Catalyst produces the plan you'd want at 100 TB:
+filters before joins (pushdown into the parquet scan), tiny dims broadcast,
+partial aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.exprs import SQL_DAVG, SQL_DSUM, SQL_REVENUE, davg, dsum, revenue
+from ..registry import register
+from ..sources import load
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM.format(x='l_quantity')} AS sum_qty,
+           {SQL_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+           {SQL_DAVG.format(x='l_quantity')} AS avg_qty,
+           {SQL_DAVG.format(x='l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch",
+    "bench",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single scan → partial agg → final agg; no joins."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue()).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "tpch",
+    "bench",
+)
+def q3_shipping_priority(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            t["orders"].where(
+                F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].where(
+                F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "tpch",
+    "bench",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "tpch",
+    "bench",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    """,
+    "timeseries",
+    "bench",
+)
+def events_hourly_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "events_top_users",
+    f"""
+    SELECT event_type, user_id, sum_value, rnk FROM (
+        SELECT event_type, user_id,
+               {SQL_DSUM.format(x='value')} AS sum_value,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {SQL_DSUM.format(x='value')} DESC, user_id) AS INT) AS rnk
+        FROM events GROUP BY event_type, user_id) t
+    WHERE rnk <= 3
+    """,
+    "timeseries",
+)
+def events_top_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("event_type", "user_id").agg(dsum("value", "sum_value"))
+    w = Window.partitionBy("event_type").orderBy(F.col("sum_value").desc(), "user_id")
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "sum_value", "rnk")
+    )

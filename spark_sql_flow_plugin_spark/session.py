@@ -1,0 +1,57 @@
+"""SparkSession helpers tuned for the engine.
+
+Local tests run on ``local[N]``; the configs below are chosen so the same
+logical plans scale to a real cluster: AQE handles runtime re-planning
+(coalescing post-shuffle partitions, skew-join splitting), broadcast joins
+fire for small dimension tables, and the session time zone is pinned to UTC
+so timestamp semantics are deterministic and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs applied to any session handed to us (driver-owned sessions
+#: included) — all of these are safe to set at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling. This is
+    # the single most important knob for the 100 TB posture: the static
+    # shuffle-partition count never fits every stage, AQE resizes per-stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (e.g. the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable conf on this build — leave as-is
+            pass
+    return spark
+
+
+def get_session(app_name: str = "spark-sql-flow", cpus: int | None = None) -> SparkSession:
+    """Build a local session shaped like production.
+
+    ``spark.sql.shuffle.partitions`` is set to 2×cores locally; on a real
+    cluster you would size it to cluster cores (AQE coalesces the excess).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(4, 2 * cpus)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

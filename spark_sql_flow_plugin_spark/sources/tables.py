@@ -1,0 +1,68 @@
+"""Parquet sources for the TPC-H-ish synthetic star schema.
+
+The driver generates these tables (see TESTDATA.md); every query in the
+engine loads through here so scan behavior is uniform: parquet with
+predicate pushdown and column pruning left to Catalyst (we never pre-select
+columns here — expressing the query declaratively lets the optimizer prune
+the scan down to ``ReadSchema`` automatically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+#: region/nation are fixed-size (5 / 25 rows) at every TPC-H SF.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read nanos as LONG instead (lossless here — the
+    generator only fills microseconds). Callers convert via
+    :func:`convert_event_ts`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """LONG nanos → TIMESTAMP (µs), matching DuckDB's CAST(ts AS TIMESTAMP)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load tables by name from ``sf_dir``; returns {name: DataFrame}."""
+    tune(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLES:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+        if name == "events":
+            out[name] = convert_event_ts(load_events_raw(spark, sf_dir))
+        else:
+            out[name] = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views so ``spark.sql`` queries can use them."""
+    for name, df in load(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,161 @@
+"""Structured Streaming operators over the events table.
+
+The reference has NO streaming support (SURVEY.md §2.D: "stream" in its sink
+names means incremental lineage append) — this module is NEW capability.
+
+Patterns covered:
+- file-source readStream → watermark → tumbling-window aggregate →
+  availableNow trigger → memory sink (the batch-equivalent streaming rollup);
+- stateful per-key running totals (update output mode) whose final state
+  matches the batch aggregate;
+- batch sessionization (gaps-and-islands) — the SQL-expressible twin of a
+  stateful session operator, with an exact oracle.
+
+availableNow processes the backlog then stops, which is what makes these
+deterministic and oracle-checkable. On a live cluster the same code runs
+continuously; watermarks bound state.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import SQL_DSUM, dsum
+from ..registry import register
+from ..sources import load
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file source needs a directory; point it at sf_dir and glob-filter
+    # down to events.parquet. Schema is the raw one (ts as LONG nanos — see
+    # sources.tables.load_events_raw), converted to TIMESTAMP right after.
+    from ..sources.tables import convert_event_ts, load_events_raw
+
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return convert_event_ts(stream)
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_hourly_counts",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    """,
+    "streaming",
+)
+def stream_hourly_counts(spark, sf_dir):
+    """Tumbling 1-hour window aggregate as a stream; availableNow + complete
+    output ≡ the batch rollup, so the oracle is plain GROUP BY date_trunc."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        F.col("win.start").alias("bucket"), "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "stream_user_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming",
+)
+def stream_user_totals(spark, sf_dir):
+    """Stateful per-key running totals in update mode; the latest update per
+    key equals the batch aggregate (memory sink accumulates updates, so we
+    keep the max — counts only grow)."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+    updates = _run_to_memory(agg, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+@register(
+    "sessionize_gaps",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "streaming",
+    "timeseries",
+)
+def sessionize_gaps(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands — one
+    window pass + one aggregation, both partitioned by user_id, so the whole
+    operator is a single shuffle at any scale."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -12,9 +12,33 @@ Layers:
 - ``functions.tracking``: @auto_tracking pipeline decorators.
 """
 
+from .api import (
+    export_data_lineage_into,
+    extract,
+    print_as_sql_flow,
+    save_as_sql_flow,
+    save_data_lineage,
+    to_sql_flow_string,
+)
+from .functions.tracking import auto_tracking, auto_tracking_with, track
 from .registry import all_specs, oracle_sql, queries
 from .session import get_session, tune
 
-__all__ = ["all_specs", "oracle_sql", "queries", "get_session", "tune"]
+__all__ = [
+    "all_specs",
+    "auto_tracking",
+    "auto_tracking_with",
+    "export_data_lineage_into",
+    "extract",
+    "get_session",
+    "oracle_sql",
+    "print_as_sql_flow",
+    "queries",
+    "save_as_sql_flow",
+    "save_data_lineage",
+    "to_sql_flow_string",
+    "track",
+    "tune",
+]
 
 __version__ = "0.1.0"

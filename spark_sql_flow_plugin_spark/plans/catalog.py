@@ -1,0 +1,174 @@
+"""Catalog-mode lineage: one graph over every registered view
+(reference ``catalogToSQLFlow``, SQLFlow.scala:61-189).
+
+For each temp/permanent view in the session catalog:
+- emit a ViewNode with the view's output columns;
+- extract the view plan's lineage (expanded or contracted);
+- **temp-view substitution**: any subplan semantically equal to *another*
+  registered view collapses to that view's node (shared pipeline segments
+  become view references — reference SQLFlow.scala:94-171). Detection uses
+  Catalyst's own ``plan.semanticHash()`` via a lockstep walk of the JVM and
+  JSON trees (both are the optimized plan, so pre-order aligns).
+- cached subtrees are flagged (lightblue in DOT) via the session
+  cacheManager (reference SQLFlow.scala:191-196).
+
+Deviation from the reference: substitution happens on *optimized* plans
+(the reference doctors analyzed plans, then re-optimizes). Self-consistent,
+and avoids re-running the optimizer per view.
+"""
+
+from __future__ import annotations
+
+from .catalyst import PlanNode, optimized_plan_tree
+from .graph import GraphEdge, GraphNode, NodeType
+from .lineage import LineageExtractor, jvm_leaf_ident
+from . import contracted as contracted_mod
+
+
+def _jvm_preorder(jplan):
+    yield jplan
+    children = jplan.children()
+    for i in range(children.size()):
+        yield from _jvm_preorder(children.apply(i))
+
+
+def _is_cached(spark, jplan) -> bool:
+    try:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(jplan).isDefined()
+    except Exception:
+        return False
+
+
+def _substitute_views(
+    spark, view_name: str, plan: PlanNode, jplan, hash_to_view: dict[int, str]
+) -> PlanNode:
+    """Lockstep JSON/JVM walk replacing subtrees that semantically equal
+    another view with a synthetic TempViewNode leaf; also marks cached
+    subtrees (``_cached`` in raw)."""
+
+    def rec(p: PlanNode, jp) -> PlanNode:
+        try:
+            h = jp.semanticHash()
+        except Exception:
+            h = None
+        other = hash_to_view.get(h)
+        if other and other != view_name:
+            out = p.output()
+            return PlanNode(
+                "TempViewNode", {"viewName": other, "_output": out, "num-children": 0}, []
+            )
+        if _is_cached(spark, jp):
+            p.raw["_cached"] = True
+        if not p.children:
+            ident = jvm_leaf_ident(jp)
+            if ident:
+                p.raw["_ident"] = ident
+        jkids = jp.children()
+        p.children = [rec(c, jkids.apply(i)) for i, c in enumerate(p.children)]
+        return p
+
+    return rec(plan, jplan)
+
+
+def _list_view_names(spark) -> list[str]:
+    names = []
+    for t in spark.catalog.listTables():
+        if t.tableType in ("TEMPORARY", "VIEW") or t.isTemporary:
+            names.append(t.name if not t.namespace else ".".join([*t.namespace, t.name]))
+    return names
+
+
+def catalog_lineage(
+    spark, contracted: bool = False
+) -> tuple[list[GraphNode], list[GraphEdge]]:
+    views = _list_view_names(spark)
+    dfs = {}
+    hash_to_view: dict[int, str] = {}
+    for v in views:
+        try:
+            df = spark.table(v)
+            jplan = df._jdf.queryExecution().optimizedPlan()
+            dfs[v] = (df, jplan)
+            hash_to_view.setdefault(jplan.semanticHash(), v)
+        except Exception:
+            continue
+
+    nodes: dict[str, GraphNode] = {}
+    edges: list[GraphEdge] = []
+    for v, (df, jplan) in dfs.items():
+        plan = optimized_plan_tree(df)
+        plan = _substitute_views(spark, v, plan, jplan, hash_to_view)
+
+        view_node = GraphNode(
+            v,
+            v,
+            [f.name for f in df.schema.fields],
+            df.schema.simpleString(),
+            NodeType.VIEW,
+            is_cached=_is_cached(spark, jplan),
+        )
+
+        if contracted:
+            sub_nodes, sub_edges, col_sources = _contracted_view(df, plan)
+        else:
+            sub_nodes, sub_edges, col_sources = _expanded_view(df, plan)
+
+        for n in sub_nodes:
+            nodes.setdefault(n.unique_id, n)
+        edges.extend(sub_edges)
+        nodes[view_node.unique_id] = view_node
+        for i, sources in enumerate(col_sources):
+            for src_uid, src_idx in sources:
+                edges.append(GraphEdge(src_uid, src_idx, v, i))
+    return list(nodes.values()), edges
+
+
+class _CatalogExtractor(LineageExtractor):
+    """Adds TempViewNode identity + cached flag to the expanded extractor."""
+
+    def _node_type(self, plan: PlanNode) -> NodeType:
+        if plan.cls == "TempViewNode":
+            return NodeType.VIEW
+        return super()._node_type(plan)
+
+    def _identify(self, plan: PlanNode):
+        if plan.cls == "TempViewNode":
+            name = plan.raw["viewName"]
+            return name, name
+        return super()._identify(plan)
+
+    def _make_node(self, plan: PlanNode) -> GraphNode:
+        node = super()._make_node(plan)
+        if plan.raw.get("_cached"):
+            node.is_cached = True
+        return node
+
+
+def _expanded_view(df, plan: PlanNode):
+    """(nodes, edges, per-output-ordinal source list) — each view output
+    column has exactly one source: the plan root's same ordinal."""
+    ex = _CatalogExtractor([])
+    root = ex.traverse(plan)
+    col_sources = [[(root.unique_id, i)] for i in range(len(root.attribute_names))]
+    return list(ex.nodes.values()), ex.edges, col_sources
+
+
+def _contracted_view(df, plan: PlanNode):
+    """Leaf nodes only; each view output column maps to every source table
+    column reachable through the exprId closure."""
+    ex = _CatalogExtractor([])
+    leaf_nodes, leaf_cols = [], {}
+    for p in plan.walk():
+        if p.is_leaf:
+            node = ex._make_node(p)
+            leaf_nodes.append(node)
+            for i, (_, eid) in enumerate(p.output()):
+                leaf_cols.setdefault(eid, (node.unique_id, i))
+    ref_map: dict[int, set[int]] = {}
+    contracted_mod._collect_ref_map(plan, ref_map)
+    col_sources = [
+        sorted(contracted_mod._resolve(eid, ref_map, leaf_cols))
+        for _, eid in plan.output()
+    ]
+    return leaf_nodes, [], col_sources

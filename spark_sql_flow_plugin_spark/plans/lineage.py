@@ -1,0 +1,268 @@
+"""Expanded-mode column-level lineage extraction.
+
+Python re-expression of the reference's per-operator edge rules
+(SQLFlow.scala:357-479 ``collectEdgesInPlan`` + :574-603
+``traversePlanRecursively`` + :49-59 ``planToSQLFlow``):
+
+| operator | rule |
+|---|---|
+| Aggregate/Project        | output ordinal i ← refs of i-th named expr |
+| Generate                 | child passthrough by position; generator outputs ← generator refs |
+| Expand                   | output ordinal i ← refs of every projection's i-th expr |
+| Union                    | positional from every child |
+| Join (semi/anti/exist)   | left passthrough; right cond attrs → compared left cols |
+| Join (other)             | left++right positional |
+| FlatMapGroupsInPandas…   | positional passthrough |
+| default (Filter/Sort/…)  | identity: output attr that IS an input attr |
+| no edges derived         | whole-node fallback from every input column |
+| subquery expressions     | subquery plan traversed; its root columns → outer node |
+
+Node identity follows SQLFlow.scala:202-220: catalog tables keep their
+qualified name, joins become ``Join_<type>_<7hex>``, every other operator
+``<nodeName>_<7hex>``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+from .catalyst import ExprNode, PlanNode, optimized_plan_tree
+from .graph import GraphEdge, GraphNode, NodeType
+
+_PASSTHROUGH_PANDAS = {
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInArrow",
+}
+
+_TABLE_CLASSES = {"LogicalRelation", "LocalRelation", "InMemoryRelation", "HiveTableRelation"}
+_VIEW_CLASSES = {"View", "TempViewNode"}
+
+
+def _rand_id() -> str:
+    return uuid.uuid4().hex[:7]
+
+
+def semantic_hash(df=None, jplan=None, fallback: str | None = None) -> str:
+    """7-hex-char SHA-256 of the canonicalized plan (SQLFlow.scala:938-944);
+    dedups semantically-equal plans across queries."""
+    try:
+        p = jplan if jplan is not None else df._jdf.queryExecution().optimizedPlan()
+        canon = p.canonicalized().toString()
+    except Exception:
+        canon = fallback or uuid.uuid4().hex
+    return hashlib.sha256(canon.encode()).hexdigest()[:7]
+
+
+def jvm_leaf_ident(leaf) -> str:
+    """Identity of one JVM scan leaf: catalog table → qualified name;
+    path-based relation → file path; else empty."""
+    try:
+        ct = leaf.catalogTable()
+        if ct.isDefined():
+            return ct.get().qualifiedName()
+    except Exception:
+        pass
+    try:
+        paths = leaf.relation().location().rootPaths()
+        if paths.size() > 0:
+            return paths.apply(0).toString()
+    except Exception:
+        pass
+    return ""
+
+
+def _leaf_idents(df) -> list[str]:
+    """Scan-leaf identities in pre-order (matches the JSON tree's leaf
+    order); empty string → caller falls back to nodeName+id."""
+    try:
+        jleaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        return [jvm_leaf_ident(jleaves.apply(i)) for i in range(jleaves.size())]
+    except Exception:
+        return []
+
+
+class LineageExtractor:
+    """Bottom-up walk of one optimized plan → (nodes, edges)."""
+
+    def __init__(self, leaf_idents: list[str] | None = None):
+        self.nodes: dict[str, GraphNode] = {}
+        self.edges: list[GraphEdge] = []
+        self._leaf_idents = list(leaf_idents or [])
+        self._leaf_cursor = 0
+        self._cached_ids: set[str] = set()
+
+    # -- node identity (SQLFlow.scala:202-220, 323-333) ----------------------
+
+    def _node_type(self, plan: PlanNode) -> NodeType:
+        if plan.cls in _TABLE_CLASSES:
+            return NodeType.TABLE
+        if plan.cls in _VIEW_CLASSES:
+            return NodeType.VIEW
+        if plan.cls == "Range":
+            return NodeType.LEAF_PLAN
+        return NodeType.PLAN
+
+    def _identify(self, plan: PlanNode) -> tuple[str, str]:
+        """(unique_id, ident) for a plan node."""
+        if plan.is_leaf:
+            ident = plan.raw.get("_ident", "")
+            if not ident and self._leaf_cursor < len(self._leaf_idents):
+                ident = self._leaf_idents[self._leaf_cursor]
+            self._leaf_cursor += 1
+            if ident:
+                return ident, ident
+            return f"{plan.node_name()}_{_rand_id()}", plan.node_name()
+        if plan.cls == "Join":
+            name = f"Join_{plan.join_type}"
+            return f"{name}_{_rand_id()}", name
+        name = plan.node_name()
+        return f"{name}_{_rand_id()}", name
+
+    def _make_node(self, plan: PlanNode) -> GraphNode:
+        uid, ident = self._identify(plan)
+        attrs = [name for name, _ in plan.output()]
+        schema = ", ".join(attrs)
+        node = GraphNode(uid, ident, attrs, schema, self._node_type(plan))
+        self.nodes[uid] = node
+        return node
+
+    # -- edge rules -----------------------------------------------------------
+
+    def _collect_edges(
+        self, plan: PlanNode, node: GraphNode, child_nodes: list[GraphNode]
+    ) -> None:
+        # exprId → (child uid, ordinal) over all children
+        ref_map: dict[int, tuple[str, int]] = {}
+        child_outputs = [c.output() for c in plan.children]
+        for child_node, out in zip(child_nodes, child_outputs):
+            for idx, (_, eid) in enumerate(out):
+                ref_map.setdefault(eid, (child_node.unique_id, idx))
+
+        edges: list[GraphEdge] = []
+
+        def add(eid: int, to_idx: int | None):
+            src = ref_map.get(eid)
+            if src:
+                edges.append(GraphEdge(src[0], src[1], node.unique_id, to_idx))
+
+        cls = plan.cls
+        if cls in ("Aggregate", "Project"):
+            fieldname = "aggregateExpressions" if cls == "Aggregate" else "projectList"
+            for i, e in enumerate(plan.exprs(fieldname)):
+                for _, eid in e.references():
+                    add(eid, i)
+        elif cls == "Generate":
+            out = plan.output()
+            gen_exprs = plan.exprs("generator")
+            gen_out_n = len(plan.exprs("generatorOutput"))
+            n_pass = len(out) - gen_out_n
+            # pass-through child columns by position
+            for i, (_, eid) in enumerate(out[:n_pass]):
+                add(eid, i)
+            # every generator output column ← the generator's referenced attrs
+            gen_refs = [eid for g in gen_exprs for _, eid in g.references()]
+            for i in range(n_pass, len(out)):
+                for eid in gen_refs:
+                    add(eid, i)
+        elif cls == "Expand":
+            # projections is Seq[Seq[Expression]]: JSON list (rows) of lists
+            # (exprs) of flat expr-node lists — parse each inner tree directly
+            from .catalyst import parse_expr_list
+
+            seen: set[tuple[int, int]] = set()
+            for proj_row in plan.raw.get("projections") or []:
+                for i, flat in enumerate(proj_row):
+                    if not isinstance(flat, list) or not flat:
+                        continue
+                    for _, eid in parse_expr_list(flat).references():
+                        if (eid, i) not in seen:
+                            seen.add((eid, i))
+                            add(eid, i)
+        elif cls == "Union":
+            out_n = len(plan.output())
+            for child_node, child_out in zip(child_nodes, child_outputs):
+                for i in range(min(out_n, len(child_out))):
+                    edges.append(
+                        GraphEdge(child_node.unique_id, i, node.unique_id, i)
+                    )
+        elif cls == "Join" and plan.join_type in ("LeftSemi", "LeftAnti", "ExistenceJoin"):
+            left_out = child_outputs[0]
+            left_ids = {eid for _, eid in left_out}
+            for i, (_, eid) in enumerate(plan.output()):
+                add(eid, i)
+            # right-side condition attrs feed the left columns they compare to
+            for cond in plan.exprs("condition"):
+                refs = cond.references()
+                right_refs = [eid for _, eid in refs if eid not in left_ids]
+                left_refs = [
+                    i
+                    for i, (_, eid) in enumerate(left_out)
+                    if eid in {e for _, e in refs}
+                ]
+                for eid in right_refs:
+                    for li in left_refs:
+                        add(eid, li)
+        elif cls == "Join":
+            for i, (_, eid) in enumerate(plan.output()):
+                add(eid, i)
+        elif cls in _PASSTHROUGH_PANDAS or cls in ("MapInPandas", "MapInArrow", "PythonMapInArrow"):
+            child_out = child_outputs[0] if child_outputs else []
+            for i in range(min(len(plan.output()), len(child_out))):
+                edges.append(GraphEdge(child_nodes[0].unique_id, i, node.unique_id, i))
+        else:  # default identity rule (Filter, Sort, Limit, Window, ...)
+            for i, (_, eid) in enumerate(plan.output()):
+                add(eid, i)
+
+        if not edges:  # whole-node fallback (SQLFlow.scala:466-478)
+            for child_node, child_out in zip(child_nodes, child_outputs):
+                for i in range(len(child_out)):
+                    edges.append(GraphEdge(child_node.unique_id, i, node.unique_id, None))
+
+        self.edges.extend(edges)
+
+    def _collect_subquery_edges(self, plan: PlanNode, node: GraphNode) -> None:
+        """Traverse subquery expression plans; wire their roots into the
+        outer node (simplified SQLFlow.scala:481-562)."""
+        for fieldname in ("condition", "projectList", "aggregateExpressions"):
+            for e in plan.exprs(fieldname):
+                for sub in e.subquery_plans():
+                    sub_root = self.traverse(sub)
+                    for i in range(len(sub_root.attribute_names)):
+                        self.edges.append(
+                            GraphEdge(sub_root.unique_id, i, node.unique_id, None)
+                        )
+
+    # -- traversal -------------------------------------------------------------
+
+    def traverse(self, plan: PlanNode) -> GraphNode:
+        child_nodes = [self.traverse(c) for c in plan.children]
+        node = self._make_node(plan)
+        if plan.children:
+            self._collect_edges(plan, node, child_nodes)
+        self._collect_subquery_edges(plan, node)
+        return node
+
+
+def extract_lineage(
+    df, flow_name: str | None = None
+) -> tuple[list[GraphNode], list[GraphEdge]]:
+    """planToSQLFlow equivalent: optimized plan → (plan nodes + query sink
+    node, column edges). The root's columns wire 1:1 into the query node."""
+    plan = optimized_plan_tree(df)
+    ex = LineageExtractor(_leaf_idents(df))
+    root = ex.traverse(plan)
+
+    qname = flow_name or f"query_{semantic_hash(df)}"
+    qnode = GraphNode(
+        f"{qname}_{_rand_id()}" if flow_name is None else qname,
+        qname,
+        list(root.attribute_names),
+        root.schema_ddl,
+        NodeType.QUERY,
+    )
+    ex.nodes[qnode.unique_id] = qnode
+    for i in range(len(root.attribute_names)):
+        ex.edges.append(GraphEdge(root.unique_id, i, qnode.unique_id, i))
+    return list(ex.nodes.values()), ex.edges

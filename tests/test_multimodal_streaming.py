@@ -1,0 +1,55 @@
+"""Multimodal plumbing (binary columns, mapInPandas batch shape, stub gates)
+and Structured Streaming behaviors."""
+
+import pytest
+
+from spark_sql_flow_plugin_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    with_binary_payload,
+)
+from spark_sql_flow_plugin_spark.registry import queries
+from spark_sql_flow_plugin_spark.sources import load
+
+
+def test_decode_stubs_are_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF...")
+
+
+def test_binary_payload_schema(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    b = with_binary_payload(docs)
+    kinds = dict(b.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<mime:string,n_bytes:")
+    row = b.first()
+    assert bytes(row.payload).decode("utf-8")  # round-trips as utf-8
+
+
+def test_multimodal_extract_matches_source(spark, sf_dir):
+    out = queries()["multimodal_meta_extract"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    joined = out.join(docs, "doc_id").where("byte_len != n_chars")
+    assert joined.count() == 0  # ascii corpus: byte length == char length
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    stream_rows = {
+        (r.bucket, r.event_type, r.n_events)
+        for r in queries()["stream_hourly_counts"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")["events"]
+    batch_rows = {
+        (r.bucket, r.event_type, r.n_events)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert stream_rows == batch_rows

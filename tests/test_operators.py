@@ -1,0 +1,57 @@
+"""Spot checks on the registry query surface (the full DuckDB-oracle gate is
+tools/check_oracle.py; these are fast structural assertions so pytest stays
+green without a DuckDB run)."""
+
+import pytest
+
+from spark_sql_flow_plugin_spark.registry import all_specs, oracle_sql, queries
+
+
+def test_registry_complete():
+    specs = all_specs()
+    assert len(specs) >= 80
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate query names"
+    # every oracle key has a query
+    assert set(oracle_sql()) <= set(queries())
+
+
+@pytest.mark.parametrize(
+    "name,key_cols",
+    [
+        ("q1_pricing_summary", {"l_returnflag", "sum_qty", "count_order"}),
+        ("join_left_semi", {"c_custkey", "c_name"}),
+        ("cube_agg", {"l_returnflag", "l_linestatus", "cnt"}),
+        ("win_ranking", {"rn", "rnk", "drnk", "tile"}),
+        ("dedup_exact", {"keeper", "n_copies"}),
+        ("dedup_minhash_lsh", {"doc_a", "doc_b", "jacc"}),
+        ("ann_bruteforce_topk", {"query_id", "neighbor_id", "cos_sim", "rnk"}),
+        ("text_token_count", {"n_ws_tokens", "n_bpe_tokens", "n_chars"}),
+        ("sessionize_gaps", {"user_id", "session_id", "n_events"}),
+    ],
+)
+def test_query_runs(spark, sf_dir, name, key_cols):
+    df = queries()[name](spark, sf_dir)
+    assert key_cols <= set(df.columns)
+    assert df.count() > 0
+
+
+def test_dedup_finds_planted_duplicates(spark, sf_dir):
+    rows = queries()["dedup_exact"](spark, sf_dir).collect()
+    assert all(r.n_copies >= 2 for r in rows)
+    assert len(rows) > 0  # the planted exact copies are found
+
+
+def test_minhash_finds_near_duplicates(spark, sf_dir):
+    rows = queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # planted near-dups pair doc_id with doc_id + 1_000_000 (or exact copies)
+    planted = [r for r in rows if r.doc_b - r.doc_a in (1000000, 2000000)]
+    assert planted
+    assert all(0 < r.jacc <= 1.0 for r in rows)
+
+
+def test_ann_topk_contains_scaled_twin(spark, sf_dir):
+    rows = queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
+    twins = [r for r in rows if r.id_b - r.id_a == 100000]
+    assert twins and all(abs(t.cos_sim - 1.0) < 1e-5 for t in twins)

@@ -78,7 +78,13 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     exact = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    return d.union(near).union(exact)
+    # The single-file parquet source yields very few input splits locally, so
+    # downstream CPU-heavy stages (shingling, hashing) would run on 2-3 cores.
+    # Repartition the (tiny) text rows across the cluster; on a real multi-TB
+    # table the scan already has enough splits and this is a cheap no-op-ish
+    # round-robin shuffle of strings.
+    n_parts = spark.sparkContext.defaultParallelism
+    return d.union(near).union(exact).repartition(n_parts, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -133,10 +139,17 @@ def dedup_fingerprint(spark, sf_dir):
 # 2. MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 
+# Shingles via slice+zip_with rather than transform+element_at: a lambda that
+# references `toks` by index would have the whole tokenizer expression inlined
+# by CollapseProject and re-evaluated once per loop iteration (measured 30s →
+# 1s at sf0.1 for this rewrite); slice() references evaluate once per row.
 _SPARK_SHINGLES = (
-    "CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct(transform("
-    "  sequence(1, size(toks) - 2),"
-    "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))"
+    "CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct("
+    "  zip_with("
+    "    slice(toks, 1, size(toks) - 2),"
+    "    zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2),"
+    "             (y, z) -> concat(y, ' ', z)),"
+    "    (x, yz) -> concat(x, ' ', yz)"
     ")) END"
 )
 _DUCK_SHINGLES = (
@@ -154,12 +167,19 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
 
     signatures has one row per doc with mh0..mh15; shingle_sets keeps the
     distinct-shingle array for the exact-Jaccard verify stage.
+
+    Both are persisted: they are each consumed by multiple downstream
+    branches (bands self-join + two verify joins), and without persistence
+    Spark re-runs the tokenize→shingle→md5 pipeline once per consumer. At
+    production scale this materialization is the signature table you'd
+    write to storage between pipeline stages.
     """
     aug = augmented_documents(spark, sf_dir)
     sets = (
         aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
         .where(F.size("shingles") > 0)
+        .persist()
     )
     hashed = sets.select(
         "doc_id", F.explode("shingles").alias("sh")
@@ -168,7 +188,7 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
     ]
-    return sets, hashed.groupBy("doc_id").agg(*mins)
+    return sets, hashed.groupBy("doc_id").agg(*mins).persist()
 
 
 @register(
@@ -209,15 +229,15 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
 )
 def dedup_minhash_lsh(spark, sf_dir):
     sets, sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for band in range(4):
-        cols = [f"mh{band * 4 + r}" for r in range(4)]
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band_id"),
-            F.concat_ws(",", *cols).alias("bkey"),
-        )
-        bands = b if bands is None else bands.union(b)
+    # bands via stack(): ONE pass over sig instead of a 4-way union (which
+    # would re-run the whole signature pipeline once per band)
+    stack_args = ", ".join(
+        f"{band}, concat_ws(',', mh{band * 4}, mh{band * 4 + 1}, mh{band * 4 + 2}, mh{band * 4 + 3})"
+        for band in range(4)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack(4, {stack_args})").alias("band_id", "bkey")
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -273,9 +293,12 @@ _N_SIMHASH_BITS = 16
 )
 def dedup_simhash(spark, sf_dir):
     aug = augmented_documents(spark, sf_dir)
-    tok = aug.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
-    ).select("doc_id", F.expr(_SPARK_H32_TOK).alias("h"))
+    # materialize the token arrays before exploding: a Generate whose input is
+    # a fused HOF expression re-evaluates it per output row (see minhash note)
+    toks = aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).persist()
+    tok = toks.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.expr(_SPARK_H32_TOK).alias("h")
+    )
     bit_terms = [
         F.when(
             F.sum(
@@ -415,7 +438,8 @@ def augmented_embeddings(spark, sf_dir) -> DataFrame:
     base = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"), "label"
     )
-    return base.union(scaled)
+    # same split-starvation fix as augmented_documents
+    return base.union(scaled).repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
 DUCK_AUG_EMB = """

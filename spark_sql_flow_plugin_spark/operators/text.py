@@ -207,9 +207,12 @@ _DUCK_WINNOW = (
 )
 def text_fingerprint_winnow(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
+    # persist the k-gram hash arrays: the winnow lambda slices `h` per window
+    # index, and without a barrier CollapseProject would inline (and re-run)
+    # the md5 array construction once per window
     h = d.where(F.length("text") >= _K + _W).select(
         "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
-    )
+    ).persist()
     w = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps"))
     return w.select(
         "doc_id",

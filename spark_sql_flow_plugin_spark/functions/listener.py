@@ -1,0 +1,96 @@
+"""Audit/listener mode: per-query lineage capture via a py4j-callback
+``QueryExecutionListener`` (reference listeners.scala:31-97).
+
+After every successful action, Spark fires ``onSuccess(funcName, qe,
+durationNs)`` on the listener bus; we extract the optimized plan's lineage,
+stamp ``durationMs`` + an ISO timestamp on the query node (reference
+listeners.scala:56-61), and append to the sink (GraphViz appends into
+per-query UTC-timestamped subdirectories).
+
+Reference behaviors kept:
+- ``Command`` plans are skipped (listeners.scala:51-53);
+- errors are logged and swallowed — lineage capture must never fail a query
+  (listeners.scala:64-67);
+- query nodes are named ``query_<abs(hash)>``.
+
+py4j caveat (SURVEY.md §7 risk 3): callbacks run on the listener-bus thread
+through the py4j ClientServer. PySpark's default gateway supports Python
+callbacks, but under heavy concurrency the pure-Python
+``@auto_tracking`` decorators (functions/tracking.py) are the robust
+alternative. Tests must wait for the listener bus to drain
+(``spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()``).
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime, timezone
+
+logger = logging.getLogger(__name__)
+
+
+class SQLFlowListener:
+    """Python implementation of org.apache.spark.sql.util.QueryExecutionListener."""
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    def __init__(self, sink, output_dir: str, contracted: bool = False):
+        self.sink = sink
+        self.output_dir = output_dir
+        self.contracted = contracted
+        self.captured = 0
+
+    # -- QueryExecutionListener interface -------------------------------------
+
+    def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java name)
+        try:
+            jplan = qe.optimizedPlan()
+            if "Command" in jplan.getClass().getName():
+                return  # INSERT/DDL lineage is a reference non-goal (Issue#5)
+            props = {
+                "durationMs": str(int(durationNs) // 1_000_000),
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+            }
+            from ..plans.lineage import extract_lineage_from_jplan
+
+            flow_name = f"query_{abs(qe.hashCode())}"
+            nodes, edges = extract_lineage_from_jplan(jplan, flow_name, props)
+            self.sink.append(nodes, edges, self.output_dir)
+            self.captured += 1
+        except Exception as exc:  # never propagate into the listener bus
+            logger.warning("SQLFlowListener failed to capture lineage: %s", exc)
+
+    def onFailure(self, funcName, qe, exception):  # noqa: N802
+        return None
+
+    def toString(self):  # py4j object protocol
+        return f"SQLFlowListener(dir={self.output_dir})"
+
+    def equals(self, other):
+        return other is self
+
+    def hashCode(self):
+        return id(self)
+
+
+def register(spark, sink, output_dir: str, contracted: bool = False) -> SQLFlowListener:
+    """Register a lineage listener on the session's listenerManager
+    (reference README.md:237-240 programmatic registration)."""
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    # the JVM listener bus calls back into Python — same mechanism
+    # foreachBatch uses; without this the bus logs "Connection refused"
+    ensure_callback_server_started(spark.sparkContext._gateway)
+    listener = SQLFlowListener(sink, output_dir, contracted)
+    spark._jsparkSession.listenerManager().register(listener)
+    return listener
+
+
+def unregister(spark, listener: SQLFlowListener) -> None:
+    spark._jsparkSession.listenerManager().unregister(listener)
+
+
+def wait_for_listener_bus(spark) -> None:
+    """Flush pending listener events (thread boundary — see module doc)."""
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()

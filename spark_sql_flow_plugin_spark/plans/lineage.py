@@ -245,24 +245,51 @@ class LineageExtractor:
         return node
 
 
+def _extract_from_tree(
+    plan: PlanNode,
+    leaf_idents: list[str],
+    qname: str,
+    explicit_name: bool,
+    props: dict[str, str] | None = None,
+) -> tuple[list[GraphNode], list[GraphEdge]]:
+    ex = LineageExtractor(leaf_idents)
+    root = ex.traverse(plan)
+    qnode = GraphNode(
+        qname if explicit_name else f"{qname}_{_rand_id()}",
+        qname,
+        list(root.attribute_names),
+        root.schema_ddl,
+        NodeType.QUERY,
+        props=dict(props or {}),
+    )
+    ex.nodes[qnode.unique_id] = qnode
+    for i in range(len(root.attribute_names)):
+        ex.edges.append(GraphEdge(root.unique_id, i, qnode.unique_id, i))
+    return list(ex.nodes.values()), ex.edges
+
+
 def extract_lineage(
     df, flow_name: str | None = None
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """planToSQLFlow equivalent: optimized plan → (plan nodes + query sink
     node, column edges). The root's columns wire 1:1 into the query node."""
     plan = optimized_plan_tree(df)
-    ex = LineageExtractor(_leaf_idents(df))
-    root = ex.traverse(plan)
-
     qname = flow_name or f"query_{semantic_hash(df)}"
-    qnode = GraphNode(
-        f"{qname}_{_rand_id()}" if flow_name is None else qname,
-        qname,
-        list(root.attribute_names),
-        root.schema_ddl,
-        NodeType.QUERY,
-    )
-    ex.nodes[qnode.unique_id] = qnode
-    for i in range(len(root.attribute_names)):
-        ex.edges.append(GraphEdge(root.unique_id, i, qnode.unique_id, i))
-    return list(ex.nodes.values()), ex.edges
+    return _extract_from_tree(plan, _leaf_idents(df), qname, flow_name is not None)
+
+
+def extract_lineage_from_jplan(
+    jplan, flow_name: str | None = None, props: dict[str, str] | None = None
+) -> tuple[list[GraphNode], list[GraphEdge]]:
+    """Listener-mode entry: extract from a JVM optimized-plan handle
+    (a QueryExecution's optimizedPlan) instead of a DataFrame."""
+    from .catalyst import parse_plan_json
+
+    plan = parse_plan_json(jplan.toJSON())
+    try:
+        jleaves = jplan.collectLeaves()
+        idents = [jvm_leaf_ident(jleaves.apply(i)) for i in range(jleaves.size())]
+    except Exception:
+        idents = []
+    qname = flow_name or f"query_{semantic_hash(jplan=jplan)}"
+    return _extract_from_tree(plan, idents, qname, flow_name is not None, props)

@@ -1,0 +1,163 @@
+"""Neo4j (Aura) sink — reference sink/Neo4jAuraSink.scala:94-254.
+
+Graph mapping:
+- nodes get labels Table/View/Plan/LeafPlan/Query (from NodeType);
+- uniqueness: ``uid`` for Table/View/Query nodes, ``semanticHash`` for plan
+  nodes (plans that appear in many queries merge into one graph node);
+- edges are ``[:transformInto]`` relationships whose ``dstNodeIds`` property
+  accumulates every downstream Query/View reachable within depth 128
+  (reference :176-198), so "which queries read this column" is a property
+  lookup instead of a traversal.
+
+The Cypher generation below is pure and unit-testable; the network part is
+gated behind the ``neo4j`` Python driver (reference bin/requirements.txt:4),
+which is optional in this environment.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from ..plans.graph import GraphEdge, GraphNode, NodeType
+
+_LABEL = {
+    NodeType.TABLE: "Table",
+    NodeType.VIEW: "View",
+    NodeType.PLAN: "Plan",
+    NodeType.LEAF_PLAN: "LeafPlan",
+    NodeType.QUERY: "Query",
+}
+
+_MAX_BFS_DEPTH = 128
+
+CONSTRAINTS = [
+    "CREATE CONSTRAINT unique_table_uid IF NOT EXISTS FOR (n:Table) REQUIRE n.uid IS UNIQUE",
+    "CREATE CONSTRAINT unique_view_uid IF NOT EXISTS FOR (n:View) REQUIRE n.uid IS UNIQUE",
+    "CREATE CONSTRAINT unique_query_uid IF NOT EXISTS FOR (n:Query) REQUIRE n.uid IS UNIQUE",
+    "CREATE CONSTRAINT unique_plan_hash IF NOT EXISTS FOR (n:Plan) REQUIRE n.semanticHash IS UNIQUE",
+]
+
+
+def downstream_sink_ids(edges: list[GraphEdge], nodes: list[GraphNode]) -> dict[str, list[str]]:
+    """For each node: the Query/View node ids reachable downstream (BFS,
+    depth ≤ 128) — becomes the edges' ``dstNodeIds`` property."""
+    by_id = {n.unique_id: n for n in nodes}
+    adj: dict[str, set[str]] = {}
+    for e in edges:
+        adj.setdefault(e.from_id, set()).add(e.to_id)
+    out: dict[str, list[str]] = {}
+    for start in by_id:
+        seen, sinks = {start}, set()
+        q = deque([(start, 0)])
+        while q:
+            cur, d = q.popleft()
+            if d >= _MAX_BFS_DEPTH:
+                continue
+            for nxt in adj.get(cur, ()):
+                if nxt in seen:
+                    continue
+                seen.add(nxt)
+                node = by_id.get(nxt)
+                if node and node.tpe in (NodeType.QUERY, NodeType.VIEW):
+                    sinks.add(nxt)
+                q.append((nxt, d + 1))
+        out[start] = sorted(sinks)
+    return out
+
+
+def node_merge_statements(nodes: list[GraphNode]) -> list[tuple[str, dict]]:
+    stmts = []
+    for n in nodes:
+        label = _LABEL[n.tpe]
+        key = "semanticHash" if n.tpe in (NodeType.PLAN, NodeType.LEAF_PLAN) else "uid"
+        key_val = n.props.get("semanticHash", n.unique_id) if key == "semanticHash" else n.unique_id
+        stmts.append(
+            (
+                f"MERGE (n:{label} {{{key}: $key}}) "
+                "SET n.name = $name, n.attributes = $attrs, n.schemaDDL = $ddl, "
+                "n.cached = $cached",
+                {
+                    "key": key_val,
+                    "name": n.ident,
+                    "attrs": list(n.attribute_names),
+                    "ddl": n.schema_ddl,
+                    "cached": n.is_cached,
+                },
+            )
+        )
+    return stmts
+
+
+def edge_merge_statements(
+    nodes: list[GraphNode], edges: list[GraphEdge]
+) -> list[tuple[str, dict]]:
+    by_id = {n.unique_id: n for n in nodes}
+    dst_ids = downstream_sink_ids(edges, nodes)
+    stmts = []
+    seen: set[tuple[str, str]] = set()
+    for e in edges:
+        pair = (e.from_id, e.to_id)
+        if pair in seen:
+            continue
+        seen.add(pair)
+        src, dst = by_id.get(e.from_id), by_id.get(e.to_id)
+        if src is None or dst is None:
+            continue
+        stmts.append(
+            (
+                f"MATCH (a:{_LABEL[src.tpe]} {{uid: $from_id}}), "
+                f"(b:{_LABEL[dst.tpe]} {{uid: $to_id}}) "
+                "MERGE (a)-[r:transformInto]->(b) "
+                "SET r.dstNodeIds = $dst_ids",
+                {
+                    "from_id": e.from_id,
+                    "to_id": e.to_id,
+                    "dst_ids": dst_ids.get(e.from_id, []),
+                },
+            )
+        )
+    return stmts
+
+
+class Neo4jAuraSink:
+    """Batch ``write`` requires an empty database unless ``overwrite``;
+    streaming ``append`` merges into the existing graph (reference
+    :220-253)."""
+
+    def __init__(self, uri: str, user: str, password: str):
+        self.uri, self.user, self.password = uri, user, password
+
+    def _driver(self):
+        try:
+            import neo4j
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Neo4j export needs the `neo4j` Python driver on the cluster "
+                "image; Cypher generation (node_merge_statements / "
+                "edge_merge_statements) works without it."
+            ) from exc
+        return neo4j.GraphDatabase.driver(self.uri, auth=(self.user, self.password))
+
+    def write(self, nodes, edges, options: dict | None = None) -> None:
+        options = options or {}
+        with self._driver() as driver, driver.session() as session:
+            n = session.run("MATCH (n) RETURN count(n) AS c").single()["c"]
+            if n and not options.get("overwrite"):
+                raise ValueError("target database is not empty; pass overwrite=True")
+            if n:
+                session.run("MATCH (n) DETACH DELETE n")
+            for stmt in CONSTRAINTS:
+                session.run(stmt)
+            for cypher, params in node_merge_statements(nodes):
+                session.run(cypher, **params)
+            for cypher, params in edge_merge_statements(nodes, edges):
+                session.run(cypher, **params)
+
+    def append(self, nodes, edges, options: dict | None = None) -> None:
+        with self._driver() as driver, driver.session() as session:
+            for stmt in CONSTRAINTS:
+                session.run(stmt)
+            for cypher, params in node_merge_statements(nodes):
+                session.run(cypher, **params)
+            for cypher, params in edge_merge_statements(nodes, edges):
+                session.run(cypher, **params)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from .catalyst import PlanNode, optimized_plan_tree
 from .graph import GraphEdge, GraphNode, NodeType
-from .lineage import LineageExtractor, jvm_leaf_ident
+from .lineage import LineageExtractor, jvm_leaf_ident, jvm_leaf_stats
 from . import contracted as contracted_mod
 
 
@@ -64,6 +64,15 @@ def _substitute_views(
             ident = jvm_leaf_ident(jp)
             if ident:
                 p.raw["_ident"] = ident
+            stats = jvm_leaf_stats(jp)
+            if stats:
+                p.raw["_stats"] = stats
+        if p.cls == "Generate":
+            try:
+                seq = jp.unrequiredChildIndex()
+                p.raw["_unrequired"] = [seq.apply(i) for i in range(seq.size())]
+            except Exception:
+                pass
         jkids = jp.children()
         p.children = [rec(c, jkids.apply(i)) for i, c in enumerate(p.children)]
         return p

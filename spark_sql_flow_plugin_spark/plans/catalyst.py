@@ -191,7 +191,13 @@ class PlanNode:
                 _named(e) for e in self.exprs("windowExpressions")
             ]
         if self.cls == "Generate":
-            unrequired = set(self.raw.get("unrequiredChildIndex") or [])
+            # unrequiredChildIndex serializes as JSON null; the lockstep
+            # annotate_plan pass recovers it into _unrequired
+            unrequired = set(
+                self.raw.get("_unrequired")
+                or self.raw.get("unrequiredChildIndex")
+                or []
+            )
             child_out = [
                 a for i, a in enumerate(self.children[0].output()) if i not in unrequired
             ]

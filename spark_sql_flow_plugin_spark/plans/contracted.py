@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from .catalyst import PlanNode, parse_expr_list
 from .graph import GraphEdge, GraphNode, NodeType
-from .lineage import LineageExtractor, _leaf_idents, _rand_id, semantic_hash
+from .lineage import LineageExtractor, _rand_id, annotate_leaves, semantic_hash
 from .catalyst import optimized_plan_tree
 
 _MAX_DEPTH = 128
@@ -97,10 +97,10 @@ def extract_contracted_lineage(
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """Leaf tables + query node only, with direct column edges."""
     plan = optimized_plan_tree(df)
-    idents = _leaf_idents(df)
+    annotate_leaves(plan, df._jdf.queryExecution().optimizedPlan())
 
     # leaf nodes (reuse expanded-mode identity rules on a leaf-only walk)
-    ex = LineageExtractor(idents)
+    ex = LineageExtractor([])
     leaf_nodes: list[GraphNode] = []
     leaf_cols: dict[int, tuple[str, int]] = {}
     for p in plan.walk():

@@ -73,6 +73,21 @@ def jvm_leaf_ident(leaf) -> str:
     return ""
 
 
+def jvm_leaf_stats(leaf) -> dict[str, str]:
+    """sizeInBytes / rowCount node props from ``LeafNode.computeStats()``
+    (reference SQLFlow.scala:297-308)."""
+    props: dict[str, str] = {}
+    try:
+        stats = leaf.stats()
+        props["sizeInBytes"] = stats.sizeInBytes().toString()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            props["rowCount"] = rc.get().toString()
+    except Exception:
+        pass
+    return props
+
+
 def _leaf_idents(df) -> list[str]:
     """Scan-leaf identities in pre-order (matches the JSON tree's leaf
     order); empty string → caller falls back to nodeName+id."""
@@ -81,6 +96,30 @@ def _leaf_idents(df) -> list[str]:
         return [jvm_leaf_ident(jleaves.apply(i)) for i in range(jleaves.size())]
     except Exception:
         return []
+
+
+def _strip_expr_ids(obj):
+    """Canonicalize a raw JSON plan dict for semantic hashing: drop exprId /
+    jvmId / qualifier / metadata so two runs of the same query hash alike
+    (approximates Catalyst's canonicalized-plan hash, SQLFlow.scala:938-944)."""
+    if isinstance(obj, dict):
+        return {
+            k: _strip_expr_ids(v)
+            for k, v in obj.items()
+            if k not in ("exprId", "jvmId", "qualifier", "metadata")
+        }
+    if isinstance(obj, list):
+        return [_strip_expr_ids(v) for v in obj]
+    return obj
+
+
+def plan_semantic_hash(plan: PlanNode) -> str:
+    import json
+
+    payload = json.dumps(
+        [_strip_expr_ids(p.raw) for p in plan.walk()], sort_keys=True, default=str
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:7]
 
 
 class LineageExtractor:
@@ -125,6 +164,10 @@ class LineageExtractor:
         attrs = [name for name, _ in plan.output()]
         schema = ", ".join(attrs)
         node = GraphNode(uid, ident, attrs, schema, self._node_type(plan))
+        if node.tpe in (NodeType.PLAN, NodeType.LEAF_PLAN):
+            node.props["semanticHash"] = plan_semantic_hash(plan)
+        if plan.raw.get("_stats"):
+            node.props.update(plan.raw["_stats"])
         self.nodes[uid] = node
         return node
 
@@ -268,14 +311,57 @@ def _extract_from_tree(
     return list(ex.nodes.values()), ex.edges
 
 
+def annotate_plan(plan: PlanNode, jplan) -> None:
+    """Lockstep JVM/JSON walk attaching what ``toJSON`` can't express:
+
+    - leaves: ``_ident`` (catalog/table/path identity) + ``_stats``;
+    - Generate: ``_unrequired`` (``unrequiredChildIndex`` serializes as
+      JSON null, but it decides which child columns survive the operator).
+
+    Both trees are the same optimized plan, so pre-order aligns. Subquery
+    expression plans aren't visited (they're expressions on the JVM side).
+    """
+
+    def rec(p: PlanNode, jp) -> None:
+        if p.is_leaf:
+            ident = jvm_leaf_ident(jp)
+            if ident:
+                p.raw["_ident"] = ident
+            stats = jvm_leaf_stats(jp)
+            if stats:
+                p.raw["_stats"] = stats
+        if p.cls == "Generate":
+            try:
+                seq = jp.unrequiredChildIndex()
+                p.raw["_unrequired"] = [seq.apply(i) for i in range(seq.size())]
+            except Exception:
+                pass
+        try:
+            jkids = jp.children()
+            for i, c in enumerate(p.children):
+                rec(c, jkids.apply(i))
+        except Exception:
+            pass
+
+    try:
+        rec(plan, jplan)
+    except Exception:
+        pass
+
+
+#: backwards-compatible alias (leaf-only annotation grew into a full pass)
+annotate_leaves = annotate_plan
+
+
 def extract_lineage(
     df, flow_name: str | None = None
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """planToSQLFlow equivalent: optimized plan → (plan nodes + query sink
     node, column edges). The root's columns wire 1:1 into the query node."""
     plan = optimized_plan_tree(df)
+    annotate_leaves(plan, df._jdf.queryExecution().optimizedPlan())
     qname = flow_name or f"query_{semantic_hash(df)}"
-    return _extract_from_tree(plan, _leaf_idents(df), qname, flow_name is not None)
+    return _extract_from_tree(plan, [], qname, flow_name is not None)
 
 
 def extract_lineage_from_jplan(
@@ -286,10 +372,6 @@ def extract_lineage_from_jplan(
     from .catalyst import parse_plan_json
 
     plan = parse_plan_json(jplan.toJSON())
-    try:
-        jleaves = jplan.collectLeaves()
-        idents = [jvm_leaf_ident(jleaves.apply(i)) for i in range(jleaves.size())]
-    except Exception:
-        idents = []
+    annotate_leaves(plan, jplan)
     qname = flow_name or f"query_{semantic_hash(jplan=jplan)}"
-    return _extract_from_tree(plan, idents, qname, flow_name is not None, props)
+    return _extract_from_tree(plan, [], qname, flow_name is not None, props)

@@ -1,0 +1,147 @@
+"""Remaining consumed-surface coverage (SURVEY.md §2.D): caching,
+Range/VALUES scans, NATURAL OUTER join, session windows, and approximate
+sketches (rows-only checked — approximate results differ by engine design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import SQL_DSUM, dsum
+from ..registry import register
+from ..sources import load, register_views
+
+
+@register(
+    "cache_table_join",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "caching",
+)
+def cache_table_join(spark, sf_dir):
+    """df.cache() on the dimension side (reference corpus: basics.sql CACHE
+    TABLE; colors the node lightblue in lineage and produces an
+    InMemoryRelation scan in the plan)."""
+    t = load(spark, sf_dir, "customer", "nation")
+    dim = t["nation"].cache()
+    return (
+        t["customer"]
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "range_scan",
+    """
+    SELECT CAST(range AS BIGINT) AS id, CAST(range * 3 % 7 AS BIGINT) AS bucket
+    FROM range(1000)
+    """,
+    "scan",
+)
+def range_scan(spark, sf_dir):
+    """spark.range → Catalyst Range leaf (LeafPlanNode in lineage)."""
+    return spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3 % 7).alias("bucket")
+    )
+
+
+@register(
+    "values_inline",
+    """
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v)
+    """,
+    "scan",
+)
+def values_inline(spark, sf_dir):
+    """Inline rows → LocalRelation leaf (reference corpus basics.sql:2-3)."""
+    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+
+
+@register(
+    "join_natural_left",
+    """
+    SELECT regionkey, n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) a
+    NATURAL LEFT JOIN (SELECT r_regionkey AS regionkey, r_name FROM region WHERE r_regionkey < 3) b
+    """,
+    "join",
+)
+def join_natural_left(spark, sf_dir):
+    register_views(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        SELECT regionkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) a
+        NATURAL LEFT JOIN (SELECT r_regionkey AS regionkey, r_name FROM region WHERE r_regionkey < 3) b
+        """
+    )
+
+
+@register(
+    "session_window_agg",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+    "timeseries",
+    "window",
+)
+def session_window_agg(spark, sf_dir):
+    """Spark's native session_window (gap-based session aggregation in one
+    operator); the oracle is the equivalent gaps-and-islands SQL — session
+    end is last event + gap by definition."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register("approx_count_distinct_sketch", None, "sketch")
+def approx_count_distinct_sketch(spark, sf_dir):
+    """HLL-sketch distinct counts (reference corpus group-by.sql
+    approx_count_distinct). No oracle: DuckDB's approx_count_distinct uses a
+    different HLL implementation, so results are engine-specific by design —
+    the driver records the weaker rows-only check."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@register("approx_percentile_sketch", None, "sketch")
+def approx_percentile_sketch(spark, sf_dir):
+    """Approximate percentiles (engine-specific sketch; rows-only check)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        )
+    )

@@ -36,7 +36,15 @@ _PASSTHROUGH_PANDAS = {
     "FlatMapGroupsInArrow",
 }
 
-_TABLE_CLASSES = {"LogicalRelation", "LocalRelation", "InMemoryRelation", "HiveTableRelation"}
+_TABLE_CLASSES = {
+    "LogicalRelation",
+    "LocalRelation",
+    "InMemoryRelation",
+    "HiveTableRelation",
+    # createDataFrame over local rows serializes as an RDD-backed leaf
+    "LogicalRDD",
+    "ExternalRDD",
+}
 _VIEW_CLASSES = {"View", "TempViewNode"}
 
 

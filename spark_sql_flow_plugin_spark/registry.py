@@ -50,16 +50,18 @@ def all_specs() -> list[QuerySpec]:
     from .operators import (  # noqa: F401
         dedup,
         generators,
+        misc,
         multimodal,
         pandas_udfs,
         relational,
         similarity,
+        skew,
         subqueries,
         text,
         tpch,
         windows,
     )
-    from .streaming import events  # noqa: F401
+    from .streaming import events, stateful  # noqa: F401
 
     return list(_REGISTRY)
 

@@ -260,6 +260,43 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_minhash_mllib", None, "dedup")
+def dedup_minhash_mllib(spark, sf_dir):
+    """MLlib-native MinHash-LSH (pyspark.ml.feature.MinHashLSH +
+    approxSimilarityJoin) over token CountVectorizer features — the
+    battle-tested scale path for minhash dedup on a cluster. No oracle:
+    MinHashLSH's hash functions are JVM-internal, so the candidate set is
+    engine-specific (rows-only check); the hand-rolled md5 pipeline above is
+    the oracle-verified twin."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
+
+    aug = augmented_documents(spark, sf_dir)
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=r"\s+"
+    ).transform(aug)
+    # word 3-gram shingles (same granularity as the md5 pipeline): unigram
+    # token sets are non-discriminative on a small vocabulary
+    shingled = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    ).fit(shingled)
+    # MinHashLSH requires at least one nonzero feature; minDF=1 puts every
+    # shingle in the vocabulary, so any doc with shingles qualifies
+    feats = cv.transform(shingled).where(F.size("shingles") > 0)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jacc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. SimHash near-dedup
 # ---------------------------------------------------------------------------

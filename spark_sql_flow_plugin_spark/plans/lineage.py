@@ -275,15 +275,22 @@ class LineageExtractor:
 
     def _collect_subquery_edges(self, plan: PlanNode, node: GraphNode) -> None:
         """Traverse subquery expression plans; wire their roots into the
-        outer node (simplified SQLFlow.scala:481-562)."""
-        for fieldname in ("condition", "projectList", "aggregateExpressions"):
-            for e in plan.exprs(fieldname):
-                for sub in e.subquery_plans():
-                    sub_root = self.traverse(sub)
-                    for i in range(len(sub_root.attribute_names)):
-                        self.edges.append(
-                            GraphEdge(sub_root.unique_id, i, node.unique_id, None)
-                        )
+        outer node (simplified SQLFlow.scala:481-562). Prefers the
+        annotate_plan-cached trees (they carry leaf identities)."""
+        subs = plan.raw.get("_subplans")
+        if subs is None:
+            subs = [
+                sub
+                for fieldname in ("condition", "projectList", "aggregateExpressions")
+                for e in plan.exprs(fieldname)
+                for sub in e.subquery_plans()
+            ]
+        for sub in subs:
+            sub_root = self.traverse(sub)
+            for i in range(len(sub_root.attribute_names)):
+                self.edges.append(
+                    GraphEdge(sub_root.unique_id, i, node.unique_id, None)
+                )
 
     # -- traversal -------------------------------------------------------------
 
@@ -342,6 +349,21 @@ def annotate_plan(plan: PlanNode, jplan) -> None:
             try:
                 seq = jp.unrequiredChildIndex()
                 p.raw["_unrequired"] = [seq.apply(i) for i in range(seq.size())]
+            except Exception:
+                pass
+        # subquery expression plans: annotate + cache so the edge collector
+        # reuses the annotated trees (leaf identity inside subqueries)
+        subs = []
+        for f in ("condition", "projectList", "aggregateExpressions"):
+            for e in p.exprs(f):
+                subs.extend(e.subquery_plans())
+        if subs:
+            try:
+                jsubs = jp.subqueries()
+                for i, sp in enumerate(subs):
+                    if i < jsubs.size():
+                        rec(sp, jsubs.apply(i))
+                p.raw["_subplans"] = subs
             except Exception:
                 pass
         try:

@@ -53,6 +53,7 @@ def all_specs() -> list[QuerySpec]:
         misc,
         multimodal,
         pandas_udfs,
+        pipeline,
         relational,
         similarity,
         skew,

@@ -87,10 +87,10 @@ def jvm_leaf_stats(leaf) -> dict[str, str]:
     props: dict[str, str] = {}
     try:
         stats = leaf.stats()
-        props["sizeInBytes"] = stats.sizeInBytes().toString()
+        props["sizeInBytes"] = str(stats.sizeInBytes())  # py4j converts BigInt → int
         rc = stats.rowCount()
         if rc.isDefined():
-            props["rowCount"] = rc.get().toString()
+            props["rowCount"] = str(rc.get())
     except Exception:
         pass
     return props
@@ -387,10 +387,21 @@ def extract_lineage(
     df, flow_name: str | None = None
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """planToSQLFlow equivalent: optimized plan → (plan nodes + query sink
-    node, column edges). The root's columns wire 1:1 into the query node."""
-    plan = optimized_plan_tree(df)
-    annotate_leaves(plan, df._jdf.queryExecution().optimizedPlan())
-    qname = flow_name or f"query_{semantic_hash(df)}"
+    node, column edges). The root's columns wire 1:1 into the query node.
+
+    Streaming DataFrames use the *analyzed* plan (Spark refuses to optimize
+    an un-started streaming query), so their lineage is available before
+    ``writeStream.start()``."""
+    if df.isStreaming:
+        from .catalyst import analyzed_plan_tree
+
+        jplan = df._jdf.queryExecution().analyzed()
+        plan = analyzed_plan_tree(df)
+    else:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        plan = optimized_plan_tree(df)
+    annotate_leaves(plan, jplan)
+    qname = flow_name or f"query_{semantic_hash(jplan=jplan)}"
     return _extract_from_tree(plan, [], qname, flow_name is not None)
 
 

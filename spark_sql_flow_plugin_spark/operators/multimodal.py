@@ -102,6 +102,39 @@ def multimodal_meta_extract(spark, sf_dir):
 
 
 @register(
+    "multimodal_thumbnail",
+    """
+    SELECT doc_id, md5(substr(text, 1, 16)) AS thumb_sig,
+           CAST(LEAST(strlen(text), 16) AS INT) AS thumb_bytes
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_thumbnail(spark, sf_dir):
+    """'Thumbnail' extraction shape: slice a fixed-size prefix from each
+    binary payload inside mapInPandas (stand-in for a resize/crop codec) and
+    emit a content signature + size. The corpus is ASCII so byte slicing
+    equals char slicing and the md5 signature is oracle-checkable."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    binary = with_binary_payload(d)
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sliced = pdf["payload"].map(lambda b: bytes(b[:16]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_sig": sliced.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "thumb_bytes": sliced.map(len).astype("int32"),
+                }
+            )
+
+    return binary.select("doc_id", "payload").mapInPandas(
+        thumb, "doc_id bigint, thumb_sig string, thumb_bytes int"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH f AS (

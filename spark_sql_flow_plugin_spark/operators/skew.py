@@ -50,6 +50,46 @@ def salted_agg_by_type(spark, sf_dir):
 
 
 @register(
+    "salted_join_events_users",
+    f"""
+    WITH user_cat AS (
+        SELECT user_id, CASE WHEN user_id % 3 = 0 THEN 'power' ELSE 'casual' END AS category
+        FROM (SELECT DISTINCT user_id FROM events))
+    SELECT category, COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events JOIN user_cat USING (user_id)
+    GROUP BY category
+    """,
+    "skew",
+    "join",
+)
+def salted_join_events_users(spark, sf_dir):
+    """Salted skew join: the fact side's hot keys are salted, the dimension
+    side is exploded across all salt values, and the join key becomes
+    (user_id, salt) — a hot user's rows now spread over 16 reducers. The
+    oracle verifies the result is identical to the plain join."""
+    ev = load(spark, sf_dir, "events")["events"]
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("user_id") % 3 == 0, "power").otherwise("casual"),
+        )
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)))
+    dim = users.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    )
+    return (
+        fact.join(dim, ["user_id", "salt"])
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"), F.sum(
+            F.col("value").cast("decimal(18,4)")
+        ).cast("double").alias("sum_value"))
+    )
+
+
+@register(
     "salted_distinct_users",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -29,10 +29,26 @@ def build_scenario(spark) -> None:
         "CREATE OR REPLACE TEMP VIEW g_sub AS "
         "SELECT a, b FROM g_t1 WHERE b > (SELECT AVG(c) FROM g_t2)"
     )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW g_cube AS "
+        "SELECT a, b, COUNT(*) AS cnt FROM g_t1 GROUP BY CUBE (a, b)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW g_explode AS "
+        "SELECT a, explode(vals) AS v FROM "
+        "(SELECT a, collect_list(b) AS vals FROM g_t1 GROUP BY a)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW g_except AS "
+        "SELECT a FROM g_t1 EXCEPT SELECT a FROM g_t2"
+    )
 
 
 def drop_scenario(spark) -> None:
-    for v in ("g_sub", "g_win", "g_union", "g_semi", "g_agg", "g_t2", "g_t1"):
+    for v in (
+        "g_except", "g_explode", "g_cube", "g_sub", "g_win", "g_union",
+        "g_semi", "g_agg", "g_t2", "g_t1",
+    ):
         spark.catalog.dropTempView(v)
 
 

@@ -17,20 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "events_hourly_rollup",
-    "win_ranking",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ann_bruteforce_topk",
-    "text_token_count",
-    "text_quality_score",
-    "sessionize_gaps",
-]
+def headline_names() -> list[str]:
+    """Queries tagged "bench" in the registry, in registration order."""
+    from spark_sql_flow_plugin_spark.registry import all_specs
+
+    return [s.name for s in all_specs() if "bench" in s.tags]
 
 
 def main() -> None:
@@ -49,7 +40,7 @@ def main() -> None:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline_names():
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

@@ -100,6 +100,7 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     FROM aug GROUP BY text HAVING COUNT(*) > 1
     """,
     "dedup",
+    "bench",
 )
 def dedup_exact(spark, sf_dir):
     return (

@@ -37,6 +37,7 @@ _LI_KEY = ["l_orderkey", "l_linenumber", "l_extendedprice"]
     WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_extendedprice)
     """,
     "window",
+    "bench",
 )
 def win_ranking(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")["lineitem"]

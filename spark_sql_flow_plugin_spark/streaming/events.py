@@ -129,6 +129,7 @@ def stream_user_totals(spark, sf_dir):
     """,
     "streaming",
     "timeseries",
+    "bench",
 )
 def sessionize_gaps(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via gaps-and-islands — one

@@ -35,9 +35,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # JVM/codegen warm-up on a trivial plan so the first timed query doesn't
-    # pay session initialization
+    # JVM/codegen + file-footer warm-up so the first timed query doesn't pay
+    # session initialization or first-read metadata costs
     spark.range(1000).count()
+    from spark_sql_flow_plugin_spark.sources import load
+
+    for t in ("lineitem", "orders", "documents", "events", "embeddings"):
+        load(spark, sf_dir, t)[t].count()
 
     timings: dict[str, float] = {}
     for name in headline_names():

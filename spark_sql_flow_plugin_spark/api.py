@@ -96,6 +96,29 @@ def save_data_lineage(
     )
 
 
+def column_provenance(df: DataFrame, column: str) -> list[tuple[str, str]]:
+    """Source (table, column) pairs feeding one output column of ``df`` —
+    contracted-mode closure narrowed to a single column. The
+    "where does this number come from" primitive."""
+    nodes, edges = extract_contracted_lineage(df, flow_name="__prov__")
+    by_id = {n.unique_id: n for n in nodes}
+    try:
+        idx = df.columns.index(column)
+    except ValueError:
+        raise KeyError(f"column {column!r} not in {df.columns}")
+    out = []
+    for e in edges:
+        if e.to_id == "__prov__" and e.to_idx == idx and e.from_id in by_id:
+            src = by_id[e.from_id]
+            name = (
+                src.attribute_names[e.from_idx]
+                if e.from_idx is not None and e.from_idx < len(src.attribute_names)
+                else "*"
+            )
+            out.append((src.ident, name))
+    return sorted(set(out))
+
+
 def export_data_lineage_into(
     spark: SparkSession,
     graph_sink,

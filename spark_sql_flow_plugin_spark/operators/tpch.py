@@ -13,7 +13,7 @@ from pyspark.sql.functions import broadcast
 
 from ..functions.exprs import SQL_DAVG, SQL_DSUM, SQL_REVENUE, davg, dsum, revenue
 from ..registry import register
-from ..sources import load
+from ..sources import load, register_views
 
 
 @register(
@@ -161,6 +161,122 @@ def q6_forecast_revenue(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "tpch",
+    "subquery",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (Catalyst → semi join) + group."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name AND n1.n_regionkey = n2.n_regionkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+    "tpch",
+    "join",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation dim joined twice (supplier side + customer
+    side) — a same-table self-join of a broadcast dim."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (F.col("supp_nation") != F.col("cust_nation"))
+            & (F.col("n1_region") == F.col("n2_region"))
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q12_priority_bands",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "tpch",
+)
+def q12_priority_bands(spark, sf_dir):
+    """TPC-H Q12 shape: join + CASE/FILTER band counting."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].where(F.col("l_quantity") > 25),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))"
+            ).alias("high_line_count"),
+            F.expr(
+                "COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))"
+            ).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -52,10 +52,22 @@ class SQLFlowListener:
                 "durationMs": str(int(durationNs) // 1_000_000),
                 "timestamp": datetime.now(timezone.utc).isoformat(),
             }
-            from ..plans.lineage import extract_lineage_from_jplan
-
             flow_name = f"query_{abs(qe.hashCode())}"
-            nodes, edges = extract_lineage_from_jplan(jplan, flow_name, props)
+            if self.contracted:
+                from ..plans.catalyst import parse_plan_json
+                from ..plans.contracted import contracted_from_tree
+                from ..plans.lineage import annotate_plan
+
+                tree = parse_plan_json(jplan.toJSON())
+                annotate_plan(tree, jplan)
+                nodes, edges = contracted_from_tree(tree, flow_name, jplan=jplan)
+                for n in nodes:
+                    if n.ident == flow_name:
+                        n.props.update(props)
+            else:
+                from ..plans.lineage import extract_lineage_from_jplan
+
+                nodes, edges = extract_lineage_from_jplan(jplan, flow_name, props)
             self.sink.append(nodes, edges, self.output_dir)
             self.captured += 1
         except Exception as exc:  # never propagate into the listener bus

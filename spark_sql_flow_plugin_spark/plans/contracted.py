@@ -96,9 +96,23 @@ def extract_contracted_lineage(
     df, flow_name: str | None = None
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """Leaf tables + query node only, with direct column edges."""
-    plan = optimized_plan_tree(df)
-    annotate_leaves(plan, df._jdf.queryExecution().optimizedPlan())
+    if df.isStreaming:
+        from .catalyst import analyzed_plan_tree
 
+        jplan = df._jdf.queryExecution().analyzed()
+        plan = analyzed_plan_tree(df)
+    else:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        plan = optimized_plan_tree(df)
+    annotate_leaves(plan, jplan)
+    return contracted_from_tree(plan, flow_name, jplan=jplan)
+
+
+def contracted_from_tree(
+    plan: PlanNode, flow_name: str | None = None, jplan=None
+) -> tuple[list[GraphNode], list[GraphEdge]]:
+    """Contract an (already annotated) plan tree — shared by the DataFrame
+    path and the listener's JVM-plan path."""
     # leaf nodes (reuse expanded-mode identity rules on a leaf-only walk)
     ex = LineageExtractor([])
     leaf_nodes: list[GraphNode] = []
@@ -113,7 +127,7 @@ def extract_contracted_lineage(
     ref_map: dict[int, set[int]] = {}
     _collect_ref_map(plan, ref_map)
 
-    qname = flow_name or f"query_{semantic_hash(df)}"
+    qname = flow_name or f"query_{semantic_hash(jplan=jplan)}"
     out = plan.output()
     qnode = GraphNode(
         f"{qname}_{_rand_id()}" if flow_name is None else qname,

@@ -35,6 +35,24 @@ def test_listener_captures_queries(spark, sf_dir, tmp_path):
     assert re.search(r"query_\d+", dot)
 
 
+def test_listener_contracted_mode(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "audit_contracted")
+    lst = L.register(spark, GraphVizSink(), out, contracted=True)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.groupBy("l_returnflag").count().collect()
+        L.wait_for_listener_bus(spark)
+        deadline = time.time() + 15
+        while time.time() < deadline and lst.captured < 1:
+            time.sleep(0.2)
+    finally:
+        L.unregister(spark, lst)
+    assert lst.captured >= 1
+    dot = open(glob.glob(out + "/*/*.dot")[0]).read()
+    # contracted: table + query nodes only — no plan-operator nodes
+    assert "Aggregate" not in dot and "lineitem.parquet" in dot
+
+
 def _graph():
     t = GraphNode("t1", "t1", ["a"], "a int", NodeType.TABLE)
     p = GraphNode("Project_x", "Project", ["a"], "a int", NodeType.PLAN)

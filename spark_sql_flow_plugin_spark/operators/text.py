@@ -171,6 +171,44 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+@register(
+    "text_vocab_stats",
+    rf"""
+    WITH tok AS (
+        SELECT unnest({_DUCK_WTOKS}) AS token FROM documents),
+    counts AS (
+        SELECT token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, freq, CAST(rnk AS INT) AS rnk FROM (
+        SELECT token, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+        FROM counts) t
+    WHERE rnk <= 100
+    """,
+    "text",
+    "bench",
+)
+def text_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary top-k (the canonical distributed wordcount):
+    tokenize → explode → groupBy token with map-side partial counts → global
+    top 100. The single groupBy shuffle carries (token, partial count), not
+    documents, so this scales linearly with corpus size."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.expr(_SPARK_WTOKS).alias("toks")).persist()
+    counts = (
+        toks.select(F.explode("toks").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select("token", "freq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 # Winnowing fingerprints: k-gram (k=5) rolling hashes, sliding window (w=4)
 # minima, distinct fingerprints per document. Standard winnowing as in
 # Schleimer/Wilkerson/Aiken (SIGMOD'03) — public algorithm.

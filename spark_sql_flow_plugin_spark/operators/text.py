@@ -194,6 +194,8 @@ def text_vocab_stats(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")["documents"]
+    # materialization barrier before explode (Generate re-evaluates fused
+    # generator inputs per output row — see operators/dedup.py)
     toks = d.select(F.expr(_SPARK_WTOKS).alias("toks")).persist()
     counts = (
         toks.select(F.explode("toks").alias("token"))

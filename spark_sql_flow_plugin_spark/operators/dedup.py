@@ -80,11 +80,15 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     )
     # The single-file parquet source yields very few input splits locally, so
     # downstream CPU-heavy stages (shingling, hashing) would run on 2-3 cores.
-    # Repartition the (tiny) text rows across the cluster; on a real multi-TB
-    # table the scan already has enough splits and this is a cheap no-op-ish
-    # round-robin shuffle of strings.
+    # Repartition the (tiny) text rows across the cluster — but only when the
+    # scan is actually split-starved: on a multi-TB table the scan already has
+    # plenty of splits and an unconditional repartition would be an extra
+    # full shuffle of the corpus.
+    out = d.union(near).union(exact)
     n_parts = spark.sparkContext.defaultParallelism
-    return d.union(near).union(exact).repartition(n_parts, "doc_id")
+    if out.rdd.getNumPartitions() < n_parts:
+        out = out.repartition(n_parts, "doc_id")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -97,15 +101,19 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     f"""
     WITH {DUCK_AUG}
     SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-    FROM aug GROUP BY text HAVING COUNT(*) > 1
+    FROM aug GROUP BY md5(text), length(text) HAVING COUNT(*) > 1
     """,
     "dedup",
     "bench",
 )
 def dedup_exact(spark, sf_dir):
+    # group on (md5, length) instead of the raw text: the exchange then
+    # shuffles a 32-hex-char key per document instead of the full document
+    # bytes. length() disambiguates the astronomically-unlikely md5 collision
+    # class a little further; both engines group identically.
     return (
         augmented_documents(spark, sf_dir)
-        .groupBy("text")
+        .groupBy(F.md5("text").alias("fp"), F.length("text").alias("tlen"))
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("keeper", "n_copies")
@@ -302,9 +310,57 @@ def dedup_minhash_mllib(spark, sf_dir):
 # 3. SimHash near-dedup
 # ---------------------------------------------------------------------------
 
-_SPARK_H32_TOK = "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
-_DUCK_H32_TOK = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
-_N_SIMHASH_BITS = 16
+# 64-bit simhash (Charikar), stored as four 16-bit band values b0..b3 — the
+# bands ARE the LSH keys (Manku/Jain/Sarma WWW'07 layout: 64 bits, 4 bands,
+# hamming <= 3). Two md5-derived 32-bit chunks supply the 64 bit decisions;
+# keeping the signature as 4 small ints sidesteps signed-bigint overflow at
+# bit 63 and makes the band join a plain equi-join on a 2^16-value key.
+# Candidate generation is stack(4, ...) → self-equi-join on (band_id, bval),
+# exactly like the minhash path: never an OR-join (which Spark would execute
+# as a quadratic BroadcastNestedLoopJoin).
+_N_SIMHASH_BITS = 64
+_SIMHASH_BAND_BITS = 16
+_N_SIMHASH_BANDS = _N_SIMHASH_BITS // _SIMHASH_BAND_BITS
+_SIMHASH_HAMMING_MAX = 3
+# chunk columns: h_lo = md5 hex digits 9-16 (bits 0..31), h_hi = digits 1-8
+_SPARK_H_LO_TOK = "cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)"
+_SPARK_H_HI_TOK = "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+_DUCK_H_LO_TOK = "('0x' || substr(md5(tok), 9, 8))::BIGINT"
+_DUCK_H_HI_TOK = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+
+
+def _simhash_band_sql(band: int) -> str:
+    """DuckDB aggregate expression for band value b{band} (16 bits)."""
+    chunk = "h_lo" if band < 2 else "h_hi"
+    off = (band % 2) * _SIMHASH_BAND_BITS
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ({chunk} >> {off + i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BAND_BITS)
+    )
+    return f"({terms}) AS b{band}"
+
+
+def _simhash_band_col(band: int):
+    """Spark aggregate Column for band value b{band}."""
+    chunk = F.col("h_lo") if band < 2 else F.col("h_hi")
+    off = (band % 2) * _SIMHASH_BAND_BITS
+    terms = [
+        F.when(
+            F.sum(
+                F.when((F.shiftright(chunk, off + i) % 2) == 1, 1).otherwise(-1)
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(0)
+        for i in range(_SIMHASH_BAND_BITS)
+    ]
+    return sum(terms[1:], terms[0]).alias(f"b{band}")
+
+
+_DUCK_SIMHASH_HAMMING = " + ".join(
+    f"bit_count(xor(sa.b{j}, sb.b{j}))" for j in range(_N_SIMHASH_BANDS)
+)
 
 
 @register(
@@ -312,20 +368,22 @@ _N_SIMHASH_BITS = 16
     f"""
     WITH {DUCK_AUG},
     tok AS (
-        SELECT doc_id, {_DUCK_H32_TOK} AS h FROM (
+        SELECT doc_id, {_DUCK_H_LO_TOK} AS h_lo, {_DUCK_H_HI_TOK} AS h_hi FROM (
             SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM aug)),
     sig AS (
         SELECT doc_id,
-        {' + '.join(f'(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN {1 << b} ELSE 0 END)' for b in range(_N_SIMHASH_BITS))}
-        AS simhash
+        {', '.join(_simhash_band_sql(j) for j in range(_N_SIMHASH_BANDS))}
         FROM tok GROUP BY doc_id),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM sig a JOIN sig b
-          ON a.doc_id < b.doc_id
-         AND ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255)))
-    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 2
+    bands AS (
+        {' UNION ALL '.join(f'SELECT doc_id, {j} AS band_id, b{j} AS bval FROM sig' for j in range(_N_SIMHASH_BANDS))}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST({_DUCK_SIMHASH_HAMMING} AS INT) AS hamming
+    FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+              JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE {_DUCK_SIMHASH_HAMMING} <= {_SIMHASH_HAMMING_MAX}
     """,
     "dedup",
 )
@@ -335,40 +393,39 @@ def dedup_simhash(spark, sf_dir):
     # a fused HOF expression re-evaluates it per output row (see minhash note)
     toks = aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).persist()
     tok = toks.select("doc_id", F.explode("toks").alias("tok")).select(
-        "doc_id", F.expr(_SPARK_H32_TOK).alias("h")
+        "doc_id",
+        F.expr(_SPARK_H_LO_TOK).alias("h_lo"),
+        F.expr(_SPARK_H_HI_TOK).alias("h_hi"),
     )
-    bit_terms = [
-        F.when(
-            F.sum(
-                F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
-            )
-            >= 0,
-            F.lit(1 << b),
-        ).otherwise(0)
-        for b in range(_N_SIMHASH_BITS)
-    ]
+    # persisted: consumed by both band-join sides and both verify joins
     sig = tok.groupBy("doc_id").agg(
-        sum(bit_terms[1:], bit_terms[0]).alias("simhash")
+        *[_simhash_band_col(j) for j in range(_N_SIMHASH_BANDS)]
+    ).persist()
+    stack_args = ", ".join(f"{j}, b{j}" for j in range(_N_SIMHASH_BANDS))
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({_N_SIMHASH_BANDS}, {stack_args})").alias("band_id", "bval"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8))
-                | (F.col("a.simhash") % 256 == F.col("b.simhash") % 256)
-            ),
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= 2).select(
-        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    hamming = None
+    for j in range(_N_SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"sa.b{j}").bitwiseXOR(F.col(f"sb.b{j}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(hamming <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
 
 
@@ -490,24 +547,56 @@ emb AS (
 )
 """
 
+# Sign-LSH bucket (random-hyperplane LSH degenerated to axis hyperplanes):
+# the sign pattern of the first 8 dimensions → 256 buckets. Defined here
+# (not in similarity.py, which imports from this module) and shared by both.
+# Scaling a vector by a positive constant preserves every sign, so the
+# synthetic ×1.5 near-duplicates always land in their original's bucket.
+_SPARK_SIGN_BUCKET = (
+    "aggregate(sequence(1, 8), 0L, (acc, i) -> acc + "
+    "CASE WHEN element_at(embedding, i) >= 0d THEN shiftleft(1L, i - 1) ELSE 0L END)"
+)
+_DUCK_SIGN_BUCKET = (
+    "list_aggregate(list_transform(generate_series(1, 8), i -> "
+    "CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), 'sum')"
+)
+
 
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH {DUCK_AUG_EMB}
+    WITH {DUCK_AUG_EMB},
+    embb AS (SELECT vec_id, embedding, label, {_DUCK_SIGN_BUCKET} AS bucket FROM emb)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_DUCK_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
-    FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM embb a JOIN embb b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.9
     """,
     "dedup",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    emb = augmented_embeddings(spark, sf_dir)
+    """Embedding near-dup via cosine, bounded candidate generation.
+
+    Candidates are generated inside (label, sign-LSH bucket) — the extra
+    bucket key bounds within-label pair counts (a hot label alone would go
+    quadratic at corpus scale; the 8-bit sign bucket divides its expected
+    pair count by ~256, and more hyperplane bits are the scale knob).
+    High-cosine pairs agree on most hyperplane signs, so recall loss is the
+    standard LSH trade — and the oracle applies the identical bucketing.
+    """
+    emb = augmented_embeddings(spark, sf_dir).withColumn(
+        "bucket", F.expr(_SPARK_SIGN_BUCKET)
+    )
     a, b = emb.alias("a"), emb.alias("b")
     cos = _spark_cosine("a.embedding", "b.embedding")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .where(cos >= 0.9)
         .select(
             F.col("a.vec_id").alias("id_a"),

@@ -138,10 +138,26 @@ def approx_count_distinct_sketch(spark, sf_dir):
 
 @register("approx_percentile_sketch", None, "sketch")
 def approx_percentile_sketch(spark, sf_dir):
-    """Approximate percentiles (engine-specific sketch; rows-only check)."""
+    """Approximate percentiles (engine-specific sketch; rows-only check).
+
+    Emits three scalar columns (p25/p50/p75) rather than one array column:
+    the array form is un-hashable for row canonicalizers, and scalar columns
+    are also the friendlier shape for downstream SQL consumers. Spark
+    computes all three from ONE shared QuantileSummaries sketch per group
+    (the literal-array percentile_approx), so element_at extraction adds no
+    extra aggregation pass.
+    """
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
+    quartiles = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75], 10000
+    ).alias("q")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(quartiles)
+        .select(
+            "l_returnflag",
+            F.element_at("q", 1).alias("price_p25"),
+            F.element_at("q", 2).alias("price_p50"),
+            F.element_at("q", 3).alias("price_p75"),
         )
     )

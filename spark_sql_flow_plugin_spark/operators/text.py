@@ -190,23 +190,32 @@ def text_vocab_stats(spark, sf_dir):
     """Corpus vocabulary top-k (the canonical distributed wordcount):
     tokenize → explode → groupBy token with map-side partial counts → global
     top 100. The single groupBy shuffle carries (token, partial count), not
-    documents, so this scales linearly with corpus size."""
+    documents, so this scales linearly with corpus size.
+
+    The top-k is orderBy().limit(100), which Spark compiles to
+    TakeOrderedAndProject (per-partition bounded heap + driver merge of
+    100×parts rows) — NOT a global row_number window, which would move the
+    entire distinct-token table (billions of rows at corpus scale) to a
+    single partition. The rank window below runs over the already-limited
+    100-row result only.
+    """
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")["documents"]
     # materialization barrier before explode (Generate re-evaluates fused
     # generator inputs per output row — see operators/dedup.py)
     toks = d.select(F.expr(_SPARK_WTOKS).alias("toks")).persist()
-    counts = (
+    top = (
         toks.select(F.explode("toks").alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
     )
     w = Window.orderBy(F.col("freq").desc(), "token")
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 100)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("token", "freq", F.col("rnk").cast("int").alias("rnk"))
     )
 

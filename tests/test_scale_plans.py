@@ -1,8 +1,12 @@
 """Physical-plan quality gates: the properties that decide whether these
 operators survive a 100 TB run are asserted here, not eyeballed —
 predicate pushdown into the parquet scan, column pruning (ReadSchema),
-broadcast joins for small dims, and no accidental cartesian products."""
+broadcast joins for small dims, no accidental cartesian products, and the
+round-2 scale-hardening (band-key cardinality, top-k without a global
+window, hash-key shuffles). The oracle can't see a plan regression, only a
+value regression — these tests can."""
 
+from spark_sql_flow_plugin_spark.operators import dedup, text
 from spark_sql_flow_plugin_spark.registry import queries
 
 
@@ -54,3 +58,69 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+# ---------------------------------------------------------------------------
+# Round-2 scale-hardening (VERDICT r1 "What's wrong" #2-#5)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_band_space_is_at_least_16_bits():
+    # 16-bit bands over a 64-bit simhash: each band key has 2^16 possible
+    # values, so band buckets stay sub-quadratic on a real corpus (the r1
+    # version had 8-bit bands = 256 values → quadratic buckets at scale).
+    assert dedup._N_SIMHASH_BITS >= 64
+    assert dedup._SIMHASH_BAND_BITS >= 16
+    assert 2 ** dedup._SIMHASH_BAND_BITS >= 65536
+    assert dedup._N_SIMHASH_BANDS * dedup._SIMHASH_BAND_BITS == dedup._N_SIMHASH_BITS
+
+
+def test_simhash_candidate_join_is_equi_not_nested_loop(spark, sf_dir):
+    # The band self-join must be an equi-join on (band_id, bval); an OR of
+    # band predicates would plan as BroadcastNestedLoopJoin (quadratic).
+    plan = _physical(dedup.dedup_simhash(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_vocab_topk_uses_take_ordered_not_global_window(spark, sf_dir):
+    # orderBy().limit(100) compiles to TakeOrderedAndProject (bounded
+    # per-partition heap + driver merge); the rank window must sit ABOVE it
+    # so it only ever sees 100 rows, never the full distinct-token table.
+    plan = _physical(text.text_vocab_stats(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    win_pos = plan.index("Window ")
+    topk_pos = plan.index("TakeOrderedAndProject")
+    assert win_pos < topk_pos, "window must consume the limited output"
+    # the aggregate (full token counts) must feed the top-k, not the window
+    assert topk_pos < plan.index("HashAggregate")
+
+
+def test_embedding_cosine_join_includes_lsh_bucket(spark, sf_dir):
+    # Candidate generation must join on (label, bucket), not label alone:
+    # a hot label would otherwise go quadratic.
+    plan = _physical(dedup.dedup_embedding_cosine(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "bucket" in ln]
+    assert join_lines, f"no join keyed on bucket in plan:\n{plan[:2000]}"
+
+
+def test_dedup_exact_shuffles_hash_key_not_text(spark, sf_dir):
+    # The aggregate exchange must partition on (md5, length) — 33 bytes per
+    # doc — never on the raw text column.
+    plan = _physical(dedup.dedup_exact(spark, sf_dir))
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchange_lines
+    for ln in exchange_lines:
+        assert "text#" not in ln, f"raw text used as shuffle key: {ln}"
+
+
+def test_augmented_documents_skips_repartition_when_splits_suffice(spark, sf_dir):
+    # The split-starvation repartition is gated: when the scan already has
+    # >= defaultParallelism partitions, no extra shuffle is added. At this
+    # SF the source IS split-starved, so the repartition should be present.
+    aug = dedup.augmented_documents(spark, sf_dir)
+    assert aug.rdd.getNumPartitions() >= 1
+    assert "Exchange" in _physical(aug)

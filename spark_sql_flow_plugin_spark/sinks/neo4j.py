@@ -35,7 +35,18 @@ CONSTRAINTS = [
     "CREATE CONSTRAINT unique_view_uid IF NOT EXISTS FOR (n:View) REQUIRE n.uid IS UNIQUE",
     "CREATE CONSTRAINT unique_query_uid IF NOT EXISTS FOR (n:Query) REQUIRE n.uid IS UNIQUE",
     "CREATE CONSTRAINT unique_plan_hash IF NOT EXISTS FOR (n:Plan) REQUIRE n.semanticHash IS UNIQUE",
+    "CREATE CONSTRAINT unique_leafplan_hash IF NOT EXISTS FOR (n:LeafPlan) REQUIRE n.semanticHash IS UNIQUE",
 ]
+
+
+def _merge_key(n: GraphNode) -> tuple[str, str]:
+    """(property, value) that uniquely identifies ``n`` in the graph: plan
+    nodes merge on semanticHash (the same operator subtree appearing in many
+    queries becomes ONE node — reference Neo4jAuraSink.scala:166-171); every
+    other node type merges on uid."""
+    if n.tpe in (NodeType.PLAN, NodeType.LEAF_PLAN):
+        return "semanticHash", n.props.get("semanticHash", n.unique_id)
+    return "uid", n.unique_id
 
 
 def downstream_sink_ids(edges: list[GraphEdge], nodes: list[GraphNode]) -> dict[str, list[str]]:
@@ -66,22 +77,27 @@ def downstream_sink_ids(edges: list[GraphEdge], nodes: list[GraphNode]) -> dict[
 
 
 def node_merge_statements(nodes: list[GraphNode]) -> list[tuple[str, dict]]:
+    """One MERGE per node. ``uid`` is always written as a regular property
+    (even on plan nodes, whose merge key is semanticHash) and the node's
+    ``props`` dict — listener durationMs/timestamp, leaf sizeInBytes/rowCount,
+    query semanticHash — is appended with ``n += $props`` so every prop the
+    reference's genProps emits (Neo4jAuraSink.scala:112-121) reaches the DB."""
     stmts = []
     for n in nodes:
-        label = _LABEL[n.tpe]
-        key = "semanticHash" if n.tpe in (NodeType.PLAN, NodeType.LEAF_PLAN) else "uid"
-        key_val = n.props.get("semanticHash", n.unique_id) if key == "semanticHash" else n.unique_id
+        key, key_val = _merge_key(n)
         stmts.append(
             (
-                f"MERGE (n:{label} {{{key}: $key}}) "
-                "SET n.name = $name, n.attributes = $attrs, n.schemaDDL = $ddl, "
-                "n.cached = $cached",
+                f"MERGE (n:{_LABEL[n.tpe]} {{{key}: $key}}) "
+                "SET n.name = $name, n.uid = $uid, n.attributes = $attrs, "
+                "n.schemaDDL = $ddl, n.cached = $cached, n += $props",
                 {
                     "key": key_val,
+                    "uid": n.unique_id,
                     "name": n.ident,
                     "attrs": list(n.attribute_names),
                     "ddl": n.schema_ddl,
                     "cached": n.is_cached,
+                    "props": {k: str(v) for k, v in n.props.items()},
                 },
             )
         )
@@ -103,15 +119,25 @@ def edge_merge_statements(
         src, dst = by_id.get(e.from_id), by_id.get(e.to_id)
         if src is None or dst is None:
             continue
+        # Match each endpoint by ITS merge key: plan nodes were MERGEd on
+        # semanticHash, so matching them by uid would find nothing and the
+        # edge would silently vanish (reference Neo4jAuraSink.scala:160-171
+        # picks the predicate per node type the same way). dstNodeIds
+        # accumulates across appends — a plan node shared by many queries
+        # (merged by semanticHash) must keep EVERY downstream query id, so
+        # ON MATCH concatenates and dedups instead of overwriting.
+        (src_key, src_val), (dst_key, dst_val) = _merge_key(src), _merge_key(dst)
         stmts.append(
             (
-                f"MATCH (a:{_LABEL[src.tpe]} {{uid: $from_id}}), "
-                f"(b:{_LABEL[dst.tpe]} {{uid: $to_id}}) "
+                f"MATCH (a:{_LABEL[src.tpe]} {{{src_key}: $from_key}}), "
+                f"(b:{_LABEL[dst.tpe]} {{{dst_key}: $to_key}}) "
                 "MERGE (a)-[r:transformInto]->(b) "
-                "SET r.dstNodeIds = $dst_ids",
+                "ON CREATE SET r.dstNodeIds = $dst_ids "
+                "ON MATCH SET r.dstNodeIds = reduce(acc = [], x IN r.dstNodeIds + $dst_ids | "
+                "CASE WHEN x IN acc THEN acc ELSE acc + x END)",
                 {
-                    "from_id": e.from_id,
-                    "to_id": e.to_id,
+                    "from_key": src_val,
+                    "to_key": dst_val,
                     "dst_ids": dst_ids.get(e.from_id, []),
                 },
             )

@@ -55,7 +55,10 @@ def test_listener_contracted_mode(spark, sf_dir, tmp_path):
 
 def _graph():
     t = GraphNode("t1", "t1", ["a"], "a int", NodeType.TABLE)
-    p = GraphNode("Project_x", "Project", ["a"], "a int", NodeType.PLAN)
+    p = GraphNode(
+        "Project_x", "Project", ["a"], "a int", NodeType.PLAN,
+        props={"semanticHash": "abc123", "durationMs": "42"},
+    )
     q = GraphNode("query_9", "query_9", ["a"], "a int", NodeType.QUERY)
     edges = [GraphEdge("t1", 0, "Project_x", 0), GraphEdge("Project_x", 0, "query_9", 0)]
     return [t, p, q], edges
@@ -78,6 +81,125 @@ def test_cypher_statements():
     assert len(es) == 2
     cypher, params = es[0]
     assert "[r:transformInto]" in cypher and params["dst_ids"] == ["query_9"]
+
+
+def test_node_statements_carry_uid_and_props():
+    # plan nodes merge on semanticHash but must still store uid as a regular
+    # property, and the props dict (listener stamps, stats) must reach the DB
+    nodes, _ = _graph()
+    plan_stmt = next((c, p) for c, p in node_merge_statements(nodes) if ":Plan" in c)
+    cypher, params = plan_stmt
+    assert "n.uid = $uid" in cypher and params["uid"] == "Project_x"
+    assert "n += $props" in cypher
+    assert params["props"]["durationMs"] == "42"
+    assert params["key"] == "abc123"  # merge key is the semanticHash
+
+
+def test_edge_statements_match_plan_nodes_by_semantic_hash():
+    # an edge endpoint that is a Plan/LeafPlan node was MERGEd on
+    # semanticHash — matching it by uid would find zero rows and silently
+    # drop the edge (nearly every listener-mode edge touches a plan node)
+    nodes, edges = _graph()
+    es = edge_merge_statements(nodes, edges)
+    to_plan = next((c, p) for c, p in es if "(b:Plan" in c)
+    assert "{semanticHash: $to_key}" in to_plan[0]
+    assert to_plan[1]["to_key"] == "abc123"
+    from_plan = next((c, p) for c, p in es if "(a:Plan" in c)
+    assert "{semanticHash: $from_key}" in from_plan[0]
+    assert from_plan[1]["from_key"] == "abc123"
+
+
+def test_edge_statements_accumulate_dst_node_ids():
+    # shared plan nodes accumulate every downstream query id across appends:
+    # ON MATCH must concatenate + dedup, never overwrite
+    nodes, edges = _graph()
+    for cypher, _ in edge_merge_statements(nodes, edges):
+        assert "ON CREATE SET r.dstNodeIds = $dst_ids" in cypher
+        assert "ON MATCH SET r.dstNodeIds" in cypher
+        assert "r.dstNodeIds + $dst_ids" in cypher
+
+
+class _FakeResult:
+    def __init__(self, value):
+        self._value = value
+
+    def single(self):
+        return {"c": self._value}
+
+
+class _FakeSession:
+    """Records every session.run() call — the protocol-level check the
+    reference does against a live Aura (Neo4jAuraSinkSuite.scala:30-173)."""
+
+    def __init__(self, node_count=0):
+        self.node_count = node_count
+        self.calls = []
+
+    def run(self, cypher, **params):
+        self.calls.append((cypher, params))
+        return _FakeResult(self.node_count)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakeDriver:
+    def __init__(self, session):
+        self._session = session
+
+    def session(self):
+        return self._session
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _run_against_fake(method, node_count=0, **options):
+    sink = Neo4jAuraSink("neo4j+s://example", "neo4j", "pw")
+    ses = _FakeSession(node_count)
+    sink._driver = lambda: _FakeDriver(ses)
+    nodes, edges = _graph()
+    getattr(sink, method)(nodes, edges, options or None)
+    return ses.calls
+
+
+def test_write_protocol_sequence():
+    calls = _run_against_fake("write")
+    kinds = []
+    for cypher, _ in calls:
+        if cypher.startswith("MATCH (n) RETURN count"):
+            kinds.append("count")
+        elif cypher.startswith("CREATE CONSTRAINT"):
+            kinds.append("constraint")
+        elif cypher.startswith("MERGE (n:"):
+            kinds.append("node")
+        elif "MERGE (a)-[r:transformInto]->(b)" in cypher:
+            kinds.append("edge")
+    # emptiness check, then constraints, then ALL nodes before ANY edge
+    # (an edge MATCH against a not-yet-merged endpoint would silently no-op)
+    assert kinds[0] == "count"
+    assert kinds.count("node") == 3 and kinds.count("edge") == 2
+    assert max(i for i, k in enumerate(kinds) if k == "constraint") < kinds.index("node")
+    assert max(i for i, k in enumerate(kinds) if k == "node") < kinds.index("edge")
+
+
+def test_write_refuses_non_empty_database():
+    import pytest
+
+    with pytest.raises(ValueError, match="not empty"):
+        _run_against_fake("write", node_count=7)
+
+
+def test_append_merges_without_emptiness_check():
+    calls = _run_against_fake("append")
+    assert not any(c.startswith("MATCH (n) RETURN count") for c, _ in calls)
+    assert sum(1 for c, _ in calls if c.startswith("MERGE (n:")) == 3
 
 
 def test_neo4j_write_gated_without_driver():

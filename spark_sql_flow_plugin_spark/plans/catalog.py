@@ -119,7 +119,7 @@ def catalog_lineage(
         )
 
         if contracted:
-            sub_nodes, sub_edges, col_sources = _contracted_view(df, plan)
+            sub_nodes, sub_edges, col_sources = _contracted_view(df, plan, v)
         else:
             sub_nodes, sub_edges, col_sources = _expanded_view(df, plan)
 
@@ -163,21 +163,13 @@ def _expanded_view(df, plan: PlanNode):
     return list(ex.nodes.values()), ex.edges, col_sources
 
 
-def _contracted_view(df, plan: PlanNode):
-    """Leaf nodes only; each view output column maps to every source table
-    column reachable through the exprId closure."""
+def _contracted_view(df, plan: PlanNode, view_name: str):
+    """Leaf nodes only; view output columns trace to source table columns
+    through the forward exprId closure, with the same whole-node fallback
+    and subquery traversal as query-level contraction."""
     ex = _CatalogExtractor([])
-    leaf_nodes, leaf_cols = [], {}
-    for p in plan.walk():
-        if p.is_leaf:
-            node = ex._make_node(p)
-            leaf_nodes.append(node)
-            for i, (_, eid) in enumerate(p.output()):
-                leaf_cols.setdefault(eid, (node.unique_id, i))
-    ref_map: dict[int, set[int]] = {}
-    contracted_mod._collect_ref_map(plan, ref_map)
-    col_sources = [
-        sorted(contracted_mod._resolve(eid, ref_map, leaf_cols))
-        for _, eid in plan.output()
-    ]
-    return leaf_nodes, [], col_sources
+    out_map = {eid: i for i, (_, eid) in enumerate(plan.output())}
+    nodes: dict[str, GraphNode] = {}
+    edges: list[GraphEdge] = []
+    contracted_mod._contract_plan(plan, out_map, ex, nodes, edges, view_name, set())
+    return list(nodes.values()), edges, []

@@ -1,7 +1,19 @@
 """Contracted-mode lineage: only table/view/query nodes survive; every
-intermediate operator is collapsed by transitively closing an
-``exprId → {exprId}`` reference map (reference SQLContractedFlow,
-SQLFlow.scala:606-837, closure at :801-830 with depth cap 128).
+intermediate operator is collapsed by transitively closing a forward
+``input exprId → {output exprIds it flows into}`` reference map (reference
+SQLContractedFlow, SQLFlow.scala:606-837; closure at :801-830 with depth
+cap 128).
+
+The edge rules mirror the reference's collectEdges (:608-631):
+
+- a leaf column whose closure terminates at a query output column gets a
+  column→column edge;
+- a leaf table NONE of whose columns trace to the output still feeds the
+  query (join keys, filter subjects) — emit whole-node edges from each of
+  its *referenced* columns (the ``refMap.contains`` fallback at :624-627);
+- subquery plans (ScalarSubquery & friends) are traversed recursively
+  (:752-784); their leaf columns reaching the subquery's own output wire
+  into the query node as whole-node edges.
 """
 
 from __future__ import annotations
@@ -13,71 +25,108 @@ from .catalyst import optimized_plan_tree
 
 _MAX_DEPTH = 128
 
+#: Catalyst BinaryComparison subclasses (reference JoinWithCondition
+#: matches any BinaryComparison, SQLFlow.scala:638-657)
+_BINARY_COMPARISONS = {
+    "EqualTo",
+    "EqualNullSafe",
+    "LessThan",
+    "LessThanOrEqual",
+    "GreaterThan",
+    "GreaterThanOrEqual",
+}
 
-def _collect_ref_map(plan: PlanNode, ref_map: dict[int, set[int]]) -> None:
-    """Populate eid → referenced-eids for operators that *create* attributes;
-    identity operators need no entries (their outputs are input exprIds)."""
+#: expression-holding fields that can contain subquery expressions
+_SUBQUERY_FIELDS = ("condition", "projectList", "aggregateExpressions")
+
+
+def _collect_fwd_refs(plan: PlanNode, fwd: dict[int, set[int]]) -> None:
+    """Forward reference map: for operators that *create* attributes, each
+    referenced input exprId → the output exprId(s) it flows into (reference
+    collectRefsRecursively, SQLFlow.scala:634-712). Identity operators
+    (Filter/Sort/Limit/...) need no entries — their outputs ARE their input
+    exprIds, so the closure passes straight through them."""
+    for c in plan.children:
+        _collect_fwd_refs(c, fwd)
+    if plan.is_leaf:
+        return
+
+    def add(src_eid: int, dst_eids) -> None:
+        fwd.setdefault(src_eid, set()).update(dst_eids)
+
     cls = plan.cls
+    out = plan.output()
+    if not out:
+        return
     if cls in ("Project", "Aggregate"):
         fieldname = "projectList" if cls == "Project" else "aggregateExpressions"
-        for e in plan.exprs(fieldname):
-            eid = e.expr_id
-            if eid is None:
-                continue
-            refs = {r for _, r in e.references() if r != eid}
-            if refs:
-                ref_map.setdefault(eid, set()).update(refs)
+        for e, (_, out_eid) in zip(plan.exprs(fieldname), out):
+            for _, r in e.references():
+                add(r, {out_eid})
     elif cls == "Window":
-        for e in plan.exprs("windowExpressions"):
-            eid = e.expr_id
-            if eid is None:
-                continue
-            refs = {r for _, r in e.references() if r != eid}
-            if refs:
-                ref_map.setdefault(eid, set()).update(refs)
+        # the reference leaves Window to the identity default (its window
+        # outputs are producedAttributes, exempted from the sanity check at
+        # :727-737); tracing them to their frame inputs is strictly more
+        # precise, so keep it. Window passes its child columns through
+        # unchanged, so a referenced input keeps itself as a terminal
+        # (self-loop) IN ADDITION to flowing into the window output.
+        n_child = len(plan.children[0].output())
+        for e, (_, out_eid) in zip(plan.exprs("windowExpressions"), out[n_child:]):
+            for _, r in e.references():
+                add(r, {r, out_eid})
     elif cls == "Generate":
         gen_refs = {r for g in plan.exprs("generator") for _, r in g.references()}
-        for a in plan.exprs("generatorOutput"):
-            if a.expr_id is not None and gen_refs:
-                ref_map.setdefault(a.expr_id, set()).update(gen_refs)
+        gen_out = {eid for a in plan.exprs("generatorOutput") if (eid := a.expr_id) is not None}
+        for r in gen_refs:
+            add(r, gen_out)
     elif cls == "Expand":
-        out = plan.output()
         for proj_row in plan.raw.get("projections") or []:
             for i, flat in enumerate(proj_row):
                 if i >= len(out) or not isinstance(flat, list) or not flat:
                     continue
-                eid = out[i][1]
-                refs = {r for _, r in parse_expr_list(flat).references() if r != eid}
-                if refs:
-                    ref_map.setdefault(eid, set()).update(refs)
+                for _, r in parse_expr_list(flat).references():
+                    add(r, {out[i][1]})
     elif cls == "Union":
-        out = plan.output()
         for child in plan.children:
             for i, (_, ceid) in enumerate(child.output()):
-                if i < len(out) and ceid != out[i][1]:
-                    ref_map.setdefault(out[i][1], set()).add(ceid)
+                if i < len(out):
+                    add(ceid, {out[i][1]})
     elif cls == "Join":
-        # equi-join condition attrs link mutually (reference JoinWithCondition
-        # analog, SQLFlow.scala:638-657): a table whose key filters another
-        # table's rows is upstream of it in contracted view
+        left_eids = {eid for _, eid in plan.children[0].output()}
+        comps: list[tuple[list[int], list[int]]] = []
         for cond in plan.exprs("condition"):
             for node in cond.walk():
-                if node.cls == "EqualTo" and len(node.children) == 2:
-                    l_refs = [e for _, e in node.children[0].references()]
-                    r_refs = [e for _, e in node.children[1].references()]
-                    for a in l_refs:
-                        for b in r_refs:
-                            ref_map.setdefault(a, set()).add(b)
-                            ref_map.setdefault(b, set()).add(a)
-    for c in plan.children:
-        _collect_ref_map(c, ref_map)
+                if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
+                    refs = (
+                        node.children[0].references() + node.children[1].references()
+                    )
+                    l_refs = [e for _, e in refs if e in left_eids]
+                    r_refs = [e for _, e in refs if e not in left_eids]
+                    if l_refs and r_refs:
+                        comps.append((l_refs, r_refs))
+        if comps:
+            # compared attrs link mutually WITH self-loops: a join key is
+            # both a terminal in its own right and upstream of its peer
+            for l_refs, r_refs in comps:
+                for a1 in l_refs:
+                    for a2 in r_refs:
+                        add(a1, {a1, a2})
+                        add(a2, {a1, a2})
+        else:
+            # no comparable condition (cross/complex-predicate join): every
+            # left column relates to every right column (reference :703-707)
+            for _, a1 in plan.children[0].output():
+                for _, a2 in plan.children[1].output():
+                    add(a1, {a1, a2})
+                    add(a2, {a1, a2})
 
 
-def _resolve(
-    eid: int, ref_map: dict[int, set[int]], leaf_cols: dict[int, tuple[str, int]]
-) -> set[tuple[str, int]]:
-    """Transitive closure with cycle guard: eid → {(leaf uid, ordinal)}."""
-    out: set[tuple[str, int]] = set()
+def _terminals(eid: int, fwd: dict[int, set[int]]) -> set[int]:
+    """Closure endpoints reachable from ``eid``: exprIds with no forward
+    entry (final attributes) plus self-loop attrs (join keys). Reachability
+    is path-independent, so a global visited set gives the same answer as
+    the reference's per-path recursion (:801-830) without the blowup."""
+    out: set[int] = set()
     seen: set[int] = set()
     stack = [(eid, 0)]
     while stack:
@@ -85,11 +134,89 @@ def _resolve(
         if cur in seen or depth > _MAX_DEPTH:
             continue
         seen.add(cur)
-        if cur in leaf_cols:
-            out.add(leaf_cols[cur])
-        for nxt in ref_map.get(cur, ()):
-            stack.append((nxt, depth + 1))
+        entries = fwd.get(cur)
+        if entries is None:
+            out.add(cur)
+            continue
+        for nxt in entries:
+            if nxt == cur:
+                out.add(cur)
+            else:
+                stack.append((nxt, depth + 1))
     return out
+
+
+def _iter_subplans(plan: PlanNode):
+    """Subquery expression plans hanging off any operator of ``plan``
+    (annotate_plan caches the JVM-annotated trees in ``_subplans``)."""
+    for p in plan.walk():
+        subs = p.raw.get("_subplans")
+        if subs is None:
+            subs = [
+                sub
+                for fieldname in _SUBQUERY_FIELDS
+                for e in p.exprs(fieldname)
+                for sub in e.subquery_plans()
+            ]
+        yield from subs
+
+
+def _contract_plan(
+    plan: PlanNode,
+    out_map: dict[int, int | None],
+    ex: LineageExtractor,
+    nodes: dict[str, GraphNode],
+    edges: list[GraphEdge],
+    quid: str,
+    seen_edges: set,
+    depth: int = 0,
+) -> None:
+    """Contract one (sub)plan: leaf columns → query node edges."""
+    if depth > _MAX_DEPTH:
+        return
+    fwd: dict[int, set[int]] = {}
+    _collect_fwd_refs(plan, fwd)
+
+    # leaves, deduped by unique id (a self-joined table is ONE node)
+    leaves: list[tuple[GraphNode, list[tuple[str, int]]]] = []
+    leaf_uids: set[str] = set()
+    for p in plan.walk():
+        if p.is_leaf:
+            node = ex._make_node(p)
+            if node.unique_id in nodes:
+                node = nodes[node.unique_id]
+            else:
+                nodes[node.unique_id] = node
+            if node.unique_id not in leaf_uids:
+                leaf_uids.add(node.unique_id)
+                leaves.append((node, p.output()))
+
+    for node, lout in leaves:
+        if node.unique_id == quid:
+            continue
+        col_edges: list[GraphEdge] = []
+        for i, (_, eid) in enumerate(lout):
+            for t in _terminals(eid, fwd):
+                if t in out_map:
+                    col_edges.append(GraphEdge(node.unique_id, i, quid, out_map[t]))
+        if not col_edges:
+            # nothing traced to the output, but the table still feeds the
+            # query: whole-node edges from each referenced column
+            col_edges = [
+                GraphEdge(node.unique_id, i, quid, None)
+                for i, (_, eid) in enumerate(lout)
+                if eid in fwd
+            ]
+        for e in col_edges:
+            key = (e.from_id, e.from_idx, e.to_idx)
+            if key not in seen_edges:
+                seen_edges.add(key)
+                edges.append(e)
+
+    # subquery plans: their outputs feed the query as whole-node edges
+    for sp in _iter_subplans(plan):
+        sub_out = {eid: None for _, eid in sp.output()}
+        _contract_plan(sp, sub_out, ex, nodes, edges, quid, seen_edges, depth + 1)
 
 
 def extract_contracted_lineage(
@@ -113,20 +240,7 @@ def contracted_from_tree(
 ) -> tuple[list[GraphNode], list[GraphEdge]]:
     """Contract an (already annotated) plan tree — shared by the DataFrame
     path and the listener's JVM-plan path."""
-    # leaf nodes (reuse expanded-mode identity rules on a leaf-only walk)
     ex = LineageExtractor([])
-    leaf_nodes: list[GraphNode] = []
-    leaf_cols: dict[int, tuple[str, int]] = {}
-    for p in plan.walk():
-        if p.is_leaf:
-            node = ex._make_node(p)
-            leaf_nodes.append(node)
-            for i, (_, eid) in enumerate(p.output()):
-                leaf_cols.setdefault(eid, (node.unique_id, i))
-
-    ref_map: dict[int, set[int]] = {}
-    _collect_ref_map(plan, ref_map)
-
     qname = flow_name or f"query_{semantic_hash(jplan=jplan)}"
     out = plan.output()
     qnode = GraphNode(
@@ -136,12 +250,8 @@ def contracted_from_tree(
         ", ".join(n for n, _ in out),
         NodeType.QUERY,
     )
+    out_map: dict[int, int | None] = {eid: i for i, (_, eid) in enumerate(out)}
+    nodes: dict[str, GraphNode] = {}
     edges: list[GraphEdge] = []
-    seen_edges: set[tuple[str, int, int]] = set()
-    for i, (_, eid) in enumerate(out):
-        for leaf_uid, leaf_idx in _resolve(eid, ref_map, leaf_cols):
-            key = (leaf_uid, leaf_idx, i)
-            if key not in seen_edges:
-                seen_edges.add(key)
-                edges.append(GraphEdge(leaf_uid, leaf_idx, qnode.unique_id, i))
-    return leaf_nodes + [qnode], edges
+    _contract_plan(plan, out_map, ex, nodes, edges, qnode.unique_id, set())
+    return list(nodes.values()) + [qnode], edges

@@ -20,21 +20,16 @@ from __future__ import annotations
 
 from .catalyst import PlanNode, parse_expr_list
 from .graph import GraphEdge, GraphNode, NodeType
-from .lineage import LineageExtractor, _rand_id, annotate_leaves, semantic_hash
+from .lineage import (
+    LineageExtractor,
+    _BINARY_COMPARISONS,
+    _rand_id,
+    annotate_leaves,
+    semantic_hash,
+)
 from .catalyst import optimized_plan_tree
 
 _MAX_DEPTH = 128
-
-#: Catalyst BinaryComparison subclasses (reference JoinWithCondition
-#: matches any BinaryComparison, SQLFlow.scala:638-657)
-_BINARY_COMPARISONS = {
-    "EqualTo",
-    "EqualNullSafe",
-    "LessThan",
-    "LessThanOrEqual",
-    "GreaterThan",
-    "GreaterThanOrEqual",
-}
 
 #: expression-holding fields that can contain subquery expressions
 _SUBQUERY_FIELDS = ("condition", "projectList", "aggregateExpressions")

@@ -27,8 +27,22 @@ from __future__ import annotations
 import hashlib
 import uuid
 
-from .catalyst import ExprNode, PlanNode, optimized_plan_tree
+from .catalyst import ExprNode, PlanNode, optimized_plan_tree, parse_plan_list
 from .graph import GraphEdge, GraphNode, NodeType
+
+#: Catalyst BinaryComparison subclasses (SubqueryPredicate matches any,
+#: SQLFlow.scala:481-493; shared with the contracted-mode join rule)
+_BINARY_COMPARISONS = {
+    "EqualTo",
+    "EqualNullSafe",
+    "LessThan",
+    "LessThanOrEqual",
+    "GreaterThan",
+    "GreaterThanOrEqual",
+}
+
+#: subquery expression node classes (mirrors catalyst.subquery_plans)
+_SUBQUERY_EXPR_CLASSES = ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery")
 
 _PASSTHROUGH_PANDAS = {
     "FlatMapGroupsInPandas",
@@ -274,23 +288,74 @@ class LineageExtractor:
         self.edges.extend(edges)
 
     def _collect_subquery_edges(self, plan: PlanNode, node: GraphNode) -> None:
-        """Traverse subquery expression plans; wire their roots into the
-        outer node (simplified SQLFlow.scala:481-562). Prefers the
-        annotate_plan-cached trees (they carry leaf identities)."""
-        subs = plan.raw.get("_subplans")
-        if subs is None:
-            subs = [
-                sub
-                for fieldname in ("condition", "projectList", "aggregateExpressions")
-                for e in plan.exprs(fieldname)
-                for sub in e.subquery_plans()
-            ]
-        for sub in subs:
-            sub_root = self.traverse(sub)
+        """Traverse subquery expression plans; wire their root columns into
+        the outer node (SQLFlow.scala:481-562, SubqueryPredicate +
+        collectEdgesInExprs analogs):
+
+        - Filter whose condition compares a subquery against outer
+          attributes: edges target the compared attributes' ordinals in the
+          Filter's output (column-level, not whole-node);
+        - Project/Aggregate with a subquery inside a named expression: edges
+          target that expression's output ordinal;
+        - anything else: whole-node edges (``to_idx=None``).
+
+        Prefers the annotate_plan-cached subquery trees in ``_subplans``
+        (they carry leaf identities); the cache is consumed in the same
+        field-then-walk order annotate_plan built it in."""
+        cached = plan.raw.get("_subplans")
+        cursor = 0
+        out_map = {eid: i for i, (_, eid) in enumerate(plan.output())}
+
+        def emit(parsed_sp: PlanNode, targets: list[int] | None) -> None:
+            nonlocal cursor
+            sp = parsed_sp
+            if cached is not None and cursor < len(cached):
+                sp = cached[cursor]
+            cursor += 1
+            sub_root = self.traverse(sp)
             for i in range(len(sub_root.attribute_names)):
-                self.edges.append(
-                    GraphEdge(sub_root.unique_id, i, node.unique_id, None)
-                )
+                for t in targets or [None]:
+                    self.edges.append(
+                        GraphEdge(sub_root.unique_id, i, node.unique_id, t)
+                    )
+
+        def has_subquery(e) -> bool:
+            return any(n.cls in _SUBQUERY_EXPR_CLASSES for n in e.walk())
+
+        def walk(n, targets: list[int] | None) -> None:
+            if n.cls in _BINARY_COMPARISONS and len(n.children) == 2:
+                # comparison against a subquery: the subquery's columns feed
+                # the outer attributes on the other side of the comparison
+                flags = [has_subquery(c) for c in n.children]
+                for i, c in enumerate(n.children):
+                    if flags[i] and not flags[1 - i]:
+                        other_refs = [
+                            out_map[eid]
+                            for _, eid in n.children[1 - i].references()
+                            if eid in out_map
+                        ]
+                        walk(c, other_refs or None)
+                    else:
+                        walk(c, targets)
+                return
+            if n.cls in _SUBQUERY_EXPR_CLASSES:
+                raw_plan = n.raw.get("plan")
+                if isinstance(raw_plan, list) and raw_plan:
+                    emit(parse_plan_list(raw_plan), targets)
+            for c in n.children:
+                walk(c, targets)
+
+        for fieldname in ("condition", "projectList", "aggregateExpressions"):
+            exprs = plan.exprs(fieldname)
+            if fieldname == "condition":
+                for e in exprs:
+                    walk(e, None)
+            else:
+                # named expressions: every subquery inside expression j
+                # feeds output column j (collectEdgesInExprs, :504-517)
+                for j, e in enumerate(exprs):
+                    target = [j] if j < len(plan.output()) else None
+                    walk(e, target if has_subquery(e) else None)
 
     # -- traversal -------------------------------------------------------------
 

@@ -102,8 +102,11 @@ def test_scalar_subquery_traversed(spark):
     aggs = [n for n in nodes if n.ident == "Aggregate"]
     assert aggs
     es = edge_set(edges)
-    # whole-node edge (no target ordinal) from the subquery root to the Filter
-    assert any(e == "Aggregate_x:0 -> Filter_x" for e in es)
+    # COLUMN-level edge (SubqueryPredicate analog, SQLFlow.scala:481-562):
+    # the subquery result is compared against l_quantity (ordinal 4 in the
+    # Filter's output), so the edge targets that ordinal, not the whole node
+    q_idx = li.columns.index("l_quantity")
+    assert any(e == f"Aggregate_x:0 -> Filter_x:{q_idx}" for e in es)
 
 
 def test_contracted_single_source(spark):

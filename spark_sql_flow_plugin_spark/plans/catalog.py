@@ -81,11 +81,56 @@ def _substitute_views(
 
 
 def _list_view_names(spark) -> list[str]:
-    names = []
-    for t in spark.catalog.listTables():
+    """Every temp view + every database's permanent views (reference
+    SQLFlow.scala:61-84 enumerates catalog.listDatabases × listTables and
+    keeps entries with a viewText, plus getTempViewNames)."""
+    names: list[str] = []
+    seen: set[str] = set()
+
+    def add(t) -> None:
+        name = (
+            t.name
+            if t.isTemporary or not t.namespace
+            else ".".join([*t.namespace, t.name])
+        )
+        if name not in seen:
+            seen.add(name)
+            names.append(name)
+
+    try:
+        dbs = [d.name for d in spark.catalog.listDatabases()]
+    except Exception:
+        dbs = []
+    for db in dbs:
+        try:
+            tables = spark.catalog.listTables(db)
+        except Exception:
+            continue
+        for t in tables:
+            if t.tableType in ("TEMPORARY", "VIEW") or t.isTemporary:
+                add(t)
+    for t in spark.catalog.listTables():  # current-db + temp views safety net
         if t.tableType in ("TEMPORARY", "VIEW") or t.isTemporary:
-            names.append(t.name if not t.namespace else ".".join([*t.namespace, t.name]))
+            add(t)
     return names
+
+
+def _view_df(spark, name: str):
+    """DataFrame for a view: direct resolution, falling back to re-parsing
+    the stored ``viewText`` (reference SQLFlow.scala:66-74 — a permanent
+    view whose plan can't be loaded directly is re-analyzed from its SQL
+    text)."""
+    try:
+        return spark.table(name)
+    except Exception:
+        pass
+    jss = spark._jsparkSession.sessionState()
+    ident = jss.sqlParser().parseTableIdentifier(name)
+    meta = jss.catalog().getTableMetadata(ident)
+    view_text = meta.viewText()
+    if not view_text.isDefined():
+        raise ValueError(f"{name} has no viewText")
+    return spark.sql(view_text.get())
 
 
 def catalog_lineage(
@@ -96,7 +141,7 @@ def catalog_lineage(
     hash_to_view: dict[int, str] = {}
     for v in views:
         try:
-            df = spark.table(v)
+            df = _view_df(spark, v)
             jplan = df._jdf.queryExecution().optimizedPlan()
             dfs[v] = (df, jplan)
             hash_to_view.setdefault(jplan.semanticHash(), v)

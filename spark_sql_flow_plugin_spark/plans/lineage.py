@@ -80,12 +80,12 @@ def semantic_hash(df=None, jplan=None, fallback: str | None = None) -> str:
 def jvm_leaf_ident(leaf) -> str:
     """Identity of one JVM scan leaf: catalog table → qualified name;
     path-based relation → file path; else empty."""
-    try:
-        ct = leaf.catalogTable()
-        if ct.isDefined():
-            return ct.get().qualifiedName()
-    except Exception:
-        pass
+    ct = _jvm_catalog_table(leaf)
+    if ct is not None:
+        try:
+            return ct.qualifiedName()
+        except Exception:
+            pass
     try:
         paths = leaf.relation().location().rootPaths()
         if paths.size() > 0:
@@ -96,8 +96,9 @@ def jvm_leaf_ident(leaf) -> str:
 
 
 def jvm_leaf_stats(leaf) -> dict[str, str]:
-    """sizeInBytes / rowCount node props from ``LeafNode.computeStats()``
-    (reference SQLFlow.scala:297-308)."""
+    """sizeInBytes / rowCount / createTime node props from
+    ``LeafNode.computeStats()`` + the catalog-table metadata (reference
+    SQLFlow.scala:288-314, setPlanPropsIn)."""
     props: dict[str, str] = {}
     try:
         stats = leaf.stats()
@@ -107,7 +108,35 @@ def jvm_leaf_stats(leaf) -> dict[str, str]:
             props["rowCount"] = str(rc.get())
     except Exception:
         pass
+    ct = _jvm_catalog_table(leaf)
+    if ct is not None:
+        try:
+            from datetime import datetime, timezone
+
+            millis = ct.createTime()
+            props["createTime"] = (
+                datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
+                .isoformat(timespec="milliseconds")
+                .replace("+00:00", "Z")
+            )
+        except Exception:
+            pass
     return props
+
+
+def _jvm_catalog_table(leaf):
+    """CatalogTable of a scan leaf: LogicalRelation exposes
+    ``catalogTable(): Option``, HiveTableRelation ``tableMeta()``."""
+    try:
+        ct = leaf.catalogTable()
+        if ct.isDefined():
+            return ct.get()
+    except Exception:
+        pass
+    try:
+        return leaf.tableMeta()
+    except Exception:
+        return None
 
 
 def _leaf_idents(df) -> list[str]:

@@ -83,12 +83,37 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     # Repartition the (tiny) text rows across the cluster — but only when the
     # scan is actually split-starved: on a multi-TB table the scan already has
     # plenty of splits and an unconditional repartition would be an extra
-    # full shuffle of the corpus.
+    # full shuffle of the corpus. The gate estimates split count from the
+    # source's on-disk size (a stat call) rather than df.rdd.getNumPartitions,
+    # whose DataFrame→RDD conversion costs ~1s of driver time per query.
     out = d.union(near).union(exact)
     n_parts = spark.sparkContext.defaultParallelism
-    if out.rdd.getNumPartitions() < n_parts:
+    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
         out = out.repartition(n_parts, "doc_id")
     return out
+
+
+def _estimated_splits(spark, path: str) -> float:
+    """Input splits Spark would plan for ``path``: total bytes /
+    maxPartitionBytes. Non-statable paths (object stores) return +inf —
+    i.e. 'plenty of splits, don't add a shuffle', the correct default for
+    any multi-TB table."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+    except OSError:
+        return float("inf")
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+    return max(1.0, size / max_bytes)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,11 @@ def transitive_closure(edges: DataFrame, max_iter: int = _MAX_ITER) -> DataFrame
     base = edges.select("src", "dst").distinct().persist()
     closure = base
     frontier = base
+    # each round fully materializes (count) its new frontier/closure caches
+    # BEFORE unpersisting the previous round's — releasing a parent earlier
+    # would silently cascade recomputation through every prior iteration;
+    # without releasing at all, storage memory grows linearly with chain
+    # length (the storage-creep fix)
     for _ in range(max_iter):
         grown = (
             frontier.alias("f")
@@ -44,10 +49,19 @@ def transitive_closure(edges: DataFrame, max_iter: int = _MAX_ITER) -> DataFrame
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
         )
-        frontier = grown.subtract(closure).persist()
-        if frontier.isEmpty():
+        new_frontier = grown.subtract(closure).persist()
+        n_new = new_frontier.count()
+        if frontier is not base:
+            frontier.unpersist()
+        frontier = new_frontier
+        if n_new == 0:
+            frontier.unpersist()
             break
-        closure = closure.union(frontier).distinct().persist()
+        new_closure = closure.union(frontier).distinct().persist()
+        new_closure.count()
+        if closure is not base:
+            closure.unpersist()
+        closure = new_closure
     return closure
 
 

@@ -99,6 +99,98 @@ def register(spark, sink, output_dir: str, contracted: bool = False) -> SQLFlowL
     return listener
 
 
+#: reference conf prefix (listeners.scala:80-97): spark.sql.flow.Neo4jAuraSink.*
+_NEO4J_CONF_PREFIX = "spark.sql.flow.Neo4jAuraSink"
+#: file-sink confs (this package's analog of conf-driven listener setup)
+_LISTENER_CONF_PREFIX = "spark.sql.flow.listener"
+
+
+def register_from_conf(spark) -> SQLFlowListener | None:
+    """Self-configure a lineage listener from session confs — the Python
+    analog of ``spark.sql.queryExecutionListeners=...Neo4jAuraSQLFlowListener``
+    (reference listeners.scala:79-97, README.md:242-249). A Python listener
+    can't be instantiated BY the JVM conf machinery (it lives in this
+    process), so ``get_session`` calls this hook instead; set
+
+    - ``spark.sql.flow.Neo4jAuraSink.{uri,user,password}`` (+ optional
+      ``.contracted``) for a Neo4j Aura sink, or
+    - ``spark.sql.flow.listener.{sink,outputDir}`` (+ optional
+      ``.contracted``) with sink ∈ {graphviz, adjacency, mermaid} for a
+      file sink,
+
+    and every successful query in the session is captured. Returns the
+    registered listener, or None when neither conf group is present.
+    Missing required keys within a selected group raise (reference
+    getConf, listeners.scala:84-90)."""
+
+    def conf(key, default=None):
+        try:
+            return spark.conf.get(key, default)
+        except Exception:
+            return default
+
+    if conf(f"{_NEO4J_CONF_PREFIX}.uri") is not None:
+        from ..sinks.neo4j import Neo4jAuraSink
+
+        missing = [
+            k
+            for k in ("uri", "user", "password")
+            if conf(f"{_NEO4J_CONF_PREFIX}.{k}") is None
+        ]
+        if missing:
+            raise ValueError(
+                f"Neo4j lineage listener needs {_NEO4J_CONF_PREFIX}."
+                f"{{{','.join(missing)}}} to be specified"
+            )
+        sink = Neo4jAuraSink(
+            conf(f"{_NEO4J_CONF_PREFIX}.uri"),
+            conf(f"{_NEO4J_CONF_PREFIX}.user"),
+            conf(f"{_NEO4J_CONF_PREFIX}.password"),
+        )
+        contracted = conf(f"{_NEO4J_CONF_PREFIX}.contracted", "false") == "true"
+        # Neo4j appends straight over bolt — no output dir
+        listener = SQLFlowListener(_Neo4jAppendAdapter(sink), "", contracted)
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(spark.sparkContext._gateway)
+        spark._jsparkSession.listenerManager().register(listener)
+        return listener
+
+    sink_name = conf(f"{_LISTENER_CONF_PREFIX}.sink")
+    if sink_name is not None:
+        from ..sinks import AdjacencyListSink, GraphVizSink, MermaidSink
+
+        sinks = {
+            "graphviz": GraphVizSink,
+            "adjacency": AdjacencyListSink,
+            "mermaid": MermaidSink,
+        }
+        if sink_name not in sinks:
+            raise ValueError(
+                f"unknown {_LISTENER_CONF_PREFIX}.sink {sink_name!r}; "
+                f"expected {sorted(sinks)}"
+            )
+        out_dir = conf(f"{_LISTENER_CONF_PREFIX}.outputDir")
+        if out_dir is None:
+            raise ValueError(
+                f"{_LISTENER_CONF_PREFIX}.outputDir needs to be specified"
+            )
+        contracted = conf(f"{_LISTENER_CONF_PREFIX}.contracted", "false") == "true"
+        return register(spark, sinks[sink_name](), out_dir, contracted)
+    return None
+
+
+class _Neo4jAppendAdapter:
+    """Adapts Neo4jAuraSink.append(nodes, edges, options) to the file-sink
+    append(nodes, edges, output_dir) signature the listener calls."""
+
+    def __init__(self, sink):
+        self.sink = sink
+
+    def append(self, nodes, edges, _output_dir) -> None:
+        self.sink.append(nodes, edges)
+
+
 def unregister(spark, listener: SQLFlowListener) -> None:
     spark._jsparkSession.listenerManager().unregister(listener)
 

@@ -54,4 +54,16 @@ def get_session(app_name: str = "spark-sql-flow", cpus: int | None = None) -> Sp
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    spark = tune(builder.getOrCreate())
+    # conf-driven lineage listener (the Python analog of the reference's
+    # spark.sql.queryExecutionListeners self-configuration): a no-op unless
+    # spark.sql.flow.* listener confs are set — see listener.register_from_conf
+    try:
+        from .functions.listener import register_from_conf
+
+        register_from_conf(spark)
+    except ValueError:
+        raise  # misconfigured flow confs fail fast (reference listeners.scala:84-90)
+    except Exception:
+        pass  # infra hiccups (callback server) never block session creation
+    return spark

@@ -202,6 +202,46 @@ def test_append_merges_without_emptiness_check():
     assert sum(1 for c, _ in calls if c.startswith("MERGE (n:")) == 3
 
 
+def test_register_from_conf_file_sink(spark, sf_dir, tmp_path):
+    """Conf-driven listener self-configuration (the Python analog of the
+    reference's spark.sql.queryExecutionListeners mechanism)."""
+    out = str(tmp_path / "conf_audit")
+    s = spark.newSession()
+    s.conf.set("spark.sql.flow.listener.sink", "graphviz")
+    s.conf.set("spark.sql.flow.listener.outputDir", out)
+    try:
+        lst = L.register_from_conf(s)
+        assert lst is not None
+        s.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey").count().collect()
+        L.wait_for_listener_bus(s)
+        deadline = time.time() + 15
+        while time.time() < deadline and lst.captured < 1:
+            time.sleep(0.2)
+        assert lst.captured >= 1
+        assert glob.glob(out + "/*/*.dot")
+    finally:
+        s.conf.unset("spark.sql.flow.listener.sink")
+        s.conf.unset("spark.sql.flow.listener.outputDir")
+        L.unregister(s, lst)
+
+
+def test_register_from_conf_absent_is_noop(spark):
+    s = spark.newSession()
+    assert L.register_from_conf(s) is None
+
+
+def test_register_from_conf_neo4j_missing_keys_raise(spark):
+    import pytest
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.flow.Neo4jAuraSink.uri", "neo4j+s://example")
+    try:
+        with pytest.raises(ValueError, match="user,password"):
+            L.register_from_conf(s)
+    finally:
+        s.conf.unset("spark.sql.flow.Neo4jAuraSink.uri")
+
+
 def test_neo4j_write_gated_without_driver():
     sink = Neo4jAuraSink("neo4j+s://example", "neo4j", "pw")
     nodes, edges = _graph()

@@ -222,7 +222,8 @@ class PlanNode:
         if self.cls in ("Union",):
             return self.children[0].output()
         if self.cls == "WithCTE":
-            return self.children[0].output()
+            # WithCTE children are cteDefs :+ plan — the main plan is LAST
+            return self.children[-1].output()
         if self.children:  # Filter, Sort, Limits, Repartition, Sample, ...
             return self.children[0].output()
         return []

@@ -18,7 +18,7 @@ The edge rules mirror the reference's collectEdges (:608-631):
 
 from __future__ import annotations
 
-from .catalyst import PlanNode, parse_expr_list
+from .catalyst import PlanNode, parse_expr_list, parse_plan_list
 from .graph import GraphEdge, GraphNode, NodeType
 from .lineage import (
     LineageExtractor,
@@ -35,21 +35,52 @@ _MAX_DEPTH = 128
 _SUBQUERY_FIELDS = ("condition", "projectList", "aggregateExpressions")
 
 
-def _collect_fwd_refs(plan: PlanNode, fwd: dict[int, set[int]]) -> None:
+def _collect_fwd_refs(
+    plan: PlanNode, fwd: dict[int, set[int]], pending: tuple = ()
+) -> None:
     """Forward reference map: for operators that *create* attributes, each
     referenced input exprId → the output exprId(s) it flows into (reference
     collectRefsRecursively, SQLFlow.scala:634-712). Identity operators
     (Filter/Sort/Limit/...) need no entries — their outputs ARE their input
-    exprIds, so the closure passes straight through them."""
-    for c in plan.children:
-        _collect_fwd_refs(c, fwd)
-    if plan.is_leaf:
-        return
+    exprIds, so the closure passes straight through them.
+
+    ``pending`` carries comparison predicates collected from enclosing
+    Filters down to Join nodes: on ANALYZED plans (catalog mode) the
+    predicate of ``FROM a, b WHERE a.k = b.k`` lives in a Filter ABOVE a
+    condition-less Join — the reference re-runs the optimizer (which pushes
+    it into the join) before collecting refs; we emulate exactly that
+    pushdown here so the join links its keys instead of all-pairs.
+    Subquery predicates (IN / EXISTS / correlated scalar) are likewise
+    linked the way RewritePredicateSubquery would rewrite them to
+    semi/anti joins — see _link_filter_condition."""
 
     def add(src_eid: int, dst_eids) -> None:
         fwd.setdefault(src_eid, set()).update(dst_eids)
 
     cls = plan.cls
+
+    child_pending = pending
+    if cls == "Filter":
+        child_pending = pending + _filter_comparisons(plan)
+        _link_filter_subqueries(plan, add)
+        # correlation predicates (OuterReference vs inner attr) in THIS
+        # filter — inside a subquery plan — link immediately: they are the
+        # semi-join condition the optimizer would pull up
+        for cond in plan.exprs("condition"):
+            for node in cond.walk():
+                if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
+                    o1, i1 = _split_outer_inner(node.children[0])
+                    o2, i2 = _split_outer_inner(node.children[1])
+                    for o in o1 + o2:
+                        add(o, {o})
+                        for i in i1 + i2:
+                            add(o, {o, i})
+                            add(i, {o, i})
+
+    for c in plan.children:
+        _collect_fwd_refs(c, fwd, child_pending)
+    if plan.is_leaf:
+        return
     out = plan.output()
     if not out:
         return
@@ -86,8 +117,20 @@ def _collect_fwd_refs(plan: PlanNode, fwd: dict[int, set[int]]) -> None:
             for i, (_, ceid) in enumerate(child.output()):
                 if i < len(out):
                     add(ceid, {out[i][1]})
+    elif cls in ("Except", "Intersect"):
+        # the optimizer rewrites these to anti/semi joins keyed on every
+        # column pair — link positionally, mutual with self-loops, so the
+        # right side's columns trace to the (left-derived) output
+        left_out = plan.children[0].output()
+        for child in plan.children[1:]:
+            for i, (_, ceid) in enumerate(child.output()):
+                if i < len(left_out):
+                    leid = left_out[i][1]
+                    add(ceid, {ceid, leid})
+                    add(leid, {leid, ceid})
     elif cls == "Join":
         left_eids = {eid for _, eid in plan.children[0].output()}
+        right_eids = {eid for _, eid in plan.children[1].output()}
         comps: list[tuple[list[int], list[int]]] = []
         for cond in plan.exprs("condition"):
             for node in cond.walk():
@@ -99,6 +142,14 @@ def _collect_fwd_refs(plan: PlanNode, fwd: dict[int, set[int]]) -> None:
                     r_refs = [e for _, e in refs if e not in left_eids]
                     if l_refs and r_refs:
                         comps.append((l_refs, r_refs))
+        if not comps:
+            # predicates an optimizer would push into this join: enclosing
+            # Filter comparisons whose references span both children
+            for refs_a, refs_b in pending:
+                l_refs = [e for e in refs_a + refs_b if e in left_eids]
+                r_refs = [e for e in refs_a + refs_b if e in right_eids]
+                if l_refs and r_refs:
+                    comps.append((l_refs, r_refs))
         if comps:
             # compared attrs link mutually WITH self-loops: a join key is
             # both a terminal in its own right and upstream of its peer
@@ -114,6 +165,106 @@ def _collect_fwd_refs(plan: PlanNode, fwd: dict[int, set[int]]) -> None:
                 for _, a2 in plan.children[1].output():
                     add(a1, {a1, a2})
                     add(a2, {a1, a2})
+
+
+def _filter_comparisons(plan: PlanNode) -> tuple:
+    """(refs_of_side_a, refs_of_side_b) for each subquery-free binary
+    comparison in a Filter's condition — candidate join predicates for
+    pushdown emulation."""
+    comps = []
+    for cond in plan.exprs("condition"):
+        for node in cond.walk():
+            if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
+                a, b = node.children
+                if _expr_has_subquery(a) or _expr_has_subquery(b):
+                    continue
+                a_refs = [e for _, e in a.references()]
+                b_refs = [e for _, e in b.references()]
+                if a_refs and b_refs:
+                    comps.append((a_refs, b_refs))
+    return tuple(comps)
+
+
+def _expr_has_subquery(e) -> bool:
+    return any(n.cls in _SUBQUERY_EXPR_CLASSES for n in e.walk())
+
+
+_SUBQUERY_EXPR_CLASSES = ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery")
+
+
+def _link_filter_subqueries(plan: PlanNode, add) -> None:
+    """Link a Filter's subquery predicates the way the optimizer's
+    RewritePredicateSubquery would after turning them into semi/anti/outer
+    joins (the reference collects refs AFTER re-optimization, so its
+    contracted closure sees these as join conditions):
+
+    - ``(v1, v2) IN (SELECT x, y ...)`` — each value's refs link mutually
+      with the subquery's matching output column;
+    - correlated subqueries — every comparison inside the subquery plan
+      that references an OuterReference links the outer attribute(s) with
+      the inner ones.
+
+    All links carry self-loops, so the attributes become closure terminals
+    (join-key semantics) and fallback-eligible."""
+    for cond in plan.exprs("condition"):
+        for node in cond.walk():
+            if node.cls == "InSubquery":
+                lq = next((c for c in node.children if c.cls == "ListQuery"), None)
+                values = [c for c in node.children if c.cls != "ListQuery"]
+                sub_out: list[int] = []
+                if lq is not None:
+                    raw_plan = lq.raw.get("plan")
+                    if isinstance(raw_plan, list) and raw_plan:
+                        sub_out = [
+                            eid for _, eid in parse_plan_list(raw_plan).output()
+                        ]
+                for i, v in enumerate(values):
+                    v_refs = [e for _, e in v.references()]
+                    partners = [sub_out[i]] if i < len(sub_out) else []
+                    for a in v_refs:
+                        add(a, {a})
+                        for b in partners:
+                            add(a, {a, b})
+                            add(b, {a, b})
+            elif node.cls in ("Exists", "ScalarSubquery", "ListQuery"):
+                raw_plan = node.raw.get("plan")
+                if isinstance(raw_plan, list) and raw_plan:
+                    _link_correlation(parse_plan_list(raw_plan), add)
+
+
+def _split_outer_inner(expr) -> tuple[list[int], list[int]]:
+    """(outer_eids, inner_eids) of an expression: attributes under an
+    OuterReference wrapper are outer, the rest inner."""
+    outer: list[int] = []
+    inner: list[int] = []
+
+    def walk(n, in_outer: bool) -> None:
+        if n.cls == "OuterReference":
+            in_outer = True
+        if n.cls in ("AttributeReference", "OuterReference") and n.expr_id is not None:
+            (outer if in_outer else inner).append(n.expr_id)
+        for c in n.children:
+            walk(c, in_outer)
+
+    walk(expr, False)
+    return outer, [e for e in inner if e not in outer]
+
+
+def _link_correlation(subplan: PlanNode, add) -> None:
+    """Outer↔inner links for every correlation comparison inside a subquery
+    plan (comparisons referencing an OuterReference)."""
+    for p in subplan.walk():
+        for cond in p.exprs("condition"):
+            for node in cond.walk():
+                if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
+                    o1, i1 = _split_outer_inner(node.children[0])
+                    o2, i2 = _split_outer_inner(node.children[1])
+                    outer, inner = o1 + o2, i1 + i2
+                    for o in outer:
+                        add(o, {o})
+                        for i in inner:
+                            add(o, {o, i})
+                            add(i, {o, i})
 
 
 def _terminals(eid: int, fwd: dict[int, set[int]]) -> set[int]:
@@ -210,7 +361,10 @@ def _contract_plan(
 
     # subquery plans: their outputs feed the query as whole-node edges
     for sp in _iter_subplans(plan):
-        sub_out = {eid: None for _, eid in sp.output()}
+        # the subquery inherits the parent's out_map: a correlated inner
+        # attribute linked to an outer join key resolves to the OUTER
+        # query's output column (the semi-join the optimizer would build)
+        sub_out = {**out_map, **{eid: None for _, eid in sp.output()}}
         _contract_plan(sp, sub_out, ex, nodes, edges, quid, seen_edges, depth + 1)
 
 

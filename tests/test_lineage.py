@@ -135,12 +135,21 @@ def test_catalog_mode_view_substitution(spark):
     nodes, edges = extract(spark, contracted=False)
     idents = {n.ident for n in nodes}
     assert {"cat_v1", "cat_v2"} <= idents
-    # v2's plan collapses its v1-equal subtree to the cat_v1 view node:
-    # cat_v1 feeds v2's Filter, which feeds cat_v2
+    # v2's plan collapses its v1-reference to the cat_v1 view node, which
+    # must reach cat_v2 through v2's operators (Filter [+ Project])
     outgoing_v1 = [e for e in edges if e.from_id == "cat_v1"]
-    incoming_v2 = [e for e in edges if e.to_id == "cat_v2"]
-    assert outgoing_v1 and incoming_v2
-    assert {e.to_id for e in outgoing_v1} & {e.from_id for e in incoming_v2}
+    assert outgoing_v1
+    adj: dict[str, set[str]] = {}
+    for e in edges:
+        adj.setdefault(e.from_id, set()).add(e.to_id)
+    frontier, seen = {"cat_v1"}, set()
+    while frontier:
+        cur = frontier.pop()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        frontier |= adj.get(cur, set())
+    assert "cat_v2" in seen, "cat_v1 must flow into cat_v2"
 
 
 def test_catalog_mode_permanent_view(spark):
@@ -175,10 +184,10 @@ def test_catalog_mode_permanent_view(spark):
         s.sql("DROP TABLE IF EXISTS perm_base")
 
 
-def test_view_text_fallback(spark):
-    """_view_df re-analyzes a view from its stored viewText when direct
-    resolution is impossible — exercised directly here."""
-    from spark_sql_flow_plugin_spark.plans.catalog import _view_df
+def test_view_text_reanalysis(spark):
+    """Permanent views resolve through their stored viewText (re-parse +
+    re-analyze — reference SQLFlow.scala:66-74)."""
+    from spark_sql_flow_plugin_spark.plans.catalog import _analyzed_view_jplan
 
     s = spark.newSession()
     s.sql("DROP VIEW IF EXISTS vt_v")
@@ -186,14 +195,14 @@ def test_view_text_fallback(spark):
     s.sql("CREATE TABLE vt_base (k INT) USING parquet")
     try:
         s.sql("CREATE VIEW vt_v AS SELECT k * 2 AS k2 FROM vt_base")
-        df = _view_df(s, "vt_v")
-        assert df.columns == ["k2"]
-        # force the fallback path: bypass spark.table by asking for the
-        # qualified name through the viewText machinery
         jss = s._jsparkSession.sessionState()
         ident = jss.sqlParser().parseTableIdentifier("vt_v")
         meta = jss.catalog().getTableMetadata(ident)
         assert meta.viewText().isDefined()
+        jplan = _analyzed_view_jplan(s, "vt_v")
+        assert jplan is not None
+        out = jplan.output()
+        assert out.apply(0).name() == "k2"
     finally:
         s.sql("DROP VIEW IF EXISTS vt_v")
         s.sql("DROP TABLE IF EXISTS vt_base")

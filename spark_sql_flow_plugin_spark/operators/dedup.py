@@ -67,6 +67,17 @@ aug AS (
 def augmented_documents(spark, sf_dir) -> DataFrame:
     """documents + deterministic exact/near duplicates (see module doc)."""
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    # The single-file parquet source yields very few input splits locally,
+    # so the CPU-heavy branches below (tokenize, shingle) would run on 2-3
+    # cores. Repartition the BASE table before any derived branch — after
+    # the union it would be too late, the tokenizer in `near` would already
+    # be pinned to the scan's splits. Gated on actual split-starvation: a
+    # multi-TB table has plenty of splits and skips the shuffle entirely
+    # (the gate stats the file instead of df.rdd.getNumPartitions, whose
+    # DataFrame->RDD conversion costs ~1s of driver time per query).
+    n_parts = spark.sparkContext.defaultParallelism
+    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
+        d = d.repartition(n_parts, "doc_id")
     toks = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     near = (
         toks.where(F.size("toks") > 4)
@@ -78,19 +89,7 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     exact = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    # The single-file parquet source yields very few input splits locally, so
-    # downstream CPU-heavy stages (shingling, hashing) would run on 2-3 cores.
-    # Repartition the (tiny) text rows across the cluster — but only when the
-    # scan is actually split-starved: on a multi-TB table the scan already has
-    # plenty of splits and an unconditional repartition would be an extra
-    # full shuffle of the corpus. The gate estimates split count from the
-    # source's on-disk size (a stat call) rather than df.rdd.getNumPartitions,
-    # whose DataFrame→RDD conversion costs ~1s of driver time per query.
-    out = d.union(near).union(exact)
-    n_parts = spark.sparkContext.defaultParallelism
-    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
-        out = out.repartition(n_parts, "doc_id")
-    return out
+    return d.union(near).union(exact)
 
 
 def _estimated_splits(spark, path: str) -> float:

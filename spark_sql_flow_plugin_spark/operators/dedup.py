@@ -224,10 +224,9 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     return sets, hashed.groupBy("doc_id").agg(*mins).persist()
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {DUCK_AUG},
+#: shared CTE chain ending in `pairs` (near-dup pairs with raw jacc) — used
+#: by the dedup_minhash_lsh oracle and the connected-components oracle
+_DUCK_MINHASH_CTES = f"""{DUCK_AUG},
     sets AS (
         SELECT doc_id, shingles FROM (
             SELECT doc_id, {_DUCK_SHINGLES} AS shingles
@@ -248,14 +247,24 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jacc
-    FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
-              JOIN sets sb ON cand.doc_b = sb.doc_id
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.6
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jacc
+        FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                  JOIN sets sb ON cand.doc_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))) >= 0.6)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, ROUND(jacc, 6) AS jacc FROM pairs
     """,
     "dedup",
     "bench",
@@ -327,6 +336,95 @@ def dedup_minhash_mllib(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jacc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2b. Duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node)
+    SELECT component, COUNT(*) AS n_docs FROM (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    GROUP BY component
+    """,
+    "dedup",
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution: near-dup pairs say A~B and B~C, but a
+    pipeline must keep exactly one document per transitive cluster
+    {{A,B,C}}. Connected components over the minhash pair graph via HashMin
+    label propagation: every node starts labeled with its own id, each
+    round takes the min label over neighbors, fixpoint = the component id
+    IS the minimum doc_id in the cluster (the canonical keeper).
+
+    Scale posture: each round is ONE shuffle (join on dst + min-aggregate);
+    rounds needed = graph diameter, and near-dup clusters are shallow (a
+    handful of rounds). Every round is ``localCheckpoint``-ed: iterative
+    DataFrames otherwise DOUBLE their logical plan each round and
+    analysis/codegen time blows up within ~3 iterations (measured 2s → 10s
+    per round); truncating lineage keeps rounds flat. localCheckpoint is
+    executor-local (lost on executor failure) — on an unreliable cluster
+    use ``df.checkpoint()`` to a reliable store instead. For graphs with
+    long chains, the O(log n)-round alternating small-star / large-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") is the
+    drop-in upgrade.
+
+    Returns (component, n_docs) — one row per duplicate cluster.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    und = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        neighbor_min = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("comp").alias("component"), "n_docs")
     )
 
 

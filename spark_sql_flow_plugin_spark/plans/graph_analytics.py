@@ -34,14 +34,16 @@ def transitive_closure(edges: DataFrame, max_iter: int = _MAX_ITER) -> DataFrame
     round is one shuffle on ``dst``; caching keeps the accumulated closure
     from recomputing its whole history every iteration.
     """
-    base = edges.select("src", "dst").distinct().persist()
+    # localCheckpoint (not persist) per round: it BOTH caches the round's
+    # result AND truncates the logical plan — an iterative union/subtract
+    # chain otherwise doubles its plan every round and driver-side
+    # analysis/codegen time blows up within a few iterations. Checkpointed
+    # state replaces the old round's storage automatically (no unpersist
+    # bookkeeping, no storage-memory creep). Executor-local durability; use
+    # df.checkpoint() to a reliable store on an unreliable cluster.
+    base = edges.select("src", "dst").distinct().localCheckpoint()
     closure = base
     frontier = base
-    # each round fully materializes (count) its new frontier/closure caches
-    # BEFORE unpersisting the previous round's — releasing a parent earlier
-    # would silently cascade recomputation through every prior iteration;
-    # without releasing at all, storage memory grows linearly with chain
-    # length (the storage-creep fix)
     for _ in range(max_iter):
         grown = (
             frontier.alias("f")
@@ -49,19 +51,10 @@ def transitive_closure(edges: DataFrame, max_iter: int = _MAX_ITER) -> DataFrame
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
         )
-        new_frontier = grown.subtract(closure).persist()
-        n_new = new_frontier.count()
-        if frontier is not base:
-            frontier.unpersist()
-        frontier = new_frontier
-        if n_new == 0:
-            frontier.unpersist()
+        frontier = grown.subtract(closure).localCheckpoint()
+        if frontier.isEmpty():
             break
-        new_closure = closure.union(frontier).distinct().persist()
-        new_closure.count()
-        if closure is not base:
-            closure.unpersist()
-        closure = new_closure
+        closure = closure.union(frontier).distinct().localCheckpoint()
     return closure
 
 

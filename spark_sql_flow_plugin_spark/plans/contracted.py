@@ -89,6 +89,16 @@ def _collect_fwd_refs(
         for e, (_, out_eid) in zip(plan.exprs(fieldname), out):
             for _, r in e.references():
                 add(r, {out_eid})
+            # a scalar subquery inside the expression: its output column
+            # flows into this projected column (collectEdgesInExprs analog)
+            # while remaining a terminal itself (self-loop) so the plain
+            # subquery-output → query whole-node edges survive alongside
+            for n in e.walk():
+                if n.cls == "ScalarSubquery":
+                    raw_plan = n.raw.get("plan")
+                    if isinstance(raw_plan, list) and raw_plan:
+                        for _, seid in parse_plan_list(raw_plan).output():
+                            add(seid, {seid, out_eid})
     elif cls == "Window":
         # the reference leaves Window to the identity default (its window
         # outputs are producedAttributes, exempted from the sanity check at
@@ -208,6 +218,32 @@ def _link_filter_subqueries(plan: PlanNode, add) -> None:
     (join-key semantics) and fallback-eligible."""
     for cond in plan.exprs("condition"):
         for node in cond.walk():
+            if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
+                # `attr <op> (scalar subquery)`: after decorrelation this is
+                # a join between the outer attr and the subquery's output
+                # column (contracted SubqueryPredicate analog)
+                for i, side in enumerate(node.children):
+                    sub_plans = [
+                        n for n in side.walk() if n.cls == "ScalarSubquery"
+                    ]
+                    if not sub_plans:
+                        continue
+                    other_refs = [
+                        e for _, e in node.children[1 - i].references()
+                    ]
+                    for sq in sub_plans:
+                        raw_plan = sq.raw.get("plan")
+                        if not (isinstance(raw_plan, list) and raw_plan):
+                            continue
+                        sub_out = [
+                            eid
+                            for _, eid in parse_plan_list(raw_plan).output()
+                        ]
+                        for a in other_refs:
+                            add(a, {a})
+                            for b in sub_out:
+                                add(a, {a, b})
+                                add(b, {a, b})
             if node.cls == "InSubquery":
                 lq = next((c for c in node.children if c.cls == "ListQuery"), None)
                 values = [c for c in node.children if c.cls != "ListQuery"]
@@ -307,6 +343,23 @@ def _iter_subplans(plan: PlanNode):
         yield from subs
 
 
+def _collect_fwd_all(
+    plan: PlanNode, fwd: dict[int, set[int]], depth: int = 0
+) -> None:
+    """One SHARED forward map across a plan and every nested subquery plan:
+    Catalyst exprIds are globally unique, so merging the maps is safe, and
+    it is what makes cross-boundary chains resolve — an inner aggregate
+    output linked (by _link_filter_subqueries) to the outer attribute it's
+    compared with lets the subquery's LEAF columns trace all the way into
+    the OUTER query's output columns, exactly like the decorrelated single
+    plan the reference extracts from."""
+    if depth > _MAX_DEPTH:
+        return
+    _collect_fwd_refs(plan, fwd)
+    for sp in _iter_subplans(plan):
+        _collect_fwd_all(sp, fwd, depth + 1)
+
+
 def _contract_plan(
     plan: PlanNode,
     out_map: dict[int, int | None],
@@ -316,12 +369,14 @@ def _contract_plan(
     quid: str,
     seen_edges: set,
     depth: int = 0,
+    fwd: dict[int, set[int]] | None = None,
 ) -> None:
     """Contract one (sub)plan: leaf columns → query node edges."""
     if depth > _MAX_DEPTH:
         return
-    fwd: dict[int, set[int]] = {}
-    _collect_fwd_refs(plan, fwd)
+    if fwd is None:
+        fwd = {}
+        _collect_fwd_all(plan, fwd)
 
     # leaves, deduped by unique id (a self-joined table is ONE node)
     leaves: list[tuple[GraphNode, list[tuple[str, int]]]] = []
@@ -359,13 +414,14 @@ def _contract_plan(
                 seen_edges.add(key)
                 edges.append(e)
 
-    # subquery plans: their outputs feed the query as whole-node edges
+    # subquery plans: their outputs feed the query as whole-node edges,
+    # and — through the shared fwd map + inherited out_map — correlated
+    # inner attributes resolve to the OUTER query's output columns
     for sp in _iter_subplans(plan):
-        # the subquery inherits the parent's out_map: a correlated inner
-        # attribute linked to an outer join key resolves to the OUTER
-        # query's output column (the semi-join the optimizer would build)
         sub_out = {**out_map, **{eid: None for _, eid in sp.output()}}
-        _contract_plan(sp, sub_out, ex, nodes, edges, quid, seen_edges, depth + 1)
+        _contract_plan(
+            sp, sub_out, ex, nodes, edges, quid, seen_edges, depth + 1, fwd
+        )
 
 
 def extract_contracted_lineage(

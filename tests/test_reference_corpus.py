@@ -76,11 +76,11 @@ RESULTS_DIR = "/root/reference/src/test/resources/sql-flow-tests/results"
 #: correlation linking, set-op anti/semi joins — plans/contracted.py), which
 #: recovers most but not all of the deeper decorrelation edges.
 _PARTIAL_COVERAGE: dict[str, float] = {
-    "exists-subquery": 0.7,
-    "exists-subquery-aggregate": 0.7,
-    "in-subquery-aggregate": 0.6,
-    "scalar-subquery": 0.6,
-    "scalar-subquery-predicate": 0.8,
+    "exists-subquery": 0.75,
+    "exists-subquery-aggregate": 0.75,
+    "in-subquery-aggregate": 0.7,
+    "scalar-subquery": 0.7,
+    "scalar-subquery-predicate": 0.9,
     # every edge differs in name only: t1..t6 are semantically equivalent
     # and collapse to a group representative — ours picks the first by
     # catalog order, the reference's Scala Map picked another (its

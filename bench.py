@@ -6,6 +6,13 @@ and prints ONE JSON line:
 
 Each query executes to completion (count() forces the full plan — scans,
 shuffles, UDF stages) but never collects wide results to the driver.
+
+Timing is STEADY-STATE: each query runs twice and the minimum is reported.
+A single cold run is dominated by whole-stage-codegen compilation + JVM JIT
+(measured ±25% total variance run-to-run, and 4-10x per-query inflation on
+the HOF-heavy dedup queries); the min-of-2 is the throughput a pipeline
+executing the operator repeatedly actually gets, and it is stable enough to
+compare across rounds.
 """
 
 from __future__ import annotations
@@ -43,11 +50,20 @@ def main() -> None:
     for t in ("lineitem", "orders", "documents", "events", "embeddings"):
         load(spark, sf_dir, t)[t].count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in headline_names():
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            # every run recomputes from parquet: queries that persist()
+            # intermediates would otherwise serve the next run from cache
+            # (CacheManager matches re-built plans by canonical form) and
+            # the "steady state" would measure cache hits, not the engine
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -58,6 +74,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": n_runs,
+                "timing": "min over runs (steady-state)",
             }
         )
     )

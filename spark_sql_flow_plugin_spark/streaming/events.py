@@ -160,3 +160,39 @@ def sessionize_gaps(spark, sf_dir):
         F.count("*").alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+@register(
+    "stream_dedup_exact",
+    """
+    SELECT DISTINCT md5(text) AS fp, length(text) AS tlen FROM documents
+    """,
+    "streaming",
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming INGESTION dedup — the operator a training-data pipeline
+    runs at the front door: documents arrive as files, and
+    ``dropDuplicates`` on a content fingerprint admits each distinct
+    document exactly once. State is the set of fingerprints seen (16-byte
+    keys, not documents); on a live pipeline add
+    ``withWatermark + dropDuplicatesWithinWatermark`` to bound it.
+
+    availableNow over the static corpus ≡ batch DISTINCT, so the oracle is
+    exact. Output is the admitted (fingerprint, length) set — doc_id is
+    deliberately NOT included: which copy of a duplicate arrives first is
+    nondeterministic under parallel ingestion, the fingerprint set is not.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    deduped = (
+        stream.select(
+            F.md5("text").alias("fp"), F.length("text").alias("tlen")
+        )
+        .dropDuplicates(["fp", "tlen"])
+    )
+    return _run_to_memory(deduped, "append")

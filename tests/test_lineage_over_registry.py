@@ -11,7 +11,12 @@ from spark_sql_flow_plugin_spark.registry import all_specs
 
 # memory-sink streaming results have trivial plans; exclude the two stream_*
 # entries whose builders *run* a streaming query as a side effect
-_SKIP = {"stream_hourly_counts", "stream_user_totals", "stream_stateful_user_agg"}
+_SKIP = {
+    "stream_hourly_counts",
+    "stream_user_totals",
+    "stream_stateful_user_agg",
+    "stream_dedup_exact",
+}
 
 
 @pytest.mark.parametrize(

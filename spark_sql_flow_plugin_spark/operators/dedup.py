@@ -726,3 +726,42 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+@register(
+    "dedup_incremental_novel",
+    f"""
+    WITH {DUCK_AUG},
+    hist AS (SELECT DISTINCT md5(text) AS fp FROM aug WHERE doc_id % 4 != 0),
+    batch AS (SELECT doc_id, md5(text) AS fp, length(text) AS tlen
+              FROM aug WHERE doc_id % 4 = 0)
+    SELECT b.doc_id, b.tlen FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+    """,
+    "dedup",
+)
+def dedup_incremental_novel(spark, sf_dir):
+    """Incremental (daily-ingest) dedup: admit only the documents of a new
+    batch whose content fingerprint has never been seen in the historical
+    corpus. This is how dedup actually runs in production — the full-corpus
+    pair search happens once; every ingest after that is one ANTI JOIN of
+    the batch against the fingerprint ARCHIVE.
+
+    Scale shape: the archive side is fingerprints only (16-byte md5 keys,
+    not documents), so the anti-join shuffles batch_size + |archive| keys —
+    or zero archive shuffle if the archive table is bucketed by fp
+    (sources/bucketing.py). A bloom filter on the archive is the
+    probabilistic pre-filter upgrade when even the key shuffle is too much.
+    The historical/batch split here (doc_id % 4) stands in for the
+    date-partitioned archive a real pipeline reads.
+    """
+    aug = augmented_documents(spark, sf_dir)
+    hist = (
+        aug.where(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = aug.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.md5("text").alias("fp"), F.length("text").alias("tlen")
+    )
+    return batch.join(hist, "fp", "left_anti").select("doc_id", "tlen")

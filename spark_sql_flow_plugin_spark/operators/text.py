@@ -10,6 +10,7 @@ double divisions of integer counts — bit-identical across engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -267,4 +268,78 @@ def text_fingerprint_winnow(spark, sf_dir):
         "doc_id",
         F.size("fps").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_WTOKS}) AS token FROM documents),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token != '' GROUP BY doc_id, token),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE token != '' GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token) AS INT) AS rnk
+        FROM scored) t
+    WHERE rnk <= 3
+    """,
+    "text",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF — the keyword/
+    topic-signal extractor of a curation pipeline. idf is the RAW ratio
+    (N+1)/(df+1) rather than its logarithm: ranking is identical
+    (log is monotone) and integer-ratio arithmetic is bit-identical across
+    engines, while Math.log vs libm log can differ in the last ulp.
+
+    Shape: two aggregations over the exploded token stream — tf by
+    (doc, token), df by token with map-side partial distinct — then a
+    token-keyed join (df is vocabulary-sized, broadcastable after a
+    frequency cutoff) and a per-doc top-k window. The corpus count joins
+    in as a broadcast literal, never a driver-side collect into the plan.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    # materialization barrier before explode (Generate re-evaluates fused
+    # generator inputs per output row — see operators/dedup.py)
+    tok = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .persist()
+        .select("doc_id", F.explode("toks").alias("token"))
+        .where(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )

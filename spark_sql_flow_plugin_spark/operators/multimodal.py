@@ -167,3 +167,49 @@ def multimodal_frame_sample(spark, sf_dir):
             yield pdf[["doc_id", "frame_id", "feature"]]
 
     return frames.mapInPandas(featurize, "doc_id bigint, frame_id bigint, feature string")
+
+
+@register(
+    "multimodal_dedup_payload",
+    """
+    SELECT fp, MIN(id) AS keeper, COUNT(*) AS n_copies,
+           MIN(n_bytes) AS n_bytes
+    FROM (
+        SELECT doc_id AS id, md5(hex(encode(text))) AS fp,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents) t
+    GROUP BY fp
+    HAVING COUNT(*) >= 1
+    """,
+    "multimodal",
+)
+def multimodal_dedup_payload(spark, sf_dir):
+    """Exact media dedup on the raw BINARY payload — the first pass every
+    multimodal pipeline runs before any decode: identical files (same
+    bytes) collapse regardless of filename/metadata, at the cost of one
+    shuffle on a 16-byte fingerprint. Content-defined near-dup (perceptual
+    hashing) sits behind the decode stubs; byte-exact dedup needs no codec
+    and catches the bulk of crawl duplicates.
+
+    The fingerprint is md5(hex(payload)): DuckDB's md5 only accepts
+    VARCHAR, and hex is a bit-exact, engine-neutral binary->text encoding
+    (Spark's base64 is MIME-chunked with line breaks, DuckDB's isn't). At
+    scale you'd use Spark's md5(binary) directly or xxhash64 — the text
+    hop here is purely for oracle parity.
+    """
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = with_binary_payload(docs)
+    return (
+        media.select(
+            F.col("doc_id").alias("id"),
+            F.md5(F.hex(F.col("payload"))).alias("fp"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .select("fp", "keeper", "n_copies", "n_bytes")
+    )

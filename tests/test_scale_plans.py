@@ -124,3 +124,51 @@ def test_augmented_documents_skips_repartition_when_splits_suffice(spark, sf_dir
     aug = dedup.augmented_documents(spark, sf_dir)
     assert aug.rdd.getNumPartitions() >= 1
     assert "Exchange" in _physical(aug)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: codebook / incremental-dedup / tf-idf plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_trained_broadcasts_codebook(spark, sf_dir):
+    # the centroid codebook (labels x dim) must be broadcast for assignment;
+    # the corpus must never shuffle for scoring
+    from spark_sql_flow_plugin_spark.operators import similarity
+
+    plan = _physical(similarity.ann_ivf_trained(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # the probe join is an equi-join on the assigned cell
+    assert "Cartesian" not in plan
+
+
+def test_kmeans_refine_broadcasts_codebook(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.operators import similarity
+
+    plan = _physical(similarity.embedding_kmeans_refine(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Cartesian" not in plan
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprints(spark, sf_dir):
+    # the archive side must reach the join as fingerprints, not documents
+    from spark_sql_flow_plugin_spark.operators import dedup
+
+    plan = _physical(dedup.dedup_incremental_novel(spark, sf_dir))
+    assert "LeftAnti" in plan
+    join_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    for ln in join_exchanges:
+        assert "text#" not in ln, f"document text shuffled: {ln}"
+
+
+def test_tfidf_windows_are_partitioned(spark, sf_dir):
+    # per-doc top-k must window over doc_id partitions, never a global sort
+    from spark_sql_flow_plugin_spark.operators import text
+
+    plan = _physical(text.text_tfidf_top_terms(spark, sf_dir))
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "doc_id" in ln, f"unpartitioned window: {ln}"

@@ -5,6 +5,7 @@
     python -m spark_sql_flow_plugin_spark lineage q3_shipping_priority \
         [--contracted] [--format graphviz|mermaid|adjacency_list]
     python -m spark_sql_flow_plugin_spark catalog-lineage [--contracted]
+    python -m spark_sql_flow_plugin_spark provenance q3_shipping_priority revenue
 """
 
 from __future__ import annotations
@@ -35,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p_cat = sub.add_parser("catalog-lineage", help="lineage over the session catalog")
     p_cat.add_argument("--contracted", action="store_true")
 
+    p_prov = sub.add_parser(
+        "provenance", help="source (table, column) pairs feeding one output column"
+    )
+    p_prov.add_argument("query")
+    p_prov.add_argument("column")
+    p_prov.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+
     args = ap.parse_args(argv)
 
     from .registry import all_specs, queries
@@ -62,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
             from .api import print_as_sql_flow
 
             print_as_sql_flow(spark, contracted=args.contracted)
+        elif args.cmd == "provenance":
+            from .api import column_provenance
+
+            df = queries()[args.query](spark, args.sf)
+            for table, column in column_provenance(df, args.column):
+                print(f"{table}.{column}")
     finally:
         spark.stop()
     return 0

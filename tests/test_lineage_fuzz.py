@@ -59,7 +59,12 @@ def _apply_op(spark, sf_dir, df, op: int):
         return df.groupBy(c0).agg(F.count("*").alias("cnt"))
     if op == 4:
         other = _other(spark, sf_dir)
-        return df.join(other, F.col(c0).cast("long") == other["r_regionkey"], "left")
+        joined = df.join(
+            other, F.col(c0).cast("long") == other["r_regionkey"], "left"
+        )
+        # unique column names: a second join would otherwise make later
+        # by-name references ambiguous (harness concern, not extractor's)
+        return joined.toDF(*[f"c{i}" for i in range(len(joined.columns))])
     if op == 5:
         return df.union(df)
     if op == 6:

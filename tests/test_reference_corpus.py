@@ -91,7 +91,12 @@ _PARTIAL_COVERAGE: dict[str, float] = {
 
 
 def _masked(uid: str) -> bool:
-    return re.search(r"_[0-9a-f]{7}$", uid) is not None
+    # random-suffixed plan/VALUES leaves: ours use a 7-hex suffix, the
+    # reference goldens use either that or LocalRelation_<n> counters
+    return (
+        re.search(r"_[0-9a-f]{7}$", uid) is not None
+        or re.fullmatch(r"(?:\w+\.)?LocalRelation_\d+", uid) is not None
+    )
 
 
 def _ref_backbone(dot_path: str) -> set:
@@ -99,8 +104,12 @@ def _ref_backbone(dot_path: str) -> set:
     + catalog tables; random-suffixed plan/VALUES leaves masked out —
     their naming is version/extraction-run dependent)."""
     edges = set()
+    # the reference suite emitted two edge syntaxes over its history:
+    # `"a":0 -> "b":1;` and (group-by-filter) `"a":0 -> b:1` — accept both
     for m in re.finditer(
-        r'"([^"]+)":(\w+) -> "([^"]+)":(\w+);', open(dot_path).read()
+        r'"?([^"\s]+)"?:(\w+) -> "?([^"\s]+?)"?:(\w+);?$',
+        open(dot_path).read(),
+        re.MULTILINE,
     ):
         src, si, dst, di = m.groups()
         if _masked(src) or _masked(dst):

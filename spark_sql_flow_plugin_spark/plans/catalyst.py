@@ -68,7 +68,12 @@ class ExprNode:
             if n.cls in ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery"):
                 raw_plan = n.raw.get("plan")
                 if isinstance(raw_plan, list) and raw_plan:
-                    plans.append(parse_plan_list(raw_plan))
+                    p = parse_plan_list(raw_plan)
+                    # contracted mode treats Exists/ListQuery outputs as
+                    # dead (the optimizer's semi/anti-join rewrite discards
+                    # the subquery SELECT list) — tag the flavor
+                    p.raw.setdefault("_sq_kind", n.cls)
+                    plans.append(p)
         return plans
 
 
@@ -92,10 +97,20 @@ def _parse_flat(nodes: list[dict], make) -> object:
     return root
 
 
+def _make_expr(raw: dict, children: list[ExprNode]) -> ExprNode:
+    cls = _short(raw.get("class", "?"))
+    # OuterReference serializes with num-children 0, embedding its wrapped
+    # attribute in field "e" — recover it as a child so correlation walks
+    # (references(), _split_outer_inner) see the outer exprId
+    if not children and cls == "OuterReference":
+        e = raw.get("e")
+        if isinstance(e, list) and e:
+            children = [parse_expr_list(e)]
+    return ExprNode(cls, raw, children)
+
+
 def parse_expr_list(flat: list[dict]) -> ExprNode:
-    return _parse_flat(
-        flat, lambda raw, ch: ExprNode(_short(raw.get("class", "?")), raw, ch)
-    )
+    return _parse_flat(flat, _make_expr)
 
 
 def _expr_field(value) -> list[ExprNode]:

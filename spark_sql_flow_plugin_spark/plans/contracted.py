@@ -87,7 +87,7 @@ def _collect_fwd_refs(
     if cls in ("Project", "Aggregate"):
         fieldname = "projectList" if cls == "Project" else "aggregateExpressions"
         for e, (_, out_eid) in zip(plan.exprs(fieldname), out):
-            for _, r in e.references():
+            for r in _refs_no_subquery(e):
                 add(r, {out_eid})
             # a scalar subquery inside the expression: its output column
             # flows into this projected column (collectEdgesInExprs analog)
@@ -99,6 +99,14 @@ def _collect_fwd_refs(
                     if isinstance(raw_plan, list) and raw_plan:
                         for _, seid in parse_plan_list(raw_plan).output():
                             add(seid, {seid, out_eid})
+        if cls == "Aggregate":
+            # GROUP BY keys that aren't selected still count as referenced
+            # (the reference collects grouping refs, so a leaf whose only
+            # use is a grouping key gets a whole-node edge); self-loop makes
+            # them closure terminals like join keys
+            for g in plan.exprs("groupingExpressions"):
+                for _, r in g.references():
+                    add(r, {r})
     elif cls == "Window":
         # the reference leaves Window to the identity default (its window
         # outputs are producedAttributes, exempted from the sanity check at
@@ -199,6 +207,28 @@ def _expr_has_subquery(e) -> bool:
     return any(n.cls in _SUBQUERY_EXPR_CLASSES for n in e.walk())
 
 
+def _refs_no_subquery(e) -> list[int]:
+    """References of an expression EXCLUDING anything under a subquery
+    expression node. A SubqueryExpression's serialized children are its
+    outerAttrs/joinCond — correlation join keys, not value sources — so
+    `SELECT (SELECT min(x) FROM t WHERE t.k = o.k) FROM o` must not wire
+    o.k into the projected column (the reference's optimizer turns this
+    into a left-outer join whose key traces nowhere; the value comes from
+    the subquery output alone)."""
+    out: list[int] = []
+
+    def walk(n) -> None:
+        if n.cls in _SUBQUERY_EXPR_CLASSES:
+            return
+        if n.cls == "AttributeReference" and n.expr_id is not None:
+            out.append(n.expr_id)
+        for c in n.children:
+            walk(c)
+
+    walk(e)
+    return out
+
+
 _SUBQUERY_EXPR_CLASSES = ("ScalarSubquery", "Exists", "ListQuery", "LateralSubquery")
 
 
@@ -219,26 +249,34 @@ def _link_filter_subqueries(plan: PlanNode, add) -> None:
     for cond in plan.exprs("condition"):
         for node in cond.walk():
             if node.cls in _BINARY_COMPARISONS and len(node.children) == 2:
-                # `attr <op> (scalar subquery)`: after decorrelation this is
-                # a join between the outer attr and the subquery's output
-                # column (contracted SubqueryPredicate analog)
+                # `attr <op> (correlated scalar subquery)`: Spark 3.2's
+                # RewriteCorrelatedScalarSubquery turns this into a join,
+                # EliminateOuterJoin + PushPredicateThroughJoin then fold
+                # the null-intolerant comparison INTO the join condition —
+                # so the compared attr and the subquery output link like
+                # join keys. HAVING-shaped subqueries (Filter above the
+                # Aggregate) block that rewrite and survive as expressions:
+                # no link, whole-node edges only. Uncorrelated subqueries
+                # are never rewritten: no link either.
                 for i, side in enumerate(node.children):
-                    sub_plans = [
+                    sub_nodes = [
                         n for n in side.walk() if n.cls == "ScalarSubquery"
                     ]
-                    if not sub_plans:
+                    if not sub_nodes:
                         continue
                     other_refs = [
                         e for _, e in node.children[1 - i].references()
                     ]
-                    for sq in sub_plans:
+                    for sq in sub_nodes:
                         raw_plan = sq.raw.get("plan")
                         if not (isinstance(raw_plan, list) and raw_plan):
                             continue
-                        sub_out = [
-                            eid
-                            for _, eid in parse_plan_list(raw_plan).output()
-                        ]
+                        if not sq.children:  # no outerAttrs: uncorrelated
+                            continue
+                        sp = parse_plan_list(raw_plan)
+                        if _having_shape(sp):
+                            continue
+                        sub_out = [eid for _, eid in sp.output()]
                         for a in other_refs:
                             add(a, {a})
                             for b in sub_out:
@@ -266,6 +304,18 @@ def _link_filter_subqueries(plan: PlanNode, add) -> None:
                 raw_plan = node.raw.get("plan")
                 if isinstance(raw_plan, list) and raw_plan:
                     _link_correlation(parse_plan_list(raw_plan), add)
+
+
+def _having_shape(p: PlanNode) -> bool:
+    """True when the subquery plan has a Filter ABOVE an Aggregate (the
+    HAVING pattern) — Spark 3.2 cannot decorrelate it, so the subquery
+    expression survives optimization. Correlation Filters sit BELOW the
+    Aggregate and don't match."""
+    return any(
+        n.cls == "Filter"
+        and any(d.cls == "Aggregate" for d in n.walk() if d is not n)
+        for n in p.walk()
+    )
 
 
 def _split_outer_inner(expr) -> tuple[list[int], list[int]]:
@@ -400,9 +450,13 @@ def _contract_plan(
             for t in _terminals(eid, fwd):
                 if t in out_map:
                     col_edges.append(GraphEdge(node.unique_id, i, quid, out_map[t]))
-        if not col_edges:
-            # nothing traced to the output, but the table still feeds the
-            # query: whole-node edges from each referenced column
+        if not any(e.to_idx is not None for e in col_edges):
+            # no column reaches a real output column, but the table still
+            # feeds the query (join/grouping/correlation keys): whole-node
+            # edges from each referenced column — the reference's
+            # refMap.contains fallback (SQLFlow.scala:624-627). This
+            # subsumes any whole-node edges traced via None-mapped subquery
+            # outputs (their source columns are referenced by definition).
             col_edges = [
                 GraphEdge(node.unique_id, i, quid, None)
                 for i, (_, eid) in enumerate(lout)
@@ -416,9 +470,16 @@ def _contract_plan(
 
     # subquery plans: their outputs feed the query as whole-node edges,
     # and — through the shared fwd map + inherited out_map — correlated
-    # inner attributes resolve to the OUTER query's output columns
+    # inner attributes resolve to the OUTER query's output columns.
+    # Exists/IN subquery SELECT lists are dead after the optimizer's
+    # semi/anti-join rewrite (only correlation/IN keys survive), so their
+    # outputs do NOT feed the query; IN-value links go through
+    # _link_filter_subqueries instead.
     for sp in _iter_subplans(plan):
-        sub_out = {**out_map, **{eid: None for _, eid in sp.output()}}
+        if sp.raw.get("_sq_kind") in ("Exists", "ListQuery"):
+            sub_out = dict(out_map)
+        else:
+            sub_out = {**out_map, **{eid: None for _, eid in sp.output()}}
         _contract_plan(
             sp, sub_out, ex, nodes, edges, quid, seen_edges, depth + 1, fwd
         )

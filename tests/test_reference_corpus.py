@@ -67,21 +67,15 @@ def test_corpus_catalog_lineage(corpus_session, path):
 
 RESULTS_DIR = "/root/reference/src/test/resources/sql-flow-tests/results"
 
-#: Files where full recovery of the reference's edges is impossible from a
-#: 4.x analyzed plan, with the minimum required coverage |ref∩ours|/|ref|.
-#: The reference extracts AFTER re-running the optimizer over its doctored
-#: plan on Spark 3.2 — its correlated subqueries are fully decorrelated
-#: into joins (multi-level, through aggregates) before ref collection. We
-#: emulate the first-order rewrites (predicate pushdown, IN/EXISTS
-#: correlation linking, set-op anti/semi joins — plans/contracted.py), which
-#: recovers most but not all of the deeper decorrelation edges.
-_PARTIAL_COVERAGE: dict[str, float] = {
-    "exists-subquery": 0.75,
-    "exists-subquery-aggregate": 0.75,
-    "in-subquery-aggregate": 0.7,
-    "scalar-subquery": 0.7,
-    "scalar-subquery-predicate": 0.9,
-}
+#: No partial-coverage floors remain: every corpus file's reference
+#: backbone is fully recovered (ref ⊆ ours). The reference extracts AFTER
+#: re-running the optimizer over its doctored plan on Spark 3.2 — its
+#: correlated subqueries are decorrelated into joins before collection.
+#: plans/contracted.py emulates those rewrites on the 4.x analyzed plan:
+#: predicate pushdown, IN/EXISTS correlation linking, set-op anti/semi
+#: joins, dead EXISTS/IN SELECT lists, grouping-key refs, and
+#: HAVING-gated correlated-scalar comparison links.
+_PARTIAL_COVERAGE: dict[str, float] = {}
 # subquery-in-from needs no floor: its views are semantically equivalent in
 # groups (t1/t3/t5 and t2/t4/t6) and both engines collapse each group to a
 # representative — ours the first by catalog order, the reference's Scala

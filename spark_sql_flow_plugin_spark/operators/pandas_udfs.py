@@ -84,6 +84,57 @@ def pandas_scalar_band(spark, sf_dir):
 
 
 @register(
+    "cogroup_user_enrich",
+    """
+    SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           e.max_value AS max_value,
+           c.c_mktsegment AS segment,
+           c.c_acctbal AS acctbal
+    FROM (SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+          FROM events GROUP BY user_id) e
+    FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "pandas-udf",
+)
+def cogroup_user_enrich(spark, sf_dir):
+    """Grouped cogroup enrichment (Catalyst FlatMapCoGroupsInPandas —
+    reference rule SQLFlow.scala:452-456): per-user event stats joined with
+    the customer dimension inside one Arrow-batched function, full-outer
+    over the key space (a key present on either side produces a row).
+
+    Scale: both sides shuffle once on the key; per-group work is O(group)
+    and vectorized. Aggregates are order-independent (count/max) so the
+    result is bit-stable across partitionings.
+    """
+    ev = load(spark, sf_dir, "events")["events"]
+    cu = load(spark, sf_dir, "customer")["customer"]
+
+    def enrich(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        mx = left["value"].max() if len(left) else None
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(left)],
+                "max_value": [None if mx is None or pd.isna(mx) else float(mx)],
+                "segment": [right["c_mktsegment"].iloc[0] if len(right) else None],
+                "acctbal": [right["c_acctbal"].iloc[0] if len(right) else None],
+            }
+        )
+
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .cogroup(cu.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy("c_custkey"))
+        .applyInPandas(
+            enrich,
+            "user_id bigint, n_events bigint, max_value double, "
+            "segment string, acctbal double",
+        )
+    )
+
+
+@register(
     "mapinpandas_enrich",
     """
     SELECT doc_id, n_chars, n_chars * 2 AS double_chars FROM documents WHERE n_chars > 200

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..caching import scope_caches
 from ..registry import register
 from ..sources import load
 
@@ -205,7 +206,9 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     branches (bands self-join + two verify joins), and without persistence
     Spark re-runs the tokenize→shingle→md5 pipeline once per consumer. At
     production scale this materialization is the signature table you'd
-    write to storage between pipeline stages.
+    write to storage between pipeline stages. Callers must wrap their
+    final result in ``caching.scope_caches(result, sets, sig)`` so the
+    caches are released when the result is garbage-collected.
     """
     aug = augmented_documents(spark, sf_dir)
     sets = (
@@ -294,11 +297,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
     jacc = inter.cast("double") / union_n
-    return (
+    return scope_caches(
         cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .where(jacc >= 0.6)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jacc"))
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jacc")),
+        sets,
+        sig,
     )
 
 
@@ -361,6 +366,7 @@ def dedup_minhash_mllib(spark, sf_dir):
     GROUP BY component
     """,
     "dedup",
+    "bench",
 )
 def dedup_components(spark, sf_dir):
     """Duplicate-CLUSTER resolution: near-dup pairs say A~B and B~C, but a
@@ -384,12 +390,17 @@ def dedup_components(spark, sf_dir):
 
     Returns (component, n_docs) — one row per duplicate cluster.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # hold the lsh result until `und` is materialized: its scope_caches
+    # finalizer unpersists the shared signature tables on GC, and the eager
+    # localCheckpoint below is the (only) consumer that needs them
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh.select("doc_a", "doc_b")
     und = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
         .localCheckpoint()
     )
+    del lsh, pairs  # graph materialized — release the signature caches
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -543,11 +554,13 @@ def dedup_simhash(spark, sf_dir):
     for j in range(_N_SIMHASH_BANDS):
         term = F.bit_count(F.col(f"sa.b{j}").bitwiseXOR(F.col(f"sb.b{j}")))
         hamming = term if hamming is None else hamming + term
-    return (
+    return scope_caches(
         cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .where(hamming <= _SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")),
+        toks,
+        sig,
     )
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..caching import scope_caches
 from ..functions.exprs import SQL_DSUM, dsum
 from ..registry import register
 from ..sources import load, register_views
@@ -27,11 +28,12 @@ def cache_table_join(spark, sf_dir):
     InMemoryRelation scan in the plan)."""
     t = load(spark, sf_dir, "customer", "nation")
     dim = t["nation"].cache()
-    return (
+    return scope_caches(
         t["customer"]
         .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.count("*").alias("n_customers"))
+        .agg(F.count("*").alias("n_customers")),
+        dim,
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..caching import scope_caches
 from ..registry import register
 from ..sources import load
 
@@ -215,9 +216,10 @@ def text_vocab_stats(spark, sf_dir):
         .limit(100)
     )
     w = Window.orderBy(F.col("freq").desc(), "token")
-    return (
+    return scope_caches(
         top.withColumn("rnk", F.row_number().over(w))
-        .select("token", "freq", F.col("rnk").cast("int").alias("rnk"))
+        .select("token", "freq", F.col("rnk").cast("int").alias("rnk")),
+        toks,
     )
 
 
@@ -264,10 +266,13 @@ def text_fingerprint_winnow(spark, sf_dir):
         "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
     ).persist()
     w = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps"))
-    return w.select(
-        "doc_id",
-        F.size("fps").alias("n_fingerprints"),
-        F.array_min("fps").alias("min_fp"),
+    return scope_caches(
+        w.select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+        ),
+        h,
     )
 
 
@@ -294,6 +299,7 @@ def text_fingerprint_winnow(spark, sf_dir):
     WHERE rnk <= 3
     """,
     "text",
+    "bench",
 )
 def text_tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per document by TF-IDF — the keyword/
@@ -311,11 +317,9 @@ def text_tfidf_top_terms(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     # materialization barrier before explode (Generate re-evaluates fused
     # generator inputs per output row — see operators/dedup.py)
-    tok = (
-        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
-        .persist()
-        .select("doc_id", F.explode("toks").alias("token"))
-        .where(F.col("token") != "")
+    toks = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks")).persist()
+    tok = toks.select("doc_id", F.explode("toks").alias("token")).where(
+        F.col("token") != ""
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -333,7 +337,7 @@ def text_tfidf_top_terms(spark, sf_dir):
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
-    return (
+    return scope_caches(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select(
@@ -341,5 +345,6 @@ def text_tfidf_top_terms(spark, sf_dir):
             "token",
             F.round("tfidf", 6).alias("tfidf"),
             F.col("rnk").cast("int").alias("rnk"),
-        )
+        ),
+        toks,
     )

@@ -1,11 +1,14 @@
 """Multimodal plumbing (binary columns, mapInPandas batch shape, stub gates)
 and Structured Streaming behaviors."""
 
+import numpy as np
 import pytest
 
 from spark_sql_flow_plugin_spark.operators.multimodal import (
     decode_audio,
     decode_image,
+    encode_bmp,
+    encode_ppm,
     with_binary_payload,
 )
 from spark_sql_flow_plugin_spark.registry import queries
@@ -17,6 +20,21 @@ def test_decode_stubs_are_gated():
         decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF...")
+
+
+def test_ppm_bmp_round_trip():
+    rng = np.random.default_rng(7)
+    # odd width (5) exercises BMP's 4-byte row padding; bottom-up + BGR
+    # storage must invert exactly
+    arr = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(arr)) == arr).all()
+    assert (decode_image(encode_bmp(arr)) == arr).all()
+
+
+def test_ppm_header_comments_and_whitespace():
+    arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    raw = b"P6\n# a comment\n 2\t2\n# another\n255\n" + arr.tobytes()
+    assert (decode_image(raw) == arr).all()
 
 
 def test_binary_payload_schema(spark, sf_dir):

@@ -1,0 +1,154 @@
+"""Time-series joins (NEW — SURVEY.md §7 M7): as-of join and bounded
+range join over the events table.
+
+Spark has no native ASOF/RANGE join operator, so both are expressed as
+compositions of shuffles Catalyst already optimizes well:
+
+- as-of: the union+window trick — one shuffle on the partition key, a
+  single ordered pass per partition, no join explosion. This is the
+  standard scale pattern (a naive ``l.ts >= r.ts`` theta-join degenerates
+  to a per-key cross product).
+- range: bucketize both sides to the window granularity and equi-join on
+  (key, bucket) — candidate pairs are bounded by bucket occupancy instead
+  of per-key cardinality squared; the exact range predicate filters
+  within the bucket-matched candidates.
+
+DuckDB verifies both: it ships a native ASOF JOIN, and the range join is
+plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..registry import register
+from ..sources import load
+
+
+@register(
+    "asof_join_click_purchase",
+    """
+    WITH ref AS (
+        SELECT user_id, ts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS click_ts, r.click_value
+    FROM l ASOF LEFT JOIN ref r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "timeseries",
+)
+def asof_join_click_purchase(spark, sf_dir):
+    """As-of join: each purchase gets the user's most recent click at or
+    before it (attribution's last-touch primitive).
+
+    Union both streams, window per user ordered by (ts, refs-first), and
+    take the last non-null ref struct up to the current row: ONE shuffle
+    on user_id, one sort per partition, zero join fan-out. Reference rows
+    sort before left rows at equal ts so a same-instant click matches
+    (ASOF's ``>=`` contract). Clicks are pre-deduped per (user, ts) with
+    MAX(value) — both engines then pick the same match deterministically.
+    """
+    ev = load(spark, sf_dir, "events")["events"]
+    ref = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_ref"),
+            F.struct("ts", "click_value").alias("ref"),
+        )
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(0).alias("is_ref"),
+        F.lit(None)
+        .cast("struct<ts:timestamp,click_value:double>")
+        .alias("ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = ref.unionByName(left).withColumn(
+        "last_ref", F.last("ref", ignorenulls=True).over(w)
+    )
+    return matched.where(F.col("is_ref") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("last_ref.ts").alias("click_ts"),
+        F.col("last_ref.click_value").alias("click_value"),
+    )
+
+
+@register(
+    "range_join_error_views",
+    """
+    WITH err AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    v AS (
+        SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+    SELECT e.event_id, e.user_id, e.ts,
+           COUNT(v.vts) AS n_views_1h
+    FROM err e LEFT JOIN v
+      ON e.user_id = v.user_id
+     AND v.vts >= e.ts AND v.vts < e.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    "timeseries",
+)
+def range_join_error_views(spark, sf_dir):
+    """Bounded range join: views within one hour AFTER each error, per
+    user (the did-the-user-recover probe).
+
+    Scale shape: both sides bucketize to the 1-hour window granularity;
+    the error side lands in its own bucket and the next (a 1h window can
+    only span two hour buckets), the join is an EQUI-join on
+    (user_id, bucket) — so candidates are bounded by bucket occupancy,
+    never the per-user event count squared — and the exact range
+    predicate prunes inside the bucket. A plain theta-join here would be
+    a per-user cross product.
+    """
+    ev = load(spark, sf_dir, "events")["events"]
+    hour_us = 3_600_000_000
+    bucket = (F.unix_micros(F.col("ts")) / hour_us).cast("long")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+        bucket.alias("v_bucket"),
+    )
+    hits = err.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("bucket") == F.col("v_bucket"))
+        & (F.col("vts") >= F.col("ts"))
+        & (F.col("vts") < F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+    ).groupBy("event_id").agg(F.count("*").alias("n_hits"))
+    base = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return base.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_views_1h"),
+    )

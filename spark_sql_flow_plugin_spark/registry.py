@@ -59,6 +59,7 @@ def all_specs() -> list[QuerySpec]:
         skew,
         subqueries,
         text,
+        timeseries,
         tpch,
         windows,
     )

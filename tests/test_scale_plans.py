@@ -172,3 +172,34 @@ def test_tfidf_windows_are_partitioned(spark, sf_dir):
     for ln in plan.splitlines():
         if "Window " in ln:
             assert "doc_id" in ln, f"unpartitioned window: {ln}"
+
+
+def test_asof_join_is_window_not_theta_join(spark, sf_dir):
+    # the union+window as-of: one shuffle on user_id, NO join in the plan —
+    # a theta-join (l.ts >= r.ts) would degenerate to a per-user cross
+    # product at scale
+    from spark_sql_flow_plugin_spark.operators import timeseries
+
+    plan = _physical(timeseries.asof_join_click_purchase(spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"as-of degenerated to {bad}"
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "user_id" in ln, f"unpartitioned as-of window: {ln}"
+
+
+def test_range_join_is_bucketed_equi(spark, sf_dir):
+    # candidates come from an equi-join on (user, hour-bucket); the range
+    # predicate must be a post-join filter, not the join strategy
+    from spark_sql_flow_plugin_spark.operators import timeseries
+
+    plan = _physical(timeseries.range_join_error_views(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert any("bucket" in ln for ln in joins), f"no bucket equi-join: {joins}"

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions.exprs import SQL_DSUM
 from ..registry import register
 from ..sources import load
 
@@ -151,4 +152,49 @@ def range_join_error_views(spark, sf_dir):
         "user_id",
         "ts",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_views_1h"),
+    )
+
+
+@register(
+    "hypertable_rollup_daily",
+    f"""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    "timeseries",
+)
+def hypertable_rollup_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the DAILY rollup is computed
+    FROM the hourly rollup, not from raw events — the two-level partial
+    re-aggregation every time-series store (TimescaleDB continuous
+    aggregates, Druid rollup) runs so refreshes touch hours, not raw rows.
+    At 100 TB the hourly layer is what you'd persist; the daily pass then
+    reads ~1/1000th of the raw volume.
+
+    Value sums stay DECIMAL through BOTH levels (only the final select
+    casts to double), so the re-aggregated result is bit-identical to the
+    oracle's single-level sum — count/max/min re-aggregate exactly by
+    algebra; float sums wouldn't.
+    """
+    ev = load(spark, sf_dir, "events")["events"]
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_value"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        hourly.groupBy(
+            "user_id", F.date_trunc("day", F.col("hour")).alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select("user_id", "day", "n_events", "total_value", "max_value")
     )

@@ -408,28 +408,27 @@ def dedup_components(spark, sf_dir):
         .localCheckpoint()
     )
     for _ in range(50):
-        neighbor_min = (
-            und.join(labels, und["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        # convergence detection folded into the recompute: the same join
-        # that produces the new label emits a per-node changed flag, so the
-        # round's only full pass is the checkpoint materialization. The
-        # fixpoint probe is then an any-row scan (limit 1 short-circuits)
-        # over the just-checkpointed blocks — no extra join, no second
+        # one round = ONE aggregation over (own label ∪ neighbor labels):
+        # min(comp) over the union is exactly least(own, min-neighbor), so
+        # the classic neighbor-min-then-rejoin shape collapses from two
+        # joins + an aggregate into one join + one aggregate per round.
+        # Convergence detection is folded in: the self row carries the old
+        # label out of the same aggregation (exactly one self row per
+        # node), and the fixpoint probe is an any-row scan (limit 1
+        # short-circuits) over the just-checkpointed blocks — no extra
         # pass over the graph (round-2 verdict, "What's wrong" #3).
+        nbr = und.join(labels, und["dst"] == labels["node"]).select(
+            und["src"].alias("node"), "comp", F.lit(False).alias("is_self")
+        )
+        own = labels.select("node", "comp", F.lit(True).alias("is_self"))
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                    "chg"
-                ),
+            own.unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(F.when(F.col("is_self"), F.col("comp"))).alias("old_comp"),
             )
+            .select("node", "comp", (F.col("comp") < F.col("old_comp")).alias("chg"))
             .localCheckpoint()
         )
         changed = new_labels.where("chg").limit(1).count()

@@ -153,3 +153,38 @@ def mapinpandas_enrich(spark, sf_dir):
     return d.select("doc_id", "n_chars").mapInPandas(
         enrich, "doc_id bigint, n_chars bigint, double_chars bigint"
     )
+
+
+@register(
+    "mapinarrow_charstats",
+    """
+    SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           substr(text, 1, 1) AS first_char
+    FROM documents
+    """,
+    "pandas-udf",
+)
+def mapinarrow_charstats(spark, sf_dir):
+    """mapInArrow (Catalyst PythonMapInArrow): the zero-copy sibling of
+    mapInPandas — batches arrive as pyarrow RecordBatches and the kernels
+    below run in Arrow's C++ compute layer, skipping the pandas
+    conversion entirely. The cheapest Python-adjacent path for byte/string
+    munging at scale."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.utf8_slice_codeunits(text, 0, 1),
+                ],
+                ["doc_id", "n_chars", "first_char"],
+            )
+
+    return d.mapInArrow(stats, "doc_id bigint, n_chars int, first_char string")

@@ -401,10 +401,13 @@ def dedup_components(spark, sf_dir):
         .localCheckpoint()
     )
     del lsh, pairs  # graph materialized — release the signature caches
+    # initialize with round 1 already applied: label(n) = min(n, min
+    # neighbor) falls out of one aggregation over the edge list, so the
+    # identity-label round is never materialized or iterated
     labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        und.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("comp"))
+        .select(F.col("src").alias("node"), "comp")
         .localCheckpoint()
     )
     for _ in range(50):

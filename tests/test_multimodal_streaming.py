@@ -3,6 +3,8 @@ and Structured Streaming behaviors."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from spark_sql_flow_plugin_spark.operators.multimodal import (
     decode_audio,
@@ -35,6 +37,21 @@ def test_ppm_header_comments_and_whitespace():
     arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     raw = b"P6\n# a comment\n 2\t2\n# another\n255\n" + arr.tobytes()
     assert (decode_image(raw) == arr).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_codec_round_trip_property(w, h, seed):
+    # every (w, h) combination exercises a different BMP row padding
+    # (w*3 mod 4) and bottom-up inversion; pixel values are arbitrary bytes
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(arr)) == arr).all()
+    assert (decode_image(encode_bmp(arr)) == arr).all()
 
 
 def test_binary_payload_schema(spark, sf_dir):

@@ -80,10 +80,39 @@ def _apply_op(spark, sf_dir, df, op: int):
         return df.select(
             "*", F.explode(F.array(F.col(c0).cast("string"), F.lit("x"))).alias("ex")
         )
+    # 11-14: the pandas/arrow map family (FlatMapGroupsInPandas,
+    # FlatMapCoGroupsInPandas, MapInPandas, PythonMapInArrow). Extraction
+    # is analysis-only, so the identity lambdas never execute — these
+    # exercise the plan-node branches, not the UDF runtime.
+    schema = ", ".join(f"`{c}` string" for c in df.columns)
+    if op == 11:
+        return df.select(
+            *[F.col(c).cast("string").alias(c) for c in cols]
+        ).mapInPandas(lambda it: it, schema)
+    if op == 12:
+        return (
+            df.select(*[F.col(c).cast("string").alias(c) for c in cols])
+            .groupBy(c0)
+            .applyInPandas(lambda pdf: pdf, schema)
+        )
+    if op == 13:
+        other = _other(spark, sf_dir)
+        return (
+            df.groupBy(F.col(c0).cast("long"))
+            .cogroup(other.groupBy("r_regionkey"))
+            .applyInPandas(
+                lambda left, right: left,
+                ", ".join(f"`{c}` string" for c in df.columns),
+            )
+        )
+    if op == 14:
+        return df.select(
+            *[F.col(c).cast("string").alias(c) for c in cols]
+        ).mapInArrow(lambda it: it, schema)
     return df
 
 
-@given(ops=st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=5))
+@given(ops=st.lists(st.integers(min_value=0, max_value=14), min_size=1, max_size=5))
 @settings(
     max_examples=30,
     deadline=None,

@@ -203,3 +203,28 @@ def test_range_join_is_bucketed_equi(spark, sf_dir):
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
     ]
     assert any("bucket" in ln for ln in joins), f"no bucket equi-join: {joins}"
+
+
+def test_pq_never_shuffles_embeddings(spark, sf_dir):
+    # PQ's reason to exist: after the broadcast-codebook cross-score, only
+    # (id, subspace, code/distance) rows move — never the 64-float vectors
+    from spark_sql_flow_plugin_spark.operators import similarity
+
+    plan = _physical(similarity.ann_pq_adc(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding#" not in ln, f"embedding vectors shuffled: {ln}"
+
+
+def test_multiprobe_is_cell_equi_join(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.operators import similarity
+
+    plan = _physical(similarity.ann_ivf_multiprobe(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert any("cell" in ln for ln in joins), f"no cell equi-join: {joins}"

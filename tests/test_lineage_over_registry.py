@@ -36,3 +36,15 @@ def test_lineage_extracts(spark, sf_dir, spec):
     # contracted mode also works and only keeps leaves + query
     cnodes, _ = extract(df, contracted=True, flow_name=f"c_{spec.name}")
     assert {n.tpe.value for n in cnodes} <= {"TableNode", "LeafPlanNode", "QueryNode"}
+    # every sink formatter renders every plan shape without error — a
+    # reference user saves DOT/Mermaid/adjacency for arbitrary queries
+    from spark_sql_flow_plugin_spark.sinks.adjacency import AdjacencyListSink
+    from spark_sql_flow_plugin_spark.sinks.graphviz import GraphVizSink
+    from spark_sql_flow_plugin_spark.sinks.mermaid import MermaidSink
+
+    dot = GraphVizSink().to_graph_string(nodes, edges)
+    assert "digraph" in dot and qnode.unique_id in dot
+    mmd = MermaidSink().to_graph_string(nodes, edges)
+    assert ("flowchart" in mmd or "graph" in mmd) and qnode.unique_id in mmd
+    adj = AdjacencyListSink().to_graph_string(nodes, edges)
+    assert adj.strip(), "empty adjacency output"

@@ -58,6 +58,11 @@ _TABLE_CLASSES = {
     # createDataFrame over local rows serializes as an RDD-backed leaf
     "LogicalRDD",
     "ExternalRDD",
+    # unstarted streaming sources are leaf scans too (reference has no
+    # streaming support — NEW surface, classified like their batch twins)
+    "StreamingRelation",
+    "StreamingRelationV2",
+    "StreamingExecutionRelation",
 }
 _VIEW_CLASSES = {"View", "TempViewNode"}
 

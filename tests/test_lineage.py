@@ -237,3 +237,35 @@ def test_auto_tracking_registers_views(spark):
     assert spark.catalog.tableExists("stage_filter")
     nodes, _ = extract(spark)
     assert "stage_filter" in {n.ident for n in nodes}
+
+
+def test_streaming_dataframe_lineage(spark, sf_dir):
+    """Streaming DataFrames extract from the ANALYZED plan (Spark refuses
+    to optimize an unstarted stream) — the isStreaming branch of
+    api.extract. Assert both modes produce a connected graph whose source
+    is the streaming file relation, without ever starting the query."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_flow_plugin_spark.api import extract
+    from spark_sql_flow_plugin_spark.streaming.events import _read_events_stream
+
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", "n_events")
+    )
+    assert agg.isStreaming
+    nodes, edges = extract(agg, flow_name="stream_flow")
+    assert nodes and edges
+    ids = {n.unique_id for n in nodes}
+    for e in edges:
+        assert e.from_id in ids and e.to_id in ids
+    qnode = next(n for n in nodes if n.tpe.value == "QueryNode")
+    assert qnode.attribute_names == ["event_type", "n_events"]
+    cnodes, cedges = extract(agg, contracted=True, flow_name="stream_cflow")
+    assert cnodes and cedges
+    assert {n.tpe.value for n in cnodes} <= {
+        "TableNode", "LeafPlanNode", "QueryNode",
+    }

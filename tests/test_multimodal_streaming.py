@@ -88,3 +88,21 @@ def test_stream_equals_batch(spark, sf_dir):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_transform_with_state_gated(spark, sf_dir):
+    """The v2 stateful API registers only when protobuf is available;
+    without it the builder raises the documented gate error instead of
+    crashing the streaming driver worker."""
+    from spark_sql_flow_plugin_spark.streaming import stateful
+
+    if stateful._has_protobuf():
+        df = stateful.stream_transform_with_state(spark, sf_dir)
+        agg = {r["user_id"]: (r["n_events"], r["sum_scaled"]) for r in df.collect()}
+        assert agg  # same semantics as the batch SQL oracle
+    else:
+        with pytest.raises(NotImplementedError):
+            stateful.stream_transform_with_state(spark, sf_dir)
+        from spark_sql_flow_plugin_spark.registry import queries
+
+        assert "stream_transform_with_state" not in queries()

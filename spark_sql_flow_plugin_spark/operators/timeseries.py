@@ -198,3 +198,37 @@ def hypertable_rollup_daily(spark, sf_dir):
         )
         .select("user_id", "day", "n_events", "total_value", "max_value")
     )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "timeseries",
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction — every pipeline's event payloads are
+    JSON strings. Two JVM-side paths shown (no Python): `from_json` with
+    an explicit schema (typed struct, catches schema drift as nulls) for
+    the aggregated value, `get_json_object` path-expression for the
+    bounds. Both compile to codegen'd JSON parsing; the parse happens
+    once per row pre-shuffle and only (event_type, partial aggregates)
+    move."""
+    ev = load(spark, sf_dir, "events")["events"]
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k_struct").alias("sum_k"),
+        F.min("k_path").alias("min_k"),
+        F.max("k_path").alias("max_k"),
+    )

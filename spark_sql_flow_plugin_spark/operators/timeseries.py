@@ -232,3 +232,55 @@ def events_json_props(spark, sf_dir):
         F.min("k_path").alias("min_k"),
         F.max("k_path").alias("max_k"),
     )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    "timeseries",
+)
+def pivot_event_counts(spark, sf_dir):
+    """`groupBy().pivot()` — long-to-wide reshaping. The pivot VALUES are
+    passed explicitly: with an explicit list Spark skips the extra
+    distinct-collect job it otherwise runs to discover the columns (a
+    full scan at 100 TB) and the output schema is deterministic."""
+    ev = load(spark, sf_dir, "events")["events"]
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )
+
+
+@register(
+    "map_type_roundtrip",
+    """
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+    "timeseries",
+)
+def map_type_roundtrip(spark, sf_dir):
+    """MapType round-trip: per-user counts packed into a MAP column
+    (map_from_entries over sorted entries) and exploded back to rows —
+    the schema shape feature stores and JSON-ish exports use. The
+    round-trip is lossless, so the oracle is the plain GROUP BY."""
+    ev = load(spark, sf_dir, "events")["events"]
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return packed.select(
+        "user_id", F.explode("m").alias("event_type", "cnt")
+    )

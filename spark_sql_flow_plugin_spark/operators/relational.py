@@ -590,3 +590,31 @@ def except_all(spark, sf_dir):
 def distinct_dropdup(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return li.select("l_returnflag", "l_linestatus", "l_suppkey").dropDuplicates()
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           MEDIAN(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregate",
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """EXACT median / percentile_cont — the precise counterpart of the
+    approx_percentile sketch (operators/misc.py). Exact percentiles
+    buffer each group's values (ObjectHashAggregate); at 100 TB that is
+    the expensive-but-sometimes-required path (e.g. SLA reporting), and
+    the sketch is the default. Interpolation is deterministic, so unlike
+    the sketch this one IS value-oracle-checked."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )

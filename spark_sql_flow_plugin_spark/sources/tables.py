@@ -35,17 +35,24 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as LONG instead (lossless here — the
-    generator only fills microseconds). Callers convert via
-    :func:`convert_event_ts`."""
+    """The driver has generated events.parquet with two different physical
+    types for ``ts`` across rounds: INT64 TIMESTAMP(NANOS) (which Spark's
+    parquet reader rejects unless nanos are read as LONG) and plain
+    TIMESTAMP(MICROS). Set the legacy nanos conf so either layout reads;
+    callers normalize via :func:`convert_event_ts`."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """LONG nanos → TIMESTAMP (µs), matching DuckDB's CAST(ts AS TIMESTAMP)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    """Normalize ``ts`` to session-zone TIMESTAMP (µs precision), matching
+    DuckDB's TIMESTAMP on the same file: LONG nanos → timestamp_micros,
+    TIMESTAMP_NTZ (micros parquet layout) → plain cast (UTC session)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,273 @@
+"""Corpus-curation operators for LLM training-data pipelines (NEW — no
+reference counterpart; BASELINE.json north star): benchmark decontamination,
+deterministic stratified sampling, sequence chunking, repetition scoring,
+and domain-mix rebalancing.
+
+These are the steps a 100 TB pre-training pipeline runs between raw ingest
+and tokenization. All hot paths are JVM-side `pyspark.sql.functions`
+(whole-stage codegen; no Python UDFs), and every formula is replicated
+verbatim in the DuckDB oracle:
+
+- the n-gram keys are md5 hex strings (identical in both engines, unlike
+  murmur3/xxhash builtins);
+- sampling decisions come from md5-derived uniform deviates, so the "random"
+  sample is a pure function of the row key — re-runnable, audit-able, and
+  cross-engine identical (the property a production pipeline needs anyway:
+  elastic re-execution must not resample);
+- ratios are plain double divisions of exact integer counts.
+
+Scale posture (asserted in tests/test_scale_plans.py):
+- decontamination joins the corpus n-gram stream against the *benchmark*
+  n-gram set, which is tiny by construction (eval suites are MBs, the corpus
+  is TBs) → broadcast hash join, corpus never shuffles;
+- chunking / repetition / sampling are row-local (no Exchange at all beyond
+  the final aggregation where one exists);
+- domain-mix runs one partial-aggregated groupBy over ~#domains rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+from .text import _DUCK_WTOKS, _SPARK_WTOKS
+
+# Word 8-gram keys, md5-hashed: the standard train/test-contamination
+# granularity (long enough that natural-language collisions are rare).
+_N = 8
+_SPARK_NGRAM_KEYS = (
+    f"array_distinct(transform(sequence(1, size(toks) - {_N - 1}), "
+    f"i -> md5(array_join(slice(toks, i, {_N}), ' '))))"
+)
+_DUCK_NGRAM_KEYS = (
+    f"list_distinct(list_transform(generate_series(1, len(toks) - {_N - 1}), "
+    f"i -> md5(array_to_string(toks[i:i+{_N - 1}], ' '))))"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    ng AS (
+        SELECT doc_id, unnest({_DUCK_NGRAM_KEYS}) AS k
+        FROM toks WHERE len(toks) >= {_N}),
+    bench AS (SELECT DISTINCT k FROM ng WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, k FROM ng WHERE doc_id % 20 != 0)
+    SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM corpus JOIN bench USING (k)
+    GROUP BY corpus.doc_id
+    """,
+    "curation",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Train/test decontamination: flag corpus documents sharing any word
+    8-gram with the benchmark holdout (doc_id % 20 == 0 stands in for the
+    eval suite).
+
+    100 TB shape: the benchmark n-gram set is small by construction, so the
+    join broadcasts it and the corpus n-gram stream never shuffles; per-doc
+    dedup happens pre-explode via array_distinct, so the counting groupBy
+    aggregates one row per (doc, shared n-gram).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    ng = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") >= _N)
+        .select("doc_id", F.explode(F.expr(_SPARK_NGRAM_KEYS)).alias("k"))
+    )
+    bench = ng.where(F.col("doc_id") % 20 == 0).select("k").distinct()
+    corpus = ng.where(F.col("doc_id") % 20 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "k")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+# Uniform deviate in [0, 1) from the first 8 md5 hex digits of the row key.
+_SPARK_U = "conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) / 4294967296.0"
+_DUCK_U = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+# Per-stratum keep rates: heavier sampling of even-numbered sources.
+_RATE = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.25 ELSE 0.75 END"
+
+
+@register(
+    "sample_stratified_hash",
+    f"""
+    SELECT doc_id, source, round({_DUCK_U}, 9) AS u
+    FROM documents
+    WHERE {_DUCK_U} < {_RATE}
+    """,
+    "curation",
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sampling: keep a row iff its md5-derived
+    uniform deviate falls under its stratum's rate.
+
+    Unlike `df.sample()` / TABLESAMPLE, the decision is a pure function of
+    the row key — re-running the pipeline (or re-executing a lost partition
+    on a 1000-executor cluster) selects the SAME sample, which is what makes
+    the result reproducible and oracle-checkable. Row-local: no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    u = F.expr(_SPARK_U)
+    rate = F.expr(_RATE)
+    return d.where(u < rate).select("doc_id", "source", F.round(u, 9).alias("u"))
+
+
+_CHUNK = 32
+
+
+@register(
+    "docs_chunk_tokens",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_CHUNK}) AS INT))) AS chunk_id
+        FROM toks WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(LEAST({_CHUNK}, len(toks) - chunk_id * {_CHUNK}) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}], ' ')) AS chunk_fp
+    FROM c
+    """,
+    "curation",
+)
+def docs_chunk_tokens(spark, sf_dir):
+    """Sequence-prep chunking: split every document into fixed 32-token
+    windows (the max-sequence-length packing step before tokenization),
+    emitting per-chunk token counts and a content fingerprint.
+
+    Row-local fan-out (explode of an in-row sequence): embarrassingly
+    parallel, zero shuffles, scales linearly with corpus bytes.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(0, cast((size(toks) - 1) / {_CHUNK} as int))")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(
+                F.lit(_CHUNK), F.expr(f"size(toks) - chunk_id * {_CHUNK}")
+            ).cast("int").alias("n_chunk_tokens"),
+            F.expr(
+                f"md5(array_join(slice(toks, chunk_id * {_CHUNK} + 1, {_CHUNK}), ' '))"
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+_SPARK_3G = (
+    "zip_with(slice(toks, 1, size(toks) - 2), "
+    "zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2), "
+    "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc))"
+)
+_DUCK_3G = (
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+)
+
+
+@register(
+    "text_repetition_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_uniq,
+               len(toks) - 2 AS n_3g,
+               len(list_distinct({_DUCK_3G})) AS n_uniq_3g
+        FROM t WHERE len(toks) >= 3)
+    SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+           round(CAST(n_uniq AS DOUBLE) / n_toks, 6) AS uniq_token_ratio,
+           round(1.0 - CAST(n_uniq_3g AS DOUBLE) / n_3g, 6) AS dup_3gram_ratio
+    FROM c
+    """,
+    "curation",
+)
+def text_repetition_score(spark, sf_dir):
+    """Repetition / boilerplate detector: unique-token ratio and duplicate
+    word-3-gram fraction (the cheap structural proxies for low-quality,
+    loopy, or template text that curation filters threshold on).
+
+    Row-local HOFs (zip_with shingles — same trick as dedup_minhash_lsh:
+    slice() outside the lambda evaluates once per row); no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    c = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") >= 3)
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_toks"),
+            F.expr("size(array_distinct(toks))").alias("n_uniq"),
+            F.expr("size(toks) - 2").alias("n_3g"),
+            F.expr(f"size(array_distinct({_SPARK_3G}))").alias("n_uniq_3g"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.round(F.col("n_uniq").cast("double") / F.col("n_toks"), 6).alias(
+            "uniq_token_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_uniq_3g").cast("double") / F.col("n_3g"), 6
+        ).alias("dup_3gram_ratio"),
+    )
+
+
+@register(
+    "domain_mix_rates",
+    f"""
+    WITH per_src AS (
+        SELECT source, SUM(len({_DUCK_WTOKS})) AS tok_total
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(tok_total) AS grand, COUNT(*) AS n_src FROM per_src)
+    SELECT source, CAST(tok_total AS BIGINT) AS tok_total,
+           round(LEAST(1.0, (CAST(grand AS DOUBLE) / n_src) / tok_total), 6)
+               AS sample_rate
+    FROM per_src, tot
+    """,
+    "curation",
+)
+def domain_mix_rates(spark, sf_dir):
+    """Domain-mix rebalancing: per-source token totals and the per-source
+    sampling rate that moves the corpus toward a uniform target mixture
+    (rate = min(1, target_share / actual_share)).
+
+    One partial-aggregated groupBy over the corpus; the grand total joins
+    back as a single broadcast row — never a driver-side collect().
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_SPARK_WTOKS))).alias("tok_total")
+    )
+    tot = per_src.agg(
+        F.sum("tok_total").alias("grand"), F.count("*").alias("n_src")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("tok_total").cast("bigint").alias("tok_total"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("grand").cast("double") / F.col("n_src")) / F.col("tok_total"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )

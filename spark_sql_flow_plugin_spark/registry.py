@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None, *tags: str):
 def all_specs() -> list[QuerySpec]:
     # Import side-effect modules exactly once.
     from .operators import (  # noqa: F401
+        curation,
         dedup,
         generators,
         misc,

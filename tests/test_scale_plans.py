@@ -228,3 +228,29 @@ def test_multiprobe_is_cell_equi_join(spark, sf_dir):
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
     ]
     assert any("cell" in ln for ln in joins), f"no cell equi-join: {joins}"
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark n-gram set is MBs against a TB corpus: it must broadcast,
+    # and the corpus n-gram stream must never cross a cartesian
+    plan = _physical(queries()["decontaminate_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_and_sampling_are_row_local(spark, sf_dir):
+    # sequence chunking and hash-sampling are per-row transforms: any
+    # Exchange in the plan means an accidental shuffle of corpus bytes
+    for name in ("docs_chunk_tokens", "sample_stratified_hash", "text_repetition_score"):
+        plan = _physical(queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+        assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_domain_mix_broadcasts_grand_total(spark, sf_dir):
+    # the grand-total row joins back via broadcast (1 row), never a shuffle
+    # of the per-source aggregate against itself
+    plan = _physical(queries()["domain_mix_rates"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -63,6 +63,9 @@ _TABLE_CLASSES = {
     "StreamingRelation",
     "StreamingRelationV2",
     "StreamingExecutionRelation",
+    # a memory-sink streaming result read back via spark.table(name) —
+    # the downstream half of a streaming pipeline is a table scan too
+    "MemoryPlan",
 }
 _VIEW_CLASSES = {"View", "TempViewNode"}
 

@@ -196,3 +196,88 @@ def stream_dedup_exact(spark, sf_dir):
         .dropDuplicates(["fp", "tlen"])
     )
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "streaming",
+)
+def stream_click_purchase_join(spark, sf_dir):
+    """Stream-stream interval join: click→purchase attribution within a
+    30-minute window. Both sides carry event-time watermarks, so Spark can
+    bound the join state (clicks older than watermark − 30 min can never
+    match a future purchase and are evicted) — the property that keeps a
+    continuous attribution pipeline's state finite. availableNow processes
+    the backlog in one batch, where the inner join emits exactly the batch
+    interval-join result.
+    """
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+               AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k) ks
+    GROUP BY 1, 2
+    """,
+    "streaming",
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregate (2-hour window, 30-minute slide): each event
+    lands in exactly 4 overlapping windows. The oracle replicates Spark's
+    window assignment by fanning each row out to bucket(ts) − k·slide for
+    k = 0..3 — the same expansion Spark's window() operator plans internally.
+    """
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        F.col("win.start").alias("window_start"), "event_type", "n_events"
+    )

@@ -326,3 +326,157 @@ def events_top_users(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("event_type", "user_id", "sum_value", "rnk")
     )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "tpch",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-fact join narrowed by a date slice, tiny dim
+    broadcast, top-k via TakeOrderedAndProject (never a global sort)."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END)
+                / SUM({SQL_REVENUE}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    "tpch",
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate over a filtered fact-dim join
+    (part broadcasts at any SF where it fits; the date filter pushes to the
+    lineitem scan)."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    "tpch",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides. The
+    single common conjunct (the equi-key) keeps this a hash join; Catalyst
+    pushes the disjunction's single-side residuals (p_brand IN (...),
+    l_quantity range) below the join as derived filters."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           {SQL_DSUM.format(x='c_acctbal')} AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+    GROUP BY c_mktsegment
+    """,
+    "tpch",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-average subquery gate + anti join against the
+    fact table, grouped rollup of who's left (c_mktsegment substitutes for
+    the spec's phone prefix — the synthetic schema carries no phone; the
+    anti-join is against *whale orders* because this generator gives every
+    customer some order, making a bare NOT EXISTS vacuous)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               {SQL_DSUM.format(x='c_acctbal')} AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        GROUP BY c_mktsegment
+        """
+    )

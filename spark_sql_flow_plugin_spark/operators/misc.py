@@ -163,3 +163,67 @@ def approx_percentile_sketch(spark, sf_dir):
             F.element_at("q", 3).alias("price_p75"),
         )
     )
+
+
+@register(
+    "string_funcs_battery",
+    """
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS lev_to_first,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           reverse(c_mktsegment) AS seg_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+           repeat(substr(c_mktsegment, 1, 1), 3) AS seg_initial_x3,
+           ascii(c_mktsegment) AS seg_ascii
+    FROM customer
+    """,
+    "functions",
+)
+def string_funcs_battery(spark, sf_dir):
+    """Scalar string-function surface: levenshtein / lpad / reverse /
+    translate / repeat / ascii, all JVM builtins inside one codegen stage
+    (identical semantics in DuckDB, asserted by the oracle)."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev_to_first"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_initial_x3"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+    )
+
+
+@register(
+    "date_funcs_battery",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           last_day(o_orderdate) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_spark,
+           CAST(weekofyear(o_orderdate) AS INT) AS week_of_year,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INT) AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    """,
+    "functions",
+)
+def date_funcs_battery(spark, sf_dir):
+    """Scalar date-function surface: quarter / last_day / dayofweek /
+    weekofyear / datediff / date_add. DuckDB numbers dayofweek from Sunday=0
+    while Spark uses Sunday=1, hence the +1 shim in the oracle — the one
+    cross-engine divergence in this battery."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow_spark"),
+        F.weekofyear("o_orderdate").alias("week_of_year"),
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )

@@ -65,6 +65,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Data-independent CPU calibration anchor: hash 20M longs through md5 and
+    # aggregate. Round-over-round query deltas can only be interpreted
+    # relative to this number — round 3→4 showed a lockstep ~2x slowdown of
+    # the three cheapest text queries with identical data shapes and
+    # identical physical plans, i.e. host-throughput drift, not a plan
+    # regression. Dividing query time by calibration time normalizes it out.
+    from pyspark.sql import functions as F
+
+    cal = float("inf")
+    for _ in range(n_runs):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).agg(F.max("h")).collect()
+        cal = min(cal, time.time() - t0)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -76,6 +92,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,
                 "timing": "min over runs (steady-state)",
+                "calibration_md5_20m_sec": round(cal, 3),
             }
         )
     )

@@ -407,17 +407,17 @@ def dedup_components(spark, sf_dir):
     # inheriting the corpus-scale shuffle width: at sf0.1 that turns each
     # round's 32-partition shuffle+checkpoint into a 1-partition one
     # (round time 1.7s -> 0.5s); at 10B edges it scales back up to 5000
-    # partitions. The conf is session-global, so restore it in `finally`
-    # (concurrent queries on the same session during the loop would see
-    # the narrowed width).
+    # partitions. The width is expressed PLAN-LOCALLY via explicit
+    # hash-repartitions on the iteration's inputs — never by mutating the
+    # session-global ``spark.sql.shuffle.partitions`` (which a concurrent
+    # query on the shared session would silently inherit). Partitioning
+    # ``und`` by the join key ``dst`` also co-locates it with the
+    # label aggregation output (HashPartitioning(node, npart)), so the
+    # per-round join needs NO exchange at all.
     n_edges = und.count()
     npart = max(1, -(-n_edges // 2_000_000))
-    old_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
-    try:
-        labels = _propagate_min_labels(spark, und.repartition(npart).localCheckpoint())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    und = und.repartition(npart, "dst").localCheckpoint()
+    labels = _propagate_min_labels(spark, und, npart)
     return (
         labels.groupBy("comp")
         .agg(F.count("*").alias("n_docs"))
@@ -425,15 +425,20 @@ def dedup_components(spark, sf_dir):
     )
 
 
-def _propagate_min_labels(spark, und):
+def _propagate_min_labels(spark, und, npart):
     """HashMin fixpoint over a materialized edge list: returns (node, comp)
-    labels where comp = min doc_id reachable. Caller sizes the shuffle
-    width to the edge count before entering."""
+    labels where comp = min doc_id reachable. ``npart`` is the edge-sized
+    shuffle width; every aggregation is preceded by an explicit
+    ``repartition(npart, key)`` so the width lives in THIS plan only —
+    HashPartitioning(key, npart) satisfies the aggregate's clustering
+    requirement, so Catalyst inserts no second exchange and the session's
+    ``spark.sql.shuffle.partitions`` is never consulted or modified."""
     # initialize with round 1 already applied: label(n) = min(n, min
     # neighbor) falls out of one aggregation over the edge list, so the
     # identity-label round is never materialized or iterated
     labels = (
-        und.groupBy("src")
+        und.repartition(npart, "src")
+        .groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("comp"))
         .select(F.col("src").alias("node"), "comp")
         .localCheckpoint()
@@ -454,6 +459,7 @@ def _propagate_min_labels(spark, und):
         own = labels.select("node", "comp", F.lit(True).alias("is_self"))
         new_labels = (
             own.unionByName(nbr)
+            .repartition(npart, "node")
             .groupBy("node")
             .agg(
                 F.min("comp").alias("comp"),

@@ -254,3 +254,30 @@ def test_domain_mix_broadcasts_grand_total(spark, sf_dir):
     plan = _physical(queries()["domain_mix_rates"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_components_width_is_plan_local(spark, sf_dir):
+    # round-3 verdict item #3: the components fixpoint loop used to narrow
+    # session-global spark.sql.shuffle.partitions for its duration, so any
+    # concurrent query on the shared session silently ran at the narrowed
+    # width. The width must now live in the plan (explicit repartition):
+    # spark.conf.set must never be called with the shuffle-width key during
+    # the whole iteration, and the session value must be byte-identical
+    # before/after/throughout.
+    conf = spark.conf
+    before = conf.get("spark.sql.shuffle.partitions")
+    calls = []
+    orig_set = conf.set
+
+    def recording_set(key, value):
+        calls.append(str(key))
+        return orig_set(key, value)
+
+    conf.set = recording_set
+    try:
+        n = dedup.dedup_components(spark, sf_dir).count()
+    finally:
+        conf.set = orig_set
+    assert n > 0
+    assert "spark.sql.shuffle.partitions" not in calls
+    assert conf.get("spark.sql.shuffle.partitions") == before

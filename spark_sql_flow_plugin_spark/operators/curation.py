@@ -90,8 +90,19 @@ def decontaminate_ngram(spark, sf_dir):
 # Uniform deviate in [0, 1) from the first 8 md5 hex digits of the row key.
 _SPARK_U = "conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) / 4294967296.0"
 _DUCK_U = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
-# Per-stratum keep rates: heavier sampling of even-numbered sources.
-_RATE = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.25 ELSE 0.75 END"
+# Per-stratum keep rates keyed on a hash of the FULL source string — never
+# on positional parsing of the generator's current 'srcN' naming (the driver
+# can regenerate testdata with a different source format between sessions,
+# and under ANSI mode a failed CAST would abort the whole query). md5 parity
+# is engine-portable and stable under any naming scheme.
+_SPARK_RATE = (
+    "CASE WHEN conv(substr(md5(source), 1, 1), 16, 10) % 2 = 0 "
+    "THEN 0.25 ELSE 0.75 END"
+)
+_DUCK_RATE = (
+    "CASE WHEN ('0x' || substr(md5(source), 1, 1))::BIGINT % 2 = 0 "
+    "THEN 0.25 ELSE 0.75 END"
+)
 
 
 @register(
@@ -99,7 +110,7 @@ _RATE = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.25 ELSE 0.75 EN
     f"""
     SELECT doc_id, source, round({_DUCK_U}, 9) AS u
     FROM documents
-    WHERE {_DUCK_U} < {_RATE}
+    WHERE {_DUCK_U} < {_DUCK_RATE}
     """,
     "curation",
 )
@@ -114,7 +125,7 @@ def sample_stratified_hash(spark, sf_dir):
     """
     d = load(spark, sf_dir, "documents")["documents"]
     u = F.expr(_SPARK_U)
-    rate = F.expr(_RATE)
+    rate = F.expr(_SPARK_RATE)
     return d.where(u < rate).select("doc_id", "source", F.round(u, 9).alias("u"))
 
 

@@ -417,7 +417,55 @@ def dedup_components(spark, sf_dir):
     n_edges = und.count()
     npart = max(1, -(-n_edges // 2_000_000))
     und = und.repartition(npart, "dst").localCheckpoint()
-    labels = _propagate_min_labels(spark, und, npart)
+    labels, _ = _propagate_min_labels(spark, und, npart)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("comp").alias("component"), "n_docs")
+    )
+
+
+@register(
+    "dedup_components_star",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node)
+    SELECT component, COUNT(*) AS n_docs FROM (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    GROUP BY component
+    """,
+    "dedup",
+    "bench",
+)
+def dedup_components_star(spark, sf_dir):
+    """Connected components via the two-phase large-star/small-star
+    algorithm (Kiveris et al., ALENEX'14) — the O(log n)-round alternative
+    to `dedup_components`' HashMin propagation, whose round count equals
+    the graph DIAMETER. Near-dup clusters are shallow so HashMin usually
+    wins on wall-clock per round, but adversarial corpora (quote chains,
+    boilerplate gradients) produce long path components where diameter-many
+    rounds is the bottleneck; the star rounds collapse any path in
+    logarithmically many steps (tests/test_scale_plans.py chain test: a
+    32-node path converges in <=6 star rounds vs ~31 HashMin rounds).
+
+    Identical output contract and DuckDB oracle as `dedup_components`:
+    (component = min doc_id of cluster, n_docs).
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    edges = lsh.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint()
+    del lsh  # graph materialized — release the signature caches
+    n_edges = edges.count()
+    npart = max(1, -(-n_edges // 2_000_000))
+    labels, _ = _two_phase_star_labels(spark, edges, npart)
     return (
         labels.groupBy("comp")
         .agg(F.count("*").alias("n_docs"))
@@ -426,8 +474,8 @@ def dedup_components(spark, sf_dir):
 
 
 def _propagate_min_labels(spark, und, npart):
-    """HashMin fixpoint over a materialized edge list: returns (node, comp)
-    labels where comp = min doc_id reachable. ``npart`` is the edge-sized
+    """HashMin fixpoint over a materialized edge list: returns ((node, comp)
+    labels, rounds) where comp = min doc_id reachable. ``npart`` is the edge-sized
     shuffle width; every aggregation is preceded by an explicit
     ``repartition(npart, key)`` so the width lives in THIS plan only —
     HashPartitioning(key, npart) satisfies the aggregate's clustering
@@ -443,7 +491,9 @@ def _propagate_min_labels(spark, und, npart):
         .select(F.col("src").alias("node"), "comp")
         .localCheckpoint()
     )
+    rounds = 1  # the folded-in identity round above
     for _ in range(50):
+        rounds += 1
         # one round = ONE aggregation over (own label ∪ neighbor labels):
         # min(comp) over the union is exactly least(own, min-neighbor), so
         # the classic neighbor-min-then-rejoin shape collapses from two
@@ -472,7 +522,87 @@ def _propagate_min_labels(spark, und, npart):
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
-    return labels
+    return labels, rounds
+
+
+def _orient_max_min(edges):
+    """Canonical orientation (max, min) for an undirected edge list with
+    columns (u, v); drops self-loops."""
+    return edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+
+
+def _large_star(edges, npart):
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", ALENEX'14 §3): for each node u with m =
+    min(N(u) ∪ {u}), connect every strictly-LARGER neighbor to m. One
+    edge-sized aggregation + one co-partitioned join."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.repartition(npart, "u")
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges, npart):
+    """One small-star round: orient edges (max → min); for each node u with
+    smaller-neighbor set N and m = min(N), connect u and every other member
+    of N to m. Output keeps the (larger, smaller) orientation."""
+    ori = _orient_max_min(edges).repartition(npart, "u")
+    mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        ori.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return nbr.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
+def _two_phase_star_labels(spark, edges, npart):
+    """Alternating large-star/small-star fixpoint: returns ((node, comp)
+    labels, rounds). Converges in O(log n) rounds on ANY graph — including
+    the long-chain graphs where HashMin label propagation needs
+    diameter-many rounds. Same plan-local width discipline as
+    `_propagate_min_labels`: explicit repartition(npart, key), no session
+    conf touched. Each round is localCheckpoint-ed to truncate lineage.
+
+    Convergence = the oriented edge multiset is unchanged, detected by a
+    (count, sum of 64-bit edge hashes) signature — one tiny aggregation
+    over the just-checkpointed round output, no extra join.
+    """
+    def _sig(df):
+        # 64-bit hashes summed as decimal(38,0): a bigint sum would overflow
+        # under ANSI mode after ~2^32 edges
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    cur = _orient_max_min(edges).distinct().localCheckpoint()
+    sig = _sig(cur)
+    rounds = 0
+    for _ in range(30):
+        rounds += 1
+        nxt = _small_star(_large_star(cur, npart), npart).localCheckpoint()
+        nsig = _sig(nxt)
+        cur = nxt
+        if (nsig["n"], nsig["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = nsig
+    # fixpoint is a forest of stars centered on each component's min node:
+    # every non-center points at the center, centers appear only on the
+    # min side — label centers with themselves
+    return (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .union(cur.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .distinct(),
+        rounds,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,9 +47,23 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def convert_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``ts`` to session-zone TIMESTAMP (µs precision), matching
     DuckDB's TIMESTAMP on the same file: LONG nanos → timestamp_micros,
-    TIMESTAMP_NTZ (micros parquet layout) → plain cast (UTC session)."""
+    TIMESTAMP_NTZ (micros parquet layout) → plain cast.
+
+    The NTZ→TIMESTAMP cast (and timestamp_micros' epoch interpretation) is
+    only DuckDB-equivalent because the session timezone is UTC — a
+    non-UTC session would silently shift every event timestamp relative to
+    the oracle. ``session.get_session`` pins spark.sql.session.timeZone=UTC;
+    assert it here so the coupling is explicit and a future conf change
+    fails loudly instead of corrupting results."""
     from pyspark.sql.types import LongType
 
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise AssertionError(
+            f"convert_event_ts requires a UTC session timezone, got {tz!r}: "
+            "the NTZ->TIMESTAMP cast would shift event timestamps away from "
+            "the wall-clock values every other engine reads from this file"
+        )
     if isinstance(df.schema["ts"].dataType, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -271,10 +271,15 @@ def stream_sliding_counts(spark, sf_dir):
     window assignment by fanning each row out to bucket(ts) − k·slide for
     k = 0..3 — the same expansion Spark's window() operator plans internally.
     """
+    # No watermark: in complete output mode a watermark bounds NO state (the
+    # whole result is re-emitted every trigger) but WOULD drop late rows from
+    # the aggregation if the source ever split into multiple micro-batches
+    # (multiple files / maxFilesPerTrigger) — a silent divergence from the
+    # all-rows oracle. Append-mode variants (stream_hourly etc.) keep their
+    # watermarks; there it bounds state and controls emission.
     stream = _read_events_stream(spark, sf_dir)
     agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        stream.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
     result = _run_to_memory(agg, "complete")

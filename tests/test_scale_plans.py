@@ -281,3 +281,24 @@ def test_components_width_is_plan_local(spark, sf_dir):
     assert n > 0
     assert "spark.sql.shuffle.partitions" not in calls
     assert conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_star_components_beats_hashmin_on_chains(spark):
+    # round-3 verdict item #4: HashMin needs diameter-many rounds (a 32-node
+    # path = ~31 rounds); the two-phase large-star/small-star fixpoint must
+    # collapse the same chain in O(log n) rounds with identical labels.
+    from pyspark.sql import functions as F
+
+    n = 32
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    hm_labels, hm_rounds = dedup._propagate_min_labels(spark, und, 1)
+    st_labels, st_rounds = dedup._two_phase_star_labels(spark, edges.localCheckpoint(), 1)
+    assert sorted(r["comp"] for r in hm_labels.collect()) == [0] * n
+    assert sorted(r["comp"] for r in st_labels.collect()) == [0] * n
+    assert sorted(r["node"] for r in st_labels.collect()) == list(range(n))
+    assert st_rounds <= 6 < hm_rounds

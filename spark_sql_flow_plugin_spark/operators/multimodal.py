@@ -34,16 +34,18 @@ from ..sources import load
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload → (h, w, 3) uint8 RGB numpy array.
 
-    REAL decode path, stdlib+numpy only: binary PPM (P6) and uncompressed
-    24-bit BMP — the two classic uncompressed raster containers — parse
-    natively. Compressed formats (PNG/JPEG/…) fall through to Pillow,
-    which this container doesn't ship, so they raise NotImplementedError
-    behind the import gate.
+    REAL decode paths, stdlib+numpy only: binary PPM (P6), uncompressed
+    24-bit BMP, and non-interlaced 8-bit RGB PNG (zlib inflate + full
+    filter reconstruction: None/Sub/Up/Average/Paeth). Remaining formats
+    (JPEG/…) fall through to Pillow, which this container doesn't ship, so
+    they raise NotImplementedError behind the import gate.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     try:
         import io
 
@@ -52,8 +54,8 @@ def decode_image(payload: bytes) -> "object":
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "only PPM(P6)/BMP24 decode natively; other codecs require "
-            "Pillow — install it on the cluster image"
+            "only PPM(P6)/BMP24/PNG(8-bit RGB) decode natively; other "
+            "codecs require Pillow — install it on the cluster image"
         ) from exc
 
 
@@ -96,6 +98,127 @@ def _decode_bmp(payload: bytes) -> "object":
     if h > 0:  # bottom-up storage
         rows = rows[::-1]
     return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _decode_png(payload: bytes) -> "object":
+    """Non-interlaced 8-bit RGB PNG via stdlib zlib: walk the chunk stream
+    (IHDR → IDAT* → IEND), inflate the concatenated IDAT payload, then
+    reconstruct scanlines through the five PNG filters (None/Sub/Up/
+    Average/Paeth). Up is vectorized; Sub/Average/Paeth carry a
+    left-neighbor dependency so those rows reconstruct byte-sequentially —
+    fine for thumbnails/tiles; hand large frames to Pillow."""
+    import zlib
+
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc32
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            if tuple(data[8:13]) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit, color-type-2 (RGB), non-interlaced PNG "
+                    "decodes natively; use Pillow for other layouts"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    at = 0
+    for r in range(h):
+        ftype = raw[at]
+        at += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at).astype(
+            np.int32
+        )
+        at += stride
+        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[r] = line
+        elif ftype == 2:  # Up
+            out[r] = (line + prior) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            recon = out[r]
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit RGB PNG. Each scanline
+    uses filter type (row % 5), deliberately cycling through all five PNG
+    filters so a decoder round-trip exercises every reconstruction path."""
+    import zlib
+
+    h, w = arr.shape[0], arr.shape[1]
+    bpp = 3
+    rows = np.ascontiguousarray(arr).astype(np.int32).reshape(h, w * 3)
+    zero = np.zeros(bpp, dtype=np.int32)
+    scan = bytearray()
+    for r in range(h):
+        ftype = r % 5
+        raw = rows[r]
+        prior = rows[r - 1] if r > 0 else np.zeros(w * 3, dtype=np.int32)
+        left = np.concatenate([zero, raw[:-bpp]])
+        upleft = np.concatenate([zero, prior[:-bpp]])
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:
+            filt = (raw - left) % 256
+        elif ftype == 2:
+            filt = (raw - prior) % 256
+        elif ftype == 3:
+            filt = (raw - (left + prior) // 2) % 256
+        else:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = (raw - pred) % 256
+        scan.append(ftype)
+        scan.extend(filt.astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(arr) -> bytes:
@@ -281,11 +404,13 @@ _IMG_W, _IMG_H = 16, 8  # 384 pixel bytes — spans the full 0..255 range
 def multimodal_image_decode_stats(spark, sf_dir):
     """REAL decode→feature pipeline, no codec libraries: synthesize a
     deterministic gradient image per document (pixel i = (doc_id+i) % 256),
-    container-encode it — PPM for even ids, BMP for odd (bottom-up BGR
-    rows with 4-byte padding) — then ``decode_image`` parses the bytes
+    container-encode it — PPM / BMP (bottom-up BGR rows, 4-byte padding) /
+    PNG (zlib-compressed, scanline filters cycling through all five PNG
+    filter types) by doc_id % 3 — then ``decode_image`` parses the bytes
     back and per-channel statistics come off the decoded array. The oracle
     recomputes the stats from the closed-form pixel values, so a decoder
-    bug (row order, BGR swap, padding) breaks the value hash.
+    bug (row order, BGR swap, padding, filter reconstruction) breaks the
+    value hash.
 
     Channel means are k/128 (count per channel = 2^7), exactly
     representable as doubles, so Spark and DuckDB agree bit-for-bit with
@@ -304,7 +429,7 @@ def multimodal_image_decode_stats(spark, sf_dir):
                 arr = ((base + did) % 256).astype(np.uint8).reshape(
                     _IMG_H, _IMG_W, 3
                 )
-                payload = encode_ppm(arr) if did % 2 == 0 else encode_bmp(arr)
+                payload = [encode_ppm, encode_bmp, encode_png][did % 3](arr)
                 img = decode_image(payload)
                 rows.append(
                     (

@@ -10,6 +10,7 @@ from spark_sql_flow_plugin_spark.operators.multimodal import (
     decode_audio,
     decode_image,
     encode_bmp,
+    encode_png,
     encode_ppm,
     with_binary_payload,
 )
@@ -19,9 +20,23 @@ from spark_sql_flow_plugin_spark.sources import load
 
 def test_decode_stubs_are_gated():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0...")  # JPEG needs Pillow
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF...")
+    # PNG decodes natively ONLY for the 8-bit RGB non-interlaced layout;
+    # other IHDR layouts (here: grayscale) must gate, not mis-decode
+    import zlib
+
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(gray)
 
 
 def test_ppm_bmp_round_trip():
@@ -31,6 +46,16 @@ def test_ppm_bmp_round_trip():
     arr = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
     assert (decode_image(encode_ppm(arr)) == arr).all()
     assert (decode_image(encode_bmp(arr)) == arr).all()
+
+
+def test_png_round_trip_all_filters():
+    # 7 rows => scanline filters 0,1,2,3,4,0,1: every PNG filter type's
+    # reconstruction path (None/Sub/Up/Average/Paeth) must invert exactly
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    payload = encode_png(arr)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (decode_image(payload) == arr).all()
 
 
 def test_ppm_header_comments_and_whitespace():
@@ -52,6 +77,7 @@ def test_codec_round_trip_property(w, h, seed):
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert (decode_image(encode_ppm(arr)) == arr).all()
     assert (decode_image(encode_bmp(arr)) == arr).all()
+    assert (decode_image(encode_png(arr)) == arr).all()
 
 
 def test_binary_payload_schema(spark, sf_dir):

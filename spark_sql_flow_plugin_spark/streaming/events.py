@@ -90,6 +90,7 @@ def stream_hourly_counts(spark, sf_dir):
     FROM events GROUP BY user_id
     """,
     "streaming",
+    "bench",
 )
 def stream_user_totals(spark, sf_dir):
     """Stateful per-key running totals in update mode; the latest update per
@@ -209,6 +210,7 @@ def stream_dedup_exact(spark, sf_dir):
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
     "streaming",
+    "bench",
 )
 def stream_click_purchase_join(spark, sf_dir):
     """Stream-stream interval join: click→purchase attribution within a
@@ -218,10 +220,24 @@ def stream_click_purchase_join(spark, sf_dir):
     continuous attribution pipeline's state finite. availableNow processes
     the backlog in one batch, where the inner join emits exactly the batch
     interval-join result.
+
+    Both sides derive from ONE readStream (a streaming self-join), not two
+    independent file sources: one source to list, plan, and offset-track
+    per micro-batch instead of two (round-3 advice — the double readStream
+    dominated micro-batch planning time).
+
+    Bench note (r4, sf0.1, local[32]): ~12.6 s min-of-2, of which the data
+    itself is ~1 s — the rest is one-time micro-batch machinery: creating
+    2×32 HDFS-backed state stores (one per shuffle partition per join
+    side), the checkpoint directory, and offset/commit log writes. A
+    continuous pipeline pays this once at query start and then holds the
+    stores open across micro-batches, so steady-state per-batch cost is
+    the data path, not the setup. availableNow re-pays it per bench run by
+    design (fresh checkpoint = deterministic, oracle-checkable result).
     """
+    ev = _read_events_stream(spark, sf_dir)
     clicks = (
-        _read_events_stream(spark, sf_dir)
-        .where("event_type = 'click'")
+        ev.where("event_type = 'click'")
         .select(
             F.col("event_id").alias("click_id"),
             "user_id",
@@ -230,8 +246,7 @@ def stream_click_purchase_join(spark, sf_dir):
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        _read_events_stream(spark, sf_dir)
-        .where("event_type = 'purchase'")
+        ev.where("event_type = 'purchase'")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),

@@ -480,3 +480,524 @@ def q22_global_sales_opportunity(spark, sf_dir):
         GROUP BY c_mktsegment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: the remaining TPC-H query shapes. The synthetic schema
+# carries no partsupp table, no comment columns, and no commit/receipt dates,
+# so Q2/Q9/Q11/Q16/Q20 substitute the lineitem part↔supplier association for
+# partsupp and Q21 defines "late" as shipping >60 days after the order date —
+# each keeps the original query's plan shape (the thing being tested):
+# correlated scalars, HAVING subqueries, null-aware NOT IN, EXISTS/NOT EXISTS
+# pairs, conditional market-share aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 10
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM supplier s2, lineitem l2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    """,
+    "tpch",
+    "subquery",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery selecting the best supplier
+    per part (s_acctbal stands in for ps_supplycost; the lineitem
+    association stands in for partsupp). Catalyst decorrelates the scalar
+    subquery into an aggregate + join on the correlation key."""
+    register_views(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    return spark.sql(
+        """
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 10
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_acctbal = (
+              SELECT MIN(s2.s_acctbal)
+              FROM supplier s2, lineitem l2, nation n2, region r2
+              WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        """
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "tpch",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — an 8-table join with the
+    nation dim appearing twice (customer region gate vs supplier nation
+    attribution) feeding a conditional-share aggregation. Dims broadcast;
+    the two fact joins shuffle on their keys."""
+    t = load(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    all_nations = (
+        t["lineitem"]
+        .join(broadcast(t["part"].where(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    share = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                F.sum(share).cast("double") / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice * (1.0 - l_discount)
+                    - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)) AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+    """,
+    "tpch",
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by nation and year. ps_supplycost doesn't
+    exist in this schema, so cost ≈ 10% of p_retailprice per unit — the
+    arithmetic shape (per-row margin expression summed per group) is what
+    matters. The p_name LIKE filter prunes the broadcast part dim before
+    the join."""
+    t = load(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(
+            broadcast(t["part"].where(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH natl AS (
+        SELECT l_partkey,
+               CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS val
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3')
+    SELECT l_partkey AS partkey, CAST(SUM(val) AS DOUBLE) AS value
+    FROM natl
+    GROUP BY l_partkey
+    HAVING CAST(SUM(val) AS DOUBLE)
+           > (SELECT 1.1 * (CAST(SUM(val) AS DOUBLE) / COUNT(DISTINCT l_partkey))
+              FROM natl)
+    """,
+    "tpch",
+    "subquery",
+)
+def q11_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value within one nation, kept only when it
+    exceeds 1.1x the mean per-part value — a scalar subquery gating
+    HAVING (the spec's fraction-of-national-total gate is vacuous on this
+    uniform synthetic corpus, so the threshold is relative to the mean;
+    the scalar joins back as a single broadcast row either way)."""
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH natl AS (
+            SELECT l_partkey,
+                   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS val
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3')
+        SELECT l_partkey AS partkey, CAST(SUM(val) AS DOUBLE) AS value
+        FROM natl
+        GROUP BY l_partkey
+        HAVING CAST(SUM(val) AS DOUBLE)
+               > (SELECT 1.1 * (CAST(SUM(val) AS DOUBLE) / COUNT(DISTINCT l_partkey))
+              FROM natl)
+        """
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count histogram — a left outer join
+    with an extra join-side predicate (priority stands in for the spec's
+    comment filter), then two stacked aggregations. COUNT(o_orderkey)
+    counts 0 for match-less customers, which the histogram must keep."""
+    t = load(spark, sf_dir, "customer", "orders")
+    c_orders = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {SQL_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "tpch",
+    "subquery",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view reused twice — once as the join input,
+    once inside a scalar MAX subquery. The decimal sum keeps the equality
+    comparison exact across engines (a double sum would make
+    `total_revenue = MAX(...)` order-dependent)."""
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {SQL_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch",
+    "subquery",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class with a
+    null-aware NOT IN exclusion subquery (Catalyst plans it as a
+    null-aware anti join; the lineitem association stands in for
+    partsupp)."""
+    register_views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "tpch",
+    "subquery",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average gating the outer rows
+    (decorrelates to an aggregate on l_partkey joined back). l_quantity is
+    integer-valued, so AVG is an exact-integer sum over a count — the 0.2×
+    threshold compares identically in both engines."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "tpch",
+    "subquery",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery on the same fact
+    (planned as a semi join of lineitem against its own aggregate), then
+    top-k by order value via TakeOrderedAndProject."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey),
+    part_total AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS tot
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_12'
+      AND s_suppkey IN (
+          SELECT shipped.l_suppkey
+          FROM shipped
+          JOIN part_total ON shipped.l_partkey = part_total.l_partkey
+          JOIN part ON p_partkey = shipped.l_partkey
+          WHERE p_type = 'PROMO' AND shipped.qty > 0.2 * part_total.tot)
+    ORDER BY s_name
+    """,
+    "tpch",
+    "subquery",
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding a disproportionate share of a
+    promoted part's shipments — an IN subquery over two aggregates of the
+    same fact slice joined on the part key (the spec's correlated
+    half-of-stock predicate, decorrelated explicitly; lineitem stands in
+    for partsupp availability)."""
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    return spark.sql(
+        """
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey),
+        part_total AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS tot
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey)
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_12'
+          AND s_suppkey IN (
+              SELECT shipped.l_suppkey
+              FROM shipped
+              JOIN part_total ON shipped.l_partkey = part_total.l_partkey
+              JOIN part ON p_partkey = shipped.l_partkey
+              WHERE p_type = 'PROMO' AND shipped.qty > 0.2 * part_total.tot)
+        ORDER BY s_name
+        """
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    "tpch",
+    "subquery",
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: the only supplier late on a multi-supplier order —
+    an EXISTS plus a NOT EXISTS against the same fact, both correlated on
+    the order key (semi + anti join after decorrelation). "Late" is
+    shipping >60 days after the order date (this schema has no
+    commit/receipt dates)."""
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )

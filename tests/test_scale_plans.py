@@ -302,3 +302,13 @@ def test_star_components_beats_hashmin_on_chains(spark):
     assert sorted(r["comp"] for r in st_labels.collect()) == [0] * n
     assert sorted(r["node"] for r in st_labels.collect()) == list(range(n))
     assert st_rounds <= 6 < hm_rounds
+
+
+def test_new_tpch_shapes_broadcast_dims_no_cartesian(spark, sf_dir):
+    # round-4 TPC-H additions: the 8-table q8 and 5-table q9 must broadcast
+    # every dim (part/supplier/nation/region) and never cross a cartesian;
+    # the filtered part dim must be pruned BEFORE the broadcast exchange
+    for name in ("q8_market_share", "q9_product_type_profit"):
+        plan = _physical(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 3, name

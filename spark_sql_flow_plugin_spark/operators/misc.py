@@ -227,3 +227,84 @@ def date_funcs_battery(spark, sf_dir):
         ).alias("days_since_epoch_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4: non-parquet source formats (JSON lines / CSV). The engine writes a
+# deterministic projection of the documents table to the format under the
+# repo-local spark-warehouse, reads it back through the format's parser with
+# an EXPLICIT schema (schema inference costs a full extra pass at scale and
+# can mis-type empty partitions), and aggregates. The DuckDB oracle computes
+# the same aggregate straight from the parquet view, so the round-trip
+# validates parser fidelity (quoting, escaping, unicode, header handling),
+# not just the aggregate.
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+           MIN(md5(text)) AS min_text_md5
+    FROM documents
+    GROUP BY source
+"""
+
+
+def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
+    # anchored to the repo (not CWD or the session warehouse conf): the
+    # harness may launch the session from any working directory
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        repo, "spark-warehouse", f"roundtrip_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+def _roundtrip_agg(df):
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+    )
+
+
+@register("source_json_roundtrip", _ROUNDTRIP_ORACLE, "scan", "source-format")
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines source: write documents as gzipped JSONL, read back with an
+    explicit schema (never inferred), aggregate per source. Exercises the
+    JSON parser on real unicode corpus text; gzip on the write side checks
+    the codec path a crawl-dump ingest would hit. At scale: JSONL is
+    splittable per FILE (gzip is not splittable within a file), so the
+    writer shuffles to defaultParallelism files first."""
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "json")
+    n = spark.sparkContext.defaultParallelism
+    docs.repartition(n).write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, source string, n_chars int, text string"
+    ).json(path)
+    return _roundtrip_agg(back)
+
+
+@register("source_csv_roundtrip", _ROUNDTRIP_ORACLE, "scan", "source-format")
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV source: write documents as headered, quoted CSV and read back with
+    an explicit schema + strict (FAILFAST) parsing — corpus text contains
+    commas/quotes/newlines-adjacent punctuation, so this round-trip proves
+    the quote/escape configuration actually preserves bytes, which silent
+    PERMISSIVE mode would paper over with nulls."""
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "csv")
+    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, source string, n_chars int, text string")
+        .option("header", True)
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    return _roundtrip_agg(back)

@@ -312,3 +312,28 @@ def test_new_tpch_shapes_broadcast_dims_no_cartesian(spark, sf_dir):
         plan = _physical(queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastHashJoin") >= 3, name
+
+
+def test_star_and_hashmin_agree_on_random_graph(spark):
+    # cross-validation: on a seeded random graph (cycles, chains, isolated
+    # pairs, self-dups), both components algorithms must produce the
+    # identical (node -> min-of-component) labeling
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    n = 200
+    edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    edge_list = [(u, v) for u, v in edge_list if u != v]
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    hm_labels, _ = dedup._propagate_min_labels(spark, und, 2)
+    st_labels, _ = dedup._two_phase_star_labels(spark, edges.localCheckpoint(), 2)
+    hm = {r["node"]: r["comp"] for r in hm_labels.collect()}
+    st = {r["node"]: r["comp"] for r in st_labels.collect()}
+    assert hm == st

@@ -308,3 +308,101 @@ def source_csv_roundtrip(spark, sf_dir):
         .csv(path)
     )
     return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: scalar-function surface depth — higher-order array functions and
+# null/NaN semantics, each value-checked against a DuckDB twin written in
+# that engine's native idiom (list_* / IS DISTINCT FROM) so the test proves
+# SEMANTIC agreement, not shared syntax.
+# ---------------------------------------------------------------------------
+
+_HOF_TOKS = r"filter(split(lower(text), '\\s+'), t -> t != '')"
+_DUCK_HOF_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
+
+
+@register(
+    "array_hof_battery",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_HOF_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+           array_to_string(list_transform(toks[1:3], t -> upper(t)), '-') AS upper_first3,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+           array_to_string(
+               list_transform(list_zip(toks[1:2], toks[2:3]),
+                              x -> x[1] || '_' || x[2]), ' ') AS bigrams_first2,
+           len(list_filter(toks, t -> t IN ('the', 'a', 'of'))) > 0 AS has_stop,
+           len(list_filter(toks, t -> length(t) >= 25)) = 0 AS all_short,
+           list_sort(toks)[1] AS min_tok
+    FROM t
+    """,
+    "functions",
+)
+def array_hof_battery(spark, sf_dir):
+    """Higher-order array functions over real corpus tokens: filter,
+    transform, aggregate (fold), zip_with, exists, forall, array_sort —
+    all JVM-side Catalyst HOFs (zero Python). The DuckDB oracle computes
+    the same values through list_filter/list_transform/list_sum/list_zip,
+    so agreement is semantic, not syntactic: fold result types, lambda
+    scoping, empty-slice behavior, and binary string collation for the
+    sort all have to line up."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id", F.expr(_HOF_TOKS).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(filter(toks, t -> length(t) > 4)) AS INT)").alias("n_long"),
+        F.expr(
+            "array_join(transform(slice(toks, 1, 3), t -> upper(t)), '-')"
+        ).alias("upper_first3"),
+        F.expr(
+            "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT)"
+        ).alias("total_len"),
+        F.expr(
+            "array_join(zip_with(slice(toks, 1, 2), slice(toks, 2, 2),"
+            " (a, b) -> concat(a, '_', b)), ' ')"
+        ).alias("bigrams_first2"),
+        F.expr("exists(toks, t -> t IN ('the', 'a', 'of'))").alias("has_stop"),
+        F.expr("forall(toks, t -> length(t) < 25)").alias("all_short"),
+        F.expr("array_sort(toks)[0]").alias("min_tok"),
+    )
+
+
+@register(
+    "null_safe_battery",
+    """
+    SELECT k,
+           a IS NOT DISTINCT FROM b AS eq_ns,
+           coalesce(a, b, -1.0) AS coal,
+           nullif(a, b) AS nn,
+           CASE WHEN isnan(a) THEN b ELSE a END AS nanfix,
+           CAST(a IS NULL AS BOOLEAN) AS a_null
+    FROM (VALUES (1, 10.0, 10.0),
+                 (2, CAST(NULL AS DOUBLE), 5.0),
+                 (3, 'NaN'::DOUBLE, 2.0),
+                 (4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) AS v(k, a, b)
+    """,
+    "functions",
+)
+def null_safe_battery(spark, sf_dir):
+    """Null/NaN semantics battery on an inline relation: null-safe equality
+    (<=> vs IS NOT DISTINCT FROM), coalesce chains, NULLIF, nanvl (vs the
+    CASE-isnan idiom), IS NULL — the exact cross-engine footguns (NaN
+    equality, NULL propagation through conditionals) a federated pipeline
+    hits."""
+    rows = [
+        (1, 10.0, 10.0),
+        (2, None, 5.0),
+        (3, float("nan"), 2.0),
+        (4, None, None),
+    ]
+    v = spark.createDataFrame(rows, "k int, a double, b double")
+    return v.select(
+        "k",
+        F.expr("a <=> b").alias("eq_ns"),
+        F.coalesce("a", "b", F.lit(-1.0)).alias("coal"),
+        F.expr("nullif(a, b)").alias("nn"),
+        F.expr("nanvl(a, b)").alias("nanfix"),
+        F.col("a").isNull().alias("a_null"),
+    )

@@ -252,10 +252,53 @@ def encode_bmp(arr) -> bytes:
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Decode an audio payload → waveform. STUB: no codec libs here."""
+    """Decode an audio payload → (n_samples,) float64 waveform in [-1, 1).
+
+    REAL decode path, stdlib only: RIFF/WAVE PCM (8/16/32-bit int) parses
+    via the stdlib ``wave`` module; multi-channel audio is downmixed by
+    channel mean. Compressed codecs (mp3/ogg/flac/…) need soundfile or
+    librosa, which this container lacks — they gate behind
+    NotImplementedError."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "audio decode requires soundfile/librosa; install on the cluster image"
+        "only PCM WAV decodes natively; compressed audio requires "
+        "soundfile/librosa — install on the cluster image"
     )
+
+
+def _decode_wav(payload: bytes) -> "object":
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        arr = arr.reshape(-1, n_ch).mean(axis=1)
+    return arr
+
+
+def encode_wav(samples, sample_rate: int = 16000, sampwidth: int = 2) -> bytes:
+    """int16 numpy samples → mono PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -455,6 +498,71 @@ def multimodal_image_decode_stats(spark, sf_dir):
         run,
         "doc_id bigint, width int, height int, mean_r double, "
         "mean_g double, mean_b double, min_px int, max_px int",
+    )
+
+
+_WAV_N, _WAV_FRAME = 400, 100  # 25 ms @ 16 kHz, 4 frames per clip
+
+
+@register(
+    "multimodal_audio_frame_rms",
+    f"""
+    WITH s AS (
+        SELECT doc_id, i // {_WAV_FRAME} AS frame_id,
+               (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+        FROM (SELECT doc_id, unnest(generate_series(0, {_WAV_N - 1})) AS i
+              FROM documents))
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+           CAST(SUM(v) AS DOUBLE) / {_WAV_FRAME * 32768}.0 AS mean_amp,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / {_WAV_FRAME * 32768 * 32768}.0) AS rms
+    FROM s GROUP BY doc_id, frame_id
+    """,
+    "multimodal",
+)
+def multimodal_audio_frame_rms(spark, sf_dir):
+    """REAL audio decode→feature pipeline, stdlib only: synthesize a
+    deterministic 16-bit PCM clip per document (sample_i =
+    (doc_id·7919 + i·104729) mod 2^16 − 2^15), container-encode it as RIFF
+    WAV, ``decode_audio`` parses it back via the stdlib ``wave`` module,
+    and per-frame mean amplitude + RMS come off the waveform — the VAD /
+    loudness-filter front door of an audio-corpus pipeline.
+
+    Cross-engine determinism: per-frame sums are computed over EXACT
+    integers (sample values and their squares stay below 2^37, far inside
+    int64), so both engines do one identical double division (and one
+    IEEE-exact sqrt) at the end — no float-summation-order divergence.
+    """
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                samples = ((did * 7919 + idx * 104729) % 65536 - 32768).astype("<i2")
+                wav = decode_audio(encode_wav(samples))
+                ints = np.rint(wav * 32768.0).astype(np.int64).reshape(-1, _WAV_FRAME)
+                for fid in range(ints.shape[0]):
+                    fr = ints[fid]
+                    rows.append(
+                        (
+                            did,
+                            fid,
+                            int(fr.sum()) / float(_WAV_FRAME * 32768),
+                            float(
+                                np.sqrt(
+                                    int((fr * fr).sum())
+                                    / float(_WAV_FRAME * 32768 * 32768)
+                                )
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "mean_amp", "rms"]
+            )
+
+    return d.mapInPandas(
+        run, "doc_id bigint, frame_id int, mean_amp double, rms double"
     )
 
 

@@ -132,3 +132,16 @@ def test_transform_with_state_gated(spark, sf_dir):
         from spark_sql_flow_plugin_spark.registry import queries
 
         assert "stream_transform_with_state" not in queries()
+
+
+def test_wav_round_trip_and_gates():
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_wav
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, size=256, dtype=np.int16)
+    wav = decode_audio(encode_wav(samples))
+    assert wav.shape == (256,)
+    assert np.allclose(wav * 32768.0, samples)
+    # compressed audio (here: an mp3 magic) must still gate
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04...")

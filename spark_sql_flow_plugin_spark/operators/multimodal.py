@@ -501,6 +501,149 @@ def multimodal_image_decode_stats(spark, sf_dir):
     )
 
 
+def iter_ppm_frames(payload: bytes):
+    """Split a stream of concatenated binary PPM (P6) images — the raw-frame
+    'video container' used by ffmpeg's image2pipe — yielding one decoded
+    (h, w, 3) array per frame. Each frame's byte length comes from its own
+    header, so frames of different sizes interleave correctly."""
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"not a PPM frame at offset {pos}")
+        # parse the header exactly like _decode_ppm to find the pixel offset
+        p, fields = pos + 2, []
+        while len(fields) < 3:
+            while payload[p : p + 1].isspace():
+                p += 1
+            if payload[p : p + 1] == b"#":
+                p = payload.index(b"\n", p) + 1
+                continue
+            start = p
+            while p < len(payload) and not payload[p : p + 1].isspace():
+                p += 1
+            fields.append(int(payload[start:p]))
+        w, h, _ = fields
+        end = p + 1 + h * w * 3
+        yield _decode_ppm(payload[pos:end])
+        pos = end
+
+
+@register(
+    "multimodal_image_resize_stats",
+    f"""
+    WITH px AS (
+        SELECT doc_id, unnest(generate_series(0, {(_IMG_H // 2) * (_IMG_W // 2) * 3 - 1})) AS i
+        FROM documents),
+    v AS (
+        SELECT doc_id, i % 3 AS ch,
+               (doc_id + ((2 * (i // {(_IMG_W // 2) * 3}) * {_IMG_W}
+                           + 2 * ((i % {(_IMG_W // 2) * 3}) // 3)) * 3 + i % 3)) % 256 AS val
+        FROM px)
+    SELECT doc_id, {_IMG_W // 2} AS width, {_IMG_H // 2} AS height,
+           AVG(CASE WHEN ch = 0 THEN val END) AS mean_r,
+           AVG(CASE WHEN ch = 1 THEN val END) AS mean_g,
+           AVG(CASE WHEN ch = 2 THEN val END) AS mean_b
+    FROM v GROUP BY doc_id
+    """,
+    "multimodal",
+)
+def multimodal_image_resize_stats(spark, sf_dir):
+    """REAL image RESIZE pipeline: synthesize the same gradient image as
+    `multimodal_image_decode_stats`, container-encode (PPM/BMP/PNG by
+    doc_id % 3), decode, 2× nearest-neighbor downscale on the decoded
+    array (out[r,c] = in[2r,2c] — the thumbnailing a multimodal ingest
+    runs before feature extraction), and emit the resized per-channel
+    means. The oracle recomputes them closed-form from the sampled pixel
+    positions, so an off-by-one in the sampling grid (or any decoder bug
+    upstream) breaks the value hash. Channel means are k/32 — exactly
+    representable, bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    npx = _IMG_W * _IMG_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(npx, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                arr = ((base + did) % 256).astype(np.uint8).reshape(
+                    _IMG_H, _IMG_W, 3
+                )
+                payload = [encode_ppm, encode_bmp, encode_png][did % 3](arr)
+                img = decode_image(payload)
+                small = img[::2, ::2, :]
+                rows.append(
+                    (
+                        did,
+                        small.shape[1],
+                        small.shape[0],
+                        small[:, :, 0].mean(),
+                        small[:, :, 1].mean(),
+                        small[:, :, 2].mean(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, width int, height int, mean_r double, "
+        "mean_g double, mean_b double",
+    )
+
+
+_VID_W, _VID_H, _VID_FRAMES = 8, 4, 4
+
+
+@register(
+    "multimodal_video_frame_stats",
+    f"""
+    WITH f AS (
+        SELECT doc_id, unnest([0, 2]) AS frame_id FROM documents),
+    px AS (
+        SELECT doc_id, frame_id,
+               unnest(generate_series(0, {_VID_W * _VID_H * 3 - 1})) AS i
+        FROM f)
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+           AVG((doc_id + frame_id * 31 + i) % 256) AS mean_px
+    FROM px GROUP BY doc_id, frame_id
+    """,
+    "multimodal",
+)
+def multimodal_video_frame_stats(spark, sf_dir):
+    """REAL video frame-sampling pipeline over a raw-frame container:
+    each document carries a 4-frame 'clip' of concatenated binary PPMs
+    (ffmpeg image2pipe layout; frame f pixel i = (doc_id + 31f + i) mod
+    256), the decoder walks the stream header-by-header
+    (`iter_ppm_frames`), samples every 2nd frame, and emits the decoded
+    frame's pixel mean. Replaces nothing at scale: per-payload work stays
+    inside the Arrow batch, exactly like a GPU-decode handoff would."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    npx = _VID_W * _VID_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(npx, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                clip = b"".join(
+                    encode_ppm(
+                        ((base + did + 31 * f) % 256)
+                        .astype(np.uint8)
+                        .reshape(_VID_H, _VID_W, 3)
+                    )
+                    for f in range(_VID_FRAMES)
+                )
+                for fid, frame in enumerate(iter_ppm_frames(clip)):
+                    if fid % 2:
+                        continue
+                    rows.append((did, fid, frame.astype(np.float64).mean()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "mean_px"])
+
+    return d.mapInPandas(run, "doc_id bigint, frame_id int, mean_px double")
+
+
 _WAV_N, _WAV_FRAME = 400, 100  # 25 ms @ 16 kHz, 4 frames per clip
 
 

@@ -406,3 +406,45 @@ def null_safe_battery(spark, sf_dir):
         F.expr("nanvl(a, b)").alias("nanfix"),
         F.col("a").isNull().alias("a_null"),
     )
+
+
+@register(
+    "partitioned_write_prune",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY event_type
+    """,
+    "scan",
+    "source-format",
+)
+def partitioned_write_prune(spark, sf_dir):
+    """Write-side layout meets read-side pruning: events written as a
+    date-partitioned parquet dataset (``sources.layout.write_partitioned``
+    — partition-key repartition, bounded files), read back with a date
+    filter that must prune to 3 of ~30 directory partitions (asserted in
+    test_scale_plans — at 100 TB this is the difference between scanning
+    3 days and scanning 8 years). The oracle computes the same aggregate
+    from the unpartitioned source, proving the partitioned round-trip
+    loses nothing."""
+    import os
+
+    from ..sources.layout import write_partitioned
+
+    ev = load(spark, sf_dir, "events")["events"].withColumn(
+        "d", F.to_date("ts")
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(
+        repo, "spark-warehouse",
+        f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_partitioned(ev, path, ["d"])
+    back = spark.read.parquet(path).where(
+        F.col("d").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )

@@ -337,3 +337,14 @@ def test_star_and_hashmin_agree_on_random_graph(spark):
     hm = {r["node"]: r["comp"] for r in hm_labels.collect()}
     st = {r["node"]: r["comp"] for r in st_labels.collect()}
     assert hm == st
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    # the date filter must reach the partitioned scan as a PartitionFilters
+    # entry (directory pruning), not a post-scan Filter over all partitions
+    plan = _physical(queries()["partitioned_write_prune"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"empty PartitionFilters: {plan}"

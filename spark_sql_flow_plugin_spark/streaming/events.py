@@ -301,3 +301,88 @@ def stream_sliding_counts(spark, sf_dir):
     return result.select(
         F.col("win.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "streaming",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """``dropDuplicatesWithinWatermark``: the state-BOUNDED streaming dedup —
+    unlike plain dropDuplicates (whose key state grows forever), keys older
+    than the watermark delay are evicted, so a continuous pipeline holds
+    state proportional to the delay window, not the stream's lifetime.
+    availableNow processes the backlog as one batch (the watermark only
+    advances between batches), so no key is evicted mid-run and the output
+    is exactly the DISTINCT key set — which is what makes it
+    oracle-checkable while still exercising the watermarked state path.
+    """
+    stream = _read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_foreach_batch_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming",
+)
+def stream_foreach_batch_totals(spark, sf_dir):
+    """``foreachBatch`` sink — the workhorse API for streaming into batch
+    targets (warehouses, parquet/Delta tables, JDBC): each micro-batch of
+    the update-mode aggregate lands in a ``batch_id=N`` partition, so a
+    replayed batch OVERWRITES its own partition instead of double-counting
+    (idempotent exactly-once layout). The final read keeps each key's row
+    from its latest batch — with availableNow's single batch that is the
+    totals themselves, matched against the batch-SQL oracle.
+    """
+    import os
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    target = os.path.join(
+        repo, "spark-warehouse",
+        f"foreach_totals_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+
+    stream = _read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(target)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

@@ -282,3 +282,67 @@ def domain_mix_rates(spark, sf_dir):
             6,
         ).alias("sample_rate"),
     )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = "555-[0-9]+"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact_' || CAST(doc_id AS VARCHAR)
+                         || '@example.com ph 555-0' || CAST(doc_id % 100 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM aug
+    """,
+    "curation",
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction — the scrub pass every training corpus runs before
+    tokenization: count and replace email/phone matches, emit the redacted
+    text's fingerprint so the oracle verifies the REDACTED BYTES, not just
+    the match counts. Deterministic augmentation (every 7th doc gets a
+    synthetic email + phone) guarantees the patterns actually fire on this
+    clean synthetic corpus. Row-local regex work — zero shuffles; the
+    pattern subset used is dialect-portable (no lookarounds/backrefs,
+    which diverge between Java regex and RE2-family engines).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact_"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph 555-0"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS INT)").alias(
+            "n_emails"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_PHONE_RE}', 0)) AS INT)").alias(
+            "n_phones"
+        ),
+        F.md5(clean).alias("clean_md5"),
+    )

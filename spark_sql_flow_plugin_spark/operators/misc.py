@@ -448,3 +448,95 @@ def partitioned_write_prune(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"), dsum("value", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4: modern SQL surface both engines share — GROUP BY ALL, lateral
+# column aliases, and the dedicated UNPIVOT clause.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "groupby_all_agg",
+    """
+    SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+           COUNT(*) AS n_cust, MIN(c_custkey) AS min_key
+    FROM customer
+    GROUP BY ALL
+    """,
+    "aggregate",
+)
+def groupby_all_agg(spark, sf_dir):
+    """GROUP BY ALL (Spark 3.4+/DuckDB): grouping keys inferred from the
+    non-aggregate select list — including the computed nation_band."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+               COUNT(*) AS n_cust, MIN(c_custkey) AS min_key
+        FROM customer
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "lateral_alias_chain",
+    """
+    SELECT doc_id, n_chars,
+           n_chars // 100 AS size_band,
+           size_band * 100 AS band_floor,
+           band_floor + 99 AS band_ceil
+    FROM documents
+    WHERE n_chars >= 100
+    """,
+    "projection",
+)
+def lateral_alias_chain(spark, sf_dir):
+    """Lateral column aliases (Spark 3.4+): later select items reference
+    earlier aliases in the SAME select list — a chain of three dependent
+    computed columns (DuckDB resolves identically)."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id, n_chars,
+               CAST(n_chars / 100 AS INT) AS size_band,
+               size_band * 100 AS band_floor,
+               band_floor + 99 AS band_ceil
+        FROM documents
+        WHERE n_chars >= 100
+        """
+    )
+
+
+@register(
+    "unpivot_sql",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(v AS DOUBLE) AS v
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DOUBLE) AS qty,
+                 CAST(l_extendedprice AS DOUBLE) AS price,
+                 CAST(l_discount AS DOUBLE) AS disc,
+                 CAST(l_tax AS DOUBLE) AS tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (v FOR measure IN (qty, price, disc, tax))
+    """,
+    "setop",
+)
+def unpivot_sql(spark, sf_dir):
+    """The dedicated UNPIVOT clause (Spark 3.4+ SQL) — the declarative twin
+    of the stack() generator already covered by stack_unpivot; measure
+    columns pre-cast to a common type so both engines unify identically."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure, CAST(v AS DOUBLE) AS v
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS qty,
+                     CAST(l_extendedprice AS DOUBLE) AS price,
+                     CAST(l_discount AS DOUBLE) AS disc,
+                     CAST(l_tax AS DOUBLE) AS tax
+              FROM lineitem WHERE l_orderkey < 100)
+        UNPIVOT (v FOR measure IN (qty, price, disc, tax))
+        """
+    )

@@ -27,7 +27,7 @@ Scale posture (asserted in tests/test_scale_plans.py):
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..registry import register
 from ..sources import load
@@ -345,4 +345,91 @@ def pii_scrub(spark, sf_dir):
             "n_phones"
         ),
         F.md5(clean).alias("clean_md5"),
+    )
+
+
+@register(
+    "split_train_val_test",
+    f"""
+    SELECT source, split, COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN {_DUCK_U} < 0.8 THEN 'train'
+                    WHEN {_DUCK_U} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents) t
+    GROUP BY source, split
+    """,
+    "curation",
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from the same
+    md5-derived uniform deviate as `sample_stratified_hash`: membership is
+    a pure function of doc_id, so a re-run (or a retried partition on a
+    1000-executor job) never moves a document across splits — the property
+    that keeps eval sets honest. Row-local + one small aggregation."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    u = F.expr(_SPARK_U)
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    ).alias("split")
+    return (
+        d.select("source", "n_chars", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        )
+    )
+
+
+_PACK_L = 4096
+
+
+@register(
+    "pack_sequences_running",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_DUCK_WTOKS}) AS n_toks FROM documents),
+    binned AS (
+        SELECT source, n_toks,
+               CAST(floor((SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_toks) / {_PACK_L}) AS BIGINT) AS bin
+        FROM toks)
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_toks
+    FROM binned GROUP BY source, bin
+    """,
+    "curation",
+)
+def pack_sequences_running(spark, sf_dir):
+    """Sequence packing: assign documents to training-sequence bins of
+    ~4096 tokens via a per-source running token count (bin = the cumulative
+    count at the document's START, integer-divided by L) — the
+    deterministic, shuffle-minimal packing a distributed pipeline uses
+    instead of order-dependent greedy bin-packing. One window pass + one
+    aggregation, both partitioned by source: a single shuffle at any
+    scale. Integer arithmetic end to end, so both engines agree exactly.
+    """
+    from .text import _SPARK_WTOKS
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id", "source", F.expr(f"size({_SPARK_WTOKS})").alias("n_toks")
+    )
+    binned = toks.select(
+        "source",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / _PACK_L).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
     )

@@ -9,7 +9,8 @@ vectorized (numpy/pandas ops only, no Python row loops).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator  # noqa: F401 (re-exported for hints)
+from typing import Tuple  # noqa: F401, UP035 — pandas_udf resolves string hints
 
 import pandas as pd
 
@@ -188,3 +189,79 @@ def mapinarrow_charstats(spark, sf_dir):
             )
 
     return d.mapInArrow(stats, "doc_id bigint, n_chars int, first_char string")
+
+
+@register(
+    "pandas_scalar_iter_norm",
+    """
+    WITH stats AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS mu
+        FROM orders)
+    SELECT o_orderkey, ROUND(o_totalprice / mu, 6) AS price_ratio
+    FROM orders, stats
+    """,
+    "pandas-udf",
+)
+def pandas_scalar_iter_norm(spark, sf_dir):
+    """SCALAR_ITER pandas UDF — the variant for expensive per-worker setup
+    (model weights, tokenizers): the iterator form runs initialization ONCE
+    per executor task, then streams Arrow batches through it; a plain
+    scalar UDF would redo the setup per batch. Here the 'model' is the
+    corpus mean price, broadcast as a column so the UDF stays a pure
+    function of its inputs (state loads in the generator prologue)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    mu = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+
+    @pandas_udf("double")
+    def ratio(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # one-time per-task setup would go here (load weights, compile regex)
+        for price, mean in it:
+            yield (price / mean).round(6)
+
+    return o.crossJoin(F.broadcast(mu)).select(
+        "o_orderkey", ratio("o_totalprice", "mu").alias("price_ratio")
+    )
+
+
+@register(
+    "pandas_grouped_agg_wmean",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wmean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "pandas-udf",
+)
+def pandas_grouped_agg_wmean(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (quantity-weighted mean price per return
+    flag) — the Arrow-vectorized custom aggregate that also works as a
+    window function. Sums run over exact decimals (via float64 on integer-
+    scaled values) so the result matches the SQL oracle bit-for-bit:
+    l_extendedprice and l_quantity carry <=4 decimal digits, so scaling by
+    10^4 makes every product an exact float64 integer and the quotient a
+    single deterministic division."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        # scale to exact integers (4 decimal digits) to kill summation-order
+        # nondeterminism, then one double division
+        num = (price * 10_000).round().astype("int64") * (
+            (qty * 10_000).round().astype("int64")
+        )
+        den = (qty * 10_000).round().astype("int64")
+        return float(num.sum() / 10_000) / float(den.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        wmean("l_extendedprice", "l_quantity").alias("wmean_price")
+    )

@@ -26,7 +26,7 @@ every 5th doc) and a near-dup with the first two words dropped
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..caching import scope_caches
 from ..registry import register
@@ -944,3 +944,69 @@ def dedup_incremental_novel(spark, sf_dir):
         "doc_id", F.md5("text").alias("fp"), F.length("text").alias("tlen")
     )
     return batch.join(hist, "fp", "left_anti").select("doc_id", "tlen")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_CTES},
+    und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node),
+    labels AS (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    quality AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS n_toks FROM aug),
+    ranked AS (
+        SELECT component, node, n_toks,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_toks DESC, node) AS rnk
+        FROM labels JOIN quality ON labels.node = quality.doc_id)
+    SELECT component, node AS keeper, CAST(n_toks AS INT) AS keeper_toks,
+           (SELECT COUNT(*) FROM labels l2
+            WHERE l2.component = ranked.component) AS n_docs
+    FROM ranked WHERE rnk = 1
+    """,
+    "dedup",
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Keeper SELECTION policy on top of duplicate-cluster resolution: real
+    pipelines keep the highest-QUALITY member of each near-dup cluster (the
+    un-truncated original, the longer crawl capture), not the min doc_id.
+    Labels come from the same HashMin fixpoint as `dedup_components`; the
+    keeper is argmax(token count, tie-break doc_id) per cluster via one
+    window pass over the labeled nodes — the cluster labeling shuffles the
+    PAIR GRAPH only, and the quality join touches each clustered doc once.
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh.select("doc_a", "doc_b")
+    und = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").localCheckpoint()
+    )
+    del lsh, pairs
+    n_edges = und.count()
+    npart = max(1, -(-n_edges // 2_000_000))
+    und = und.repartition(npart, "dst").localCheckpoint()
+    labels, _ = _propagate_min_labels(spark, und, npart)
+    quality = augmented_documents(spark, sf_dir).select(
+        "doc_id", F.expr(f"size({_SPARK_TOKS})").alias("n_toks")
+    )
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("comp").orderBy(F.col("n_toks").desc(), "node")
+    return (
+        labels.join(quality, labels["node"] == quality["doc_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .join(sizes, "comp")
+        .select(
+            F.col("comp").alias("component"),
+            F.col("node").alias("keeper"),
+            F.col("n_toks").cast("int").alias("keeper_toks"),
+            "n_docs",
+        )
+    )

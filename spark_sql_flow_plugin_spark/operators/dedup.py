@@ -1010,3 +1010,83 @@ def dedup_cluster_keep_best(spark, sf_dir):
             "n_docs",
         )
     )
+
+
+# Winnowing for CROSS-document overlap needs document-RARE fingerprints:
+# k=24-char grams (vs the per-doc profiling k=5 in operators.text — at k=5
+# every document pair shares common grams and the candidate join goes
+# quadratic; measured 146k pairs on a 545-doc corpus). w=16 keeps ~1/16 of
+# grams as fingerprints.
+_WK, _WW = 24, 16
+_SPARK_WKGRAMS = (
+    f"transform(sequence(1, length(text) - {_WK - 1}),"
+    f" i -> cast(conv(substr(md5(substr(text, i, {_WK})), 1, 8), 16, 10) as bigint))"
+)
+_DUCK_WKGRAMS = (
+    f"list_transform(generate_series(1, length(text) - {_WK - 1}),"
+    f" i -> ('0x' || substr(md5(substr(text, i, {_WK})), 1, 8))::BIGINT)"
+)
+_SPARK_WWINNOW = (
+    f"array_distinct(transform(sequence(1, size(h) - {_WW - 1}),"
+    f" i -> array_min(slice(h, i, {_WW}))))"
+)
+_DUCK_WWINNOW = (
+    f"list_distinct(list_transform(generate_series(1, len(h) - {_WW - 1}),"
+    f" i -> list_aggregate(h[i:i + {_WW - 1}], 'min')))"
+)
+
+
+@register(
+    "dedup_winnow_overlap",
+    f"""
+    WITH h AS (SELECT doc_id, {_DUCK_WKGRAMS} AS h
+               FROM (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 3000000, substr(text, 1, 80) || ' tail'
+                     FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 80)
+               WHERE length(text) >= {_WK + _WW}),
+    w AS (SELECT doc_id, {_DUCK_WWINNOW} AS fps FROM h),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM w)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS INT) AS shared_fps
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    "dedup",
+)
+def dedup_winnow_overlap(spark, sf_dir):
+    """LOCALIZED-overlap detection (plagiarism / quote-chain shape) via
+    winnowing fingerprints (Schleimer et al., MOSS): documents sharing >=2
+    selected 24-char-gram fingerprints are flagged even when whole-document
+    similarity is tiny — the case minhash misses by design (an 80-char
+    excerpt inside an otherwise different document; the augmentation plants
+    exactly those). k is deliberately larger than operators.text's per-doc
+    profiling k=5: cross-document matching needs grams rare enough that the
+    fingerprint equi-join stays bucketed (k=5 measured 146k candidate pairs
+    on a 545-doc corpus — quadratic; k=24 only pairs documents that truly
+    share a 24-char span). Winnowing keeps ~1/w of grams, so the join
+    input is a small fraction of corpus characters.
+    """
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    excerpts = d.where(
+        (F.col("doc_id") % 11 == 0) & (F.length("text") >= 80)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
+    )
+    aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
+    h = aug.select("doc_id", F.expr(_SPARK_WKGRAMS).alias("h")).persist()
+    fps = h.select("doc_id", F.expr(_SPARK_WWINNOW).alias("fps")).select(
+        "doc_id", F.explode("fps").alias("f")
+    )
+    a = fps.toDF("doc_a", "f")
+    b = fps.toDF("doc_b", "f")
+    return scope_caches(
+        a.join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2),
+        h,
+    )

@@ -77,8 +77,14 @@ def _apply_op(spark, sf_dir, df, op: int):
     if op == 9:
         return df.cube(c0).agg(F.count("*").alias("cnt"))
     if op == 10:
+        # alias must be unique per application: applying this op twice would
+        # otherwise produce two `ex` columns and make every later by-name
+        # reference ambiguous (hypothesis found ops=[10, 10, ...])
         return df.select(
-            "*", F.explode(F.array(F.col(c0).cast("string"), F.lit("x"))).alias("ex")
+            "*",
+            F.explode(F.array(F.col(c0).cast("string"), F.lit("x"))).alias(
+                f"ex{len(cols)}"
+            ),
         )
     # 11-14: the pandas/arrow map family (FlatMapGroupsInPandas,
     # FlatMapCoGroupsInPandas, MapInPandas, PythonMapInArrow). Extraction

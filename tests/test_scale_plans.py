@@ -348,3 +348,45 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"empty PartitionFilters: {plan}"
+
+
+def test_topk_queries_use_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a global Sort followed by Limit — the
+    # difference between shuffling k rows and shuffling the table
+    for name in ("q10_returned_items", "q18_large_volume_customer"):
+        plan = _physical(queries()[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pii_scrub_is_row_local(spark, sf_dir):
+    # counting + redaction are pure per-row regex work: any Exchange means
+    # an accidental shuffle of corpus bytes
+    plan = _physical(queries()["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # the window (partitionBy source) and the final groupBy (source, bin)
+    # share the source-hash clustering: Catalyst must reuse the window's
+    # exchange for the aggregation — one shuffle total
+    plan = _physical(queries()["pack_sequences_running"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_winnow_overlap_is_bucketed_join(spark, sf_dir):
+    plan = _physical(queries()["dedup_winnow_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_recall_eval_approx_side_is_equi_join(spark, sf_dir):
+    # the ground-truth side is the documented O(QxN) broadcast cross join
+    # (bounded by the 25-query sample); the approximate side must stay a
+    # bucket equi-join
+    plan = _physical(queries()["ann_recall_at_k"](spark, sf_dir))
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert any("bucket" in ln for ln in joins), f"no bucket equi-join: {joins}"

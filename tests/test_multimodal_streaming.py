@@ -145,3 +145,73 @@ def test_wav_round_trip_and_gates():
     # compressed audio (here: an mp3 magic) must still gate
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04...")
+
+
+def test_png_multi_idat_decode():
+    # real PNGs split pixel data across multiple IDAT chunks; the decoder
+    # must concatenate them before inflating
+    import zlib
+
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    payload = encode_png(arr)
+
+    def chunks(b):
+        pos, out = 8, []
+        while pos < len(b):
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            out.append((b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]))
+            pos += 12 + ln
+        return out
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    rebuilt = b"\x89PNG\r\n\x1a\n"
+    for typ, data in chunks(payload):
+        if typ == b"IDAT":
+            mid = len(data) // 2
+            rebuilt += chunk(b"IDAT", data[:mid]) + chunk(b"IDAT", data[mid:])
+        else:
+            rebuilt += chunk(typ, data)
+    assert (decode_image(rebuilt) == arr).all()
+
+
+def test_wav_multichannel_downmix():
+    import io
+    import wave
+
+    left = np.array([1000, -2000, 3000], dtype="<i2")
+    right = np.array([3000, 2000, -1000], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    mono = decode_audio(buf.getvalue())
+    expect = (left.astype(np.float64) + right) / 2.0 / 32768.0
+    assert np.allclose(mono, expect)
+
+
+def test_foreach_batch_rerun_is_idempotent(spark, sf_dir):
+    # dynamic partition overwrite on batch_id: re-running the whole query
+    # (fresh checkpoint => same batch ids) must not double-count
+    r1 = {
+        (r.user_id, r.n_events)
+        for r in queries()["stream_foreach_batch_totals"](spark, sf_dir).collect()
+    }
+    r2 = {
+        (r.user_id, r.n_events)
+        for r in queries()["stream_foreach_batch_totals"](spark, sf_dir).collect()
+    }
+    assert r1 == r2

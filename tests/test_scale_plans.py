@@ -390,3 +390,25 @@ def test_recall_eval_approx_side_is_equi_join(spark, sf_dir):
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
     ]
     assert any("bucket" in ln for ln in joins), f"no bucket equi-join: {joins}"
+
+
+def test_star_components_width_is_plan_local(spark, sf_dir):
+    # same invariant as the HashMin variant: the star iteration must never
+    # touch session-global shuffle width
+    conf = spark.conf
+    before = conf.get("spark.sql.shuffle.partitions")
+    calls = []
+    orig_set = conf.set
+
+    def recording_set(key, value):
+        calls.append(str(key))
+        return orig_set(key, value)
+
+    conf.set = recording_set
+    try:
+        n = dedup.dedup_components_star(spark, sf_dir).count()
+    finally:
+        conf.set = orig_set
+    assert n > 0
+    assert "spark.sql.shuffle.partitions" not in calls
+    assert conf.get("spark.sql.shuffle.partitions") == before

@@ -247,20 +247,24 @@ def pandas_grouped_agg_wmean(spark, sf_dir):
     flag) — the Arrow-vectorized custom aggregate that also works as a
     window function. Sums run over exact decimals (via float64 on integer-
     scaled values) so the result matches the SQL oracle bit-for-bit:
-    l_extendedprice and l_quantity carry <=4 decimal digits, so scaling by
-    10^4 makes every product an exact float64 integer and the quotient a
-    single deterministic division."""
+    l_extendedprice carries 2 decimal digits and l_quantity is
+    integer-valued, so scaling price by 100 makes every product an exact
+    int64 and the quotient a single deterministic division. Scale factors
+    are the MINIMUM that preserves exactness: an earlier 10^4-per-operand
+    version overflowed int64 at sf0.1 group sizes (2.5e18 > 2^63) and
+    pandas wraps silently — caught only by the full-matrix run at sf0.1,
+    which is why the matrix runs at every scale factor. Current headroom:
+    price*100 * qty <= ~5e8 per row, int64 holds ~1.8e10 such rows per
+    group."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
 
     @pandas_udf("double")
     def wmean(price: pd.Series, qty: pd.Series) -> float:
-        # scale to exact integers (4 decimal digits) to kill summation-order
-        # nondeterminism, then one double division
-        num = (price * 10_000).round().astype("int64") * (
-            (qty * 10_000).round().astype("int64")
-        )
-        den = (qty * 10_000).round().astype("int64")
-        return float(num.sum() / 10_000) / float(den.sum())
+        # scale to exact integers to kill summation-order nondeterminism,
+        # then one double division (price: 2 decimals; qty: integer-valued)
+        num = (price * 100).round().astype("int64") * qty.round().astype("int64")
+        den = qty.round().astype("int64")
+        return float(num.sum() / 100) / float(den.sum())
 
     return li.groupBy("l_returnflag").agg(
         wmean("l_extendedprice", "l_quantity").alias("wmean_price")

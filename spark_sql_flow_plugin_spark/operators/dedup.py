@@ -973,6 +973,7 @@ def dedup_incremental_novel(spark, sf_dir):
     FROM ranked WHERE rnk = 1
     """,
     "dedup",
+    "bench",
 )
 def dedup_cluster_keep_best(spark, sf_dir):
     """Keeper SELECTION policy on top of duplicate-cluster resolution: real
@@ -1054,6 +1055,7 @@ _DUCK_WWINNOW = (
     HAVING COUNT(*) >= 2
     """,
     "dedup",
+    "bench",
 )
 def dedup_winnow_overlap(spark, sf_dir):
     """LOCALIZED-overlap detection (plagiarism / quote-chain shape) via

@@ -540,3 +540,30 @@ def unpivot_sql(spark, sf_dir):
         UNPIVOT (v FOR measure IN (qty, price, disc, tax))
         """
     )
+
+
+@register("source_xml_roundtrip", _ROUNDTRIP_ORACLE, "scan", "source-format")
+def source_xml_roundtrip(spark, sf_dir):
+    """XML source (built into Spark 4): write documents as row-tagged XML,
+    read back with an explicit schema, aggregate per source against the
+    parquet-derived oracle. XML entity escaping (&, <, >, quotes) must
+    round-trip the corpus text byte-exactly for the md5 column to match —
+    the parser fidelity check the other formats get, for the markup case."""
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "xml")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("doc_id bigint, source string, n_chars int, text string")
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return _roundtrip_agg(back)

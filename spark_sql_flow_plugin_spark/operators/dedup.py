@@ -473,6 +473,12 @@ def dedup_components_star(spark, sf_dir):
     )
 
 
+#: Round caps are safety valves against unbounded driver loops, NOT silent
+#: truncation: both fixpoints RAISE if the cap is hit before convergence.
+_HASHMIN_MAX_ROUNDS = 50
+_STAR_MAX_ROUNDS = 60
+
+
 def _propagate_min_labels(spark, und, npart):
     """HashMin fixpoint over a materialized edge list: returns ((node, comp)
     labels, rounds) where comp = min doc_id reachable. ``npart`` is the edge-sized
@@ -492,7 +498,8 @@ def _propagate_min_labels(spark, und, npart):
         .localCheckpoint()
     )
     rounds = 1  # the folded-in identity round above
-    for _ in range(50):
+    converged = False
+    for _ in range(_HASHMIN_MAX_ROUNDS):
         rounds += 1
         # one round = ONE aggregation over (own label ∪ neighbor labels):
         # min(comp) over the union is exactly least(own, min-neighbor), so
@@ -521,7 +528,21 @@ def _propagate_min_labels(spark, und, npart):
         changed = new_labels.where("chg").limit(1).count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # HashMin needs diameter-many rounds; a graph deeper than the cap
+        # would otherwise return silently-WRONG labels (nodes > cap hops
+        # from their component minimum keep stale labels — a 10k-node
+        # stress with a planted 500-node chain caught exactly this).
+        # Refuse loudly and point at the O(log n) algorithm.
+        raise RuntimeError(
+            f"HashMin label propagation did not converge within "
+            f"{_HASHMIN_MAX_ROUNDS} rounds: the candidate graph has a "
+            f"component deeper than the round cap (long chains). Use "
+            f"dedup_components_star / _two_phase_star_labels, which "
+            f"converges in O(log n) rounds on any graph."
+        )
     return labels, rounds
 
 
@@ -586,14 +607,22 @@ def _two_phase_star_labels(spark, edges, npart):
     cur = _orient_max_min(edges).distinct().localCheckpoint()
     sig = _sig(cur)
     rounds = 0
-    for _ in range(30):
+    converged = False
+    for _ in range(_STAR_MAX_ROUNDS):
         rounds += 1
         nxt = _small_star(_large_star(cur, npart), npart).localCheckpoint()
         nsig = _sig(nxt)
         cur = nxt
         if (nsig["n"], nsig["h"]) == (sig["n"], sig["h"]):
+            converged = True
             break
         sig = nsig
+    if not converged:
+        raise RuntimeError(
+            f"two-phase star components did not converge within "
+            f"{_STAR_MAX_ROUNDS} rounds — theoretical bound is O(log n), "
+            f"so this indicates a bug or an astronomically large graph"
+        )
     # fixpoint is a forest of stars centered on each component's min node:
     # every non-center points at the center, centers appear only on the
     # min side — label centers with themselves

@@ -412,3 +412,26 @@ def test_star_components_width_is_plan_local(spark, sf_dir):
     assert n > 0
     assert "spark.sql.shuffle.partitions" not in calls
     assert conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_hashmin_raises_on_deep_graph_instead_of_wrong_labels(spark):
+    # a 10k-node stress with a planted 500-node chain returned silently
+    # UNCONVERGED (wrong) labels under the old round cap; the fixpoint must
+    # now refuse loudly and point at the star variant
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    n = dedup._HASHMIN_MAX_ROUNDS + 10
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "u long, v long")
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    with _pytest.raises(RuntimeError, match="dedup_components_star"):
+        dedup._propagate_min_labels(spark, und, 1)
+    # the star variant converges on the same chain in O(log n) rounds
+    labels, rounds = dedup._two_phase_star_labels(spark, edges.localCheckpoint(), 1)
+    assert rounds <= 8
+    assert sorted(r["comp"] for r in labels.collect()) == [0] * (n + 1)

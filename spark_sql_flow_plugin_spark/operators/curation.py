@@ -352,7 +352,7 @@ def pii_scrub(spark, sf_dir):
     "split_train_val_test",
     f"""
     SELECT source, split, COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
     FROM (
         SELECT source, n_chars,
                CASE WHEN {_DUCK_U} < 0.8 THEN 'train'
@@ -387,6 +387,59 @@ def split_train_val_test(spark, sf_dir):
 _PACK_L = 4096
 
 
+#: Documents per prefix-sum chunk. Internal to the algorithm — the output
+#: is identical for any value (the oracle doesn't know about chunks); it
+#: only sets the parallelism grain of the wide stage.
+_PACK_CHUNK_DOCS = 1024
+
+
+def _pack_bins(toks, chunk_docs=_PACK_CHUNK_DOCS):
+    """(doc_id, source, n_toks) → (source, n_toks, bin) via a two-phase
+    distributed prefix sum. See :func:`pack_sequences_running`."""
+    # integer DIV: exact at any doc_id magnitude (a double division would
+    # lose precision past 2^53)
+    chunked = toks.withColumn("chunk", F.expr(f"doc_id DIV {int(chunk_docs)}"))
+    # phase 1: per-chunk token sums — a tiny table (n_docs / chunk_docs rows)
+    chunk_sums = chunked.groupBy("source", "chunk").agg(
+        F.sum("n_toks").alias("chunk_toks")
+    )
+    # phase 2: prefix-sum the chunk table per source (n/B rows — small at
+    # any scale: 10^10 docs / 1024 ≈ 10^7 rows), then broadcast the
+    # per-chunk starting offsets back to the data
+    w_chunks = (
+        Window.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = chunk_sums.select(
+        "source",
+        "chunk",
+        (F.sum("chunk_toks").over(w_chunks) - F.col("chunk_toks")).alias(
+            "chunk_offset"
+        ),
+    )
+    # phase 3: running sum WITHIN each (source, chunk) — the wide stage is
+    # partitioned by chunk id, so parallelism grows with the corpus, not
+    # with the source-column cardinality
+    w_in = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return chunked.join(F.broadcast(offsets), ["source", "chunk"]).select(
+        "source",
+        "n_toks",
+        F.floor(
+            (
+                F.col("chunk_offset")
+                + F.sum("n_toks").over(w_in)
+                - F.col("n_toks")
+            )
+            / _PACK_L
+        ).alias("bin"),
+    )
+
+
 @register(
     "pack_sequences_running",
     f"""
@@ -408,28 +461,26 @@ def pack_sequences_running(spark, sf_dir):
     """Sequence packing: assign documents to training-sequence bins of
     ~4096 tokens via a per-source running token count (bin = the cumulative
     count at the document's START, integer-divided by L) — the
-    deterministic, shuffle-minimal packing a distributed pipeline uses
-    instead of order-dependent greedy bin-packing. One window pass + one
-    aggregation, both partitioned by source: a single shuffle at any
-    scale. Integer arithmetic end to end, so both engines agree exactly.
+    deterministic packing a distributed pipeline uses instead of
+    order-dependent greedy bin-packing.
+
+    The running sum is a TWO-PHASE distributed prefix sum, not a bare
+    ``Window.partitionBy(source)``: documents has only ~20 sources, so a
+    per-source window would cap parallelism at 20 tasks (a ~5 TB
+    single-task sort per source at 100 TB). Instead: (1) chunk by
+    ``doc_id DIV 1024`` and aggregate per-chunk token sums, (2) prefix-sum
+    the tiny chunk table and broadcast each chunk's starting offset back,
+    (3) window only WITHIN (source, chunk). Same output for any chunk
+    size; parallelism ∝ corpus size. Integer arithmetic end to end, so
+    both engines agree exactly.
     """
     from .text import _SPARK_WTOKS
 
     d = load(spark, sf_dir, "documents")["documents"]
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = d.select(
         "doc_id", "source", F.expr(f"size({_SPARK_WTOKS})").alias("n_toks")
     )
-    binned = toks.select(
-        "source",
-        "n_toks",
-        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / _PACK_L).alias("bin"),
-    )
-    return binned.groupBy("source", "bin").agg(
+    return _pack_bins(toks).groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_toks"),
     )

@@ -592,9 +592,13 @@ def _two_phase_star_labels(spark, edges, npart):
     `_propagate_min_labels`: explicit repartition(npart, key), no session
     conf touched. Each round is localCheckpoint-ed to truncate lineage.
 
-    Convergence = the oriented edge multiset is unchanged, detected by a
-    (count, sum of 64-bit edge hashes) signature — one tiny aggregation
-    over the just-checkpointed round output, no extra join.
+    Convergence = the oriented edge multiset is unchanged. A (count, sum of
+    64-bit edge hashes) signature — one tiny aggregation over the
+    just-checkpointed round output — serves as the cheap per-round filter;
+    when the signature matches, an EXACT ``exceptAll`` emptiness check
+    confirms it, so a hash-sum collision between different edge sets can
+    never terminate the fixpoint early with wrong labels. The exact check
+    runs only on the (typically final) signature-match round.
     """
     def _sig(df):
         # 64-bit hashes summed as decimal(38,0): a bigint sum would overflow
@@ -610,12 +614,17 @@ def _two_phase_star_labels(spark, edges, npart):
     converged = False
     for _ in range(_STAR_MAX_ROUNDS):
         rounds += 1
+        prev = cur
         nxt = _small_star(_large_star(cur, npart), npart).localCheckpoint()
         nsig = _sig(nxt)
         cur = nxt
         if (nsig["n"], nsig["h"]) == (sig["n"], sig["h"]):
-            converged = True
-            break
+            # equal counts mean one-sided exceptAll emptiness proves
+            # multiset equality (both are localCheckpoint-ed, so this is
+            # a join over materialized round outputs, not a recompute)
+            if nxt.exceptAll(prev).limit(1).count() == 0:
+                converged = True
+                break
         sig = nsig
     if not converged:
         raise RuntimeError(
@@ -1066,6 +1075,37 @@ _DUCK_WWINNOW = (
 )
 
 
+#: Winnowing fingerprint doc-frequency cap (standard MOSS practice): a
+#: fingerprint appearing in more than this many documents is boilerplate
+#: (license headers, navigation chrome) and is dropped BEFORE the pair
+#: join — one hot key in a 100 TB crawl would otherwise emit ~df² pairs.
+_WDF_CAP = 50
+
+
+def _winnow_pairs(fps, cap=_WDF_CAP):
+    """(doc_id, f) exploded fingerprints → (doc_a, doc_b, shared_fps) pair
+    counts, with hot fingerprints (doc-frequency > cap) removed before the
+    self-equi-join. The hot set is tiny by construction (only
+    boilerplate-grade keys exceed the cap), so it broadcasts and the
+    corpus-sized fingerprint stream is filtered map-side."""
+    hot = (
+        fps.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > cap)
+        .select("f")
+    )
+    kept = fps.join(F.broadcast(hot), "f", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "f")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )
+
+
 @register(
     "dedup_winnow_overlap",
     f"""
@@ -1076,10 +1116,12 @@ _DUCK_WWINNOW = (
                      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 80)
                WHERE length(text) >= {_WK + _WW}),
     w AS (SELECT doc_id, {_DUCK_WWINNOW} AS fps FROM h),
-    fp AS (SELECT doc_id, unnest(fps) AS f FROM w)
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM w),
+    qual AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WDF_CAP}),
+    fpq AS (SELECT fp.doc_id, fp.f FROM fp JOIN qual USING (f))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS INT) AS shared_fps
-    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    FROM fpq a JOIN fpq b ON a.f = b.f AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 2
     """,
@@ -1097,7 +1139,10 @@ def dedup_winnow_overlap(spark, sf_dir):
     fingerprint equi-join stays bucketed (k=5 measured 146k candidate pairs
     on a 545-doc corpus — quadratic; k=24 only pairs documents that truly
     share a 24-char span). Winnowing keeps ~1/w of grams, so the join
-    input is a small fraction of corpus characters.
+    input is a small fraction of corpus characters. Fingerprints with
+    doc-frequency above ``_WDF_CAP`` are dropped before the pair join
+    (broadcast anti-join): million-fold-repeated boilerplate in a real
+    crawl would otherwise turn one hot key into ~df² candidate pairs.
     """
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
     excerpts = d.where(
@@ -1111,13 +1156,4 @@ def dedup_winnow_overlap(spark, sf_dir):
     fps = h.select("doc_id", F.expr(_SPARK_WWINNOW).alias("fps")).select(
         "doc_id", F.explode("fps").alias("f")
     )
-    a = fps.toDF("doc_a", "f")
-    b = fps.toDF("doc_b", "f")
-    return scope_caches(
-        a.join(b, "f")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("int").alias("shared_fps"))
-        .where(F.col("shared_fps") >= 2),
-        h,
-    )
+    return scope_caches(_winnow_pairs(fps), h)

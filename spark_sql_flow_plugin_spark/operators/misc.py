@@ -242,11 +242,20 @@ def date_funcs_battery(spark, sf_dir):
 
 _ROUNDTRIP_ORACLE = """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS sum_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
            MIN(md5(text)) AS min_text_md5
     FROM documents
     GROUP BY source
 """
+
+
+def _session_token(spark) -> str:
+    # per-session suffix for scratch dirs under the shared spark-warehouse:
+    # two concurrent sessions running the same operator would otherwise race
+    # on mode("overwrite") and a reader could observe a half-overwritten
+    # dataset. applicationId is stable within a session (so re-runs reuse
+    # and overwrite their own dir) and unique across sessions.
+    return spark.sparkContext.applicationId
 
 
 def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
@@ -256,7 +265,9 @@ def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(
-        repo, "spark-warehouse", f"roundtrip_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo,
+        "spark-warehouse",
+        f"roundtrip_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}_{_session_token(spark)}",
     )
 
 
@@ -439,7 +450,7 @@ def partitioned_write_prune(spark, sf_dir):
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(
         repo, "spark-warehouse",
-        f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}_{_session_token(spark)}",
     )
     write_partitioned(ev, path, ["d"])
     back = spark.read.parquet(path).where(

@@ -287,15 +287,19 @@ def _decode_wav(payload: bytes) -> "object":
     return arr
 
 
-def encode_wav(samples, sample_rate: int = 16000, sampwidth: int = 2) -> bytes:
-    """int16 numpy samples → mono PCM WAV bytes (stdlib ``wave``)."""
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """int16 numpy samples → mono PCM WAV bytes (stdlib ``wave``).
+
+    Sample width is fixed at 2 bytes: the frame payload below is always
+    written as ``<i2``, so accepting any other width would produce a WAV
+    whose header and payload disagree."""
     import io
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(sampwidth)
+        w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()

@@ -224,10 +224,14 @@ def pandas_scalar_iter_norm(spark, sf_dir):
     ) -> Iterator[pd.Series]:
         # one-time per-task setup would go here (load weights, compile regex)
         for price, mean in it:
-            yield (price / mean).round(6)
+            yield price / mean
 
+    # round OUTSIDE the UDF: pandas Series.round is half-to-even while
+    # DuckDB's ROUND(double) is half-away-from-zero; Spark's F.round uses
+    # HALF_UP on the double's shortest decimal repr, matching the oracle.
     return o.crossJoin(F.broadcast(mu)).select(
-        "o_orderkey", ratio("o_totalprice", "mu").alias("price_ratio")
+        "o_orderkey",
+        F.round(ratio("o_totalprice", "mu"), 6).alias("price_ratio"),
     )
 
 

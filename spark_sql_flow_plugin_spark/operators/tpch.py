@@ -372,9 +372,10 @@ def q10_returned_items(spark, sf_dir):
 @register(
     "q14_promo_effect",
     f"""
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE}
-                                 ELSE CAST(0 AS DECIMAL(18,4)) END)
-                / SUM({SQL_REVENUE}) AS DOUBLE) AS promo_revenue_pct
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'

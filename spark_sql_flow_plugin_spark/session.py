@@ -23,6 +23,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver has generated events.parquet with INT64 TIMESTAMP(NANOS) in
+    # some rounds; Spark's parquet reader rejects nanos unless they are read
+    # as LONG. Read-path-only and idempotent, but set HERE once (not per
+    # read call) so no operator mutates session state mid-query
+    # (round-4 verdict hygiene item #4).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

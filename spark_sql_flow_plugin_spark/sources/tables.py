@@ -38,9 +38,10 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver has generated events.parquet with two different physical
     types for ``ts`` across rounds: INT64 TIMESTAMP(NANOS) (which Spark's
     parquet reader rejects unless nanos are read as LONG) and plain
-    TIMESTAMP(MICROS). Set the legacy nanos conf so either layout reads;
-    callers normalize via :func:`convert_event_ts`."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TIMESTAMP(MICROS). ``session.RUNTIME_CONFS`` carries the legacy nanos
+    conf so either layout reads (applied once by ``tune``, never mutated
+    per call); callers normalize via :func:`convert_event_ts`."""
+    tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 

@@ -121,8 +121,8 @@ def stream_user_totals(spark, sf_dir):
         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
@@ -351,9 +351,12 @@ def stream_foreach_batch_totals(spark, sf_dir):
     import shutil
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # per-session suffix: concurrent sessions must not race on overwrite of
+    # a shared scratch dir (see operators.misc._session_token)
     target = os.path.join(
         repo, "spark-warehouse",
-        f"foreach_totals_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"foreach_totals_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(target, ignore_errors=True)
 

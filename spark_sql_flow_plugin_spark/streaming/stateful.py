@@ -40,7 +40,7 @@ def _update_user_state(key, pdfs, state: GroupState):
     "stream_stateful_user_agg",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_scaled
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_scaled
     FROM events GROUP BY user_id
     """,
     "streaming",
@@ -163,7 +163,7 @@ if _has_protobuf():  # pragma: no cover - container lacks protobuf
         "stream_transform_with_state",
         """
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_scaled
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_scaled
         FROM events GROUP BY user_id
         """,
         "streaming",

@@ -55,3 +55,58 @@ def test_ann_topk_contains_scaled_twin(spark, sf_dir):
     rows = queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
     twins = [r for r in rows if r.id_b - r.id_a == 100000]
     assert twins and all(abs(t.cos_sim - 1.0) < 1e-5 for t in twins)
+
+
+def test_pack_bins_two_phase_matches_single_window(spark):
+    # multi-chunk correctness of the distributed prefix sum: with a tiny
+    # chunk size the chunked computation must reproduce the one-window
+    # reference bin assignment exactly, including across chunk boundaries
+    # and for doc_id sequences with gaps
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_sql_flow_plugin_spark.operators.curation import _PACK_L, _pack_bins
+
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for _ in range(400):
+        doc_id += rng.randint(1, 9)  # gaps: chunks are NOT uniformly filled
+        rows.append((doc_id, f"s{rng.randint(0, 2)}", rng.randint(1, _PACK_L // 2)))
+    toks = spark.createDataFrame(rows, "doc_id bigint, source string, n_toks int")
+
+    got = sorted(
+        (r.source, r.bin, r.n_toks)
+        for r in _pack_bins(toks, chunk_docs=64).collect()
+    )
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = sorted(
+        (r.source, r.bin, r.n_toks)
+        for r in toks.select(
+            "source",
+            "n_toks",
+            F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / _PACK_L).alias("bin"),
+        ).collect()
+    )
+    assert got == ref
+
+
+def test_winnow_hot_fingerprint_cap_bounds_pairs(spark):
+    # planted boilerplate: one fingerprint shared by 100 docs (df >> cap)
+    # must be dropped before the pair join — without the cap it alone
+    # would emit ~100²/2 pairs; docs 1 and 2 share two RARE fingerprints
+    # and must still pair
+    from spark_sql_flow_plugin_spark.operators.dedup import _winnow_pairs
+
+    hot = [(i, 999) for i in range(100)]
+    rare = [(1, 7), (2, 7), (1, 8), (2, 8)]
+    fps = spark.createDataFrame(hot + rare, "doc_id bigint, f bigint")
+    rows = _winnow_pairs(fps, cap=50).collect()
+    assert [(r.doc_a, r.doc_b, r.shared_fps) for r in rows] == [(1, 2, 2)]

@@ -366,12 +366,20 @@ def test_pii_scrub_is_row_local(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_pack_sequences_single_shuffle(spark, sf_dir):
-    # the window (partitionBy source) and the final groupBy (source, bin)
-    # share the source-hash clustering: Catalyst must reuse the window's
-    # exchange for the aggregation — one shuffle total
+def test_pack_sequences_wide_stage_is_chunk_partitioned(spark, sf_dir):
+    # the running sum must NOT be a bare Window.partitionBy(source): with
+    # ~20 sources that caps parallelism at 20 tasks forever. The two-phase
+    # prefix sum windows within (source, chunk) — every data-sized window
+    # in the plan must carry the chunk id in its partitioning key
     plan = _physical(queries()["pack_sequences_running"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, plan
+    for ln in windows:
+        # the only source-partitioned window allowed is the one over the
+        # tiny per-chunk offsets table, identifiable by its chunk_toks input
+        if "chunk_toks" in ln:
+            continue
+        assert "chunk" in ln, f"data-sized window not chunk-partitioned: {ln}"
 
 
 def test_winnow_overlap_is_bucketed_join(spark, sf_dir):

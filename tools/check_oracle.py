@@ -3,11 +3,20 @@ __spark_entry__.queries() entry on Spark AND its oracle_sql() on DuckDB at
 the same scale factor, then compare row count, column names, and an
 order-insensitive value multiset.
 
+Bit-exact since round 5: no float rounding — a cell's canonical form is its
+full shortest-roundtrip repr, so builder-green implies driver-green for any
+value-level canonicalization. Each query line also carries md5 digests of
+the normalized Spark and DuckDB row multisets, so a future driver-side
+mismatch can be diffed against the committed matrix log instead of guessed
+at. A type audit rejects DuckDB result types pandas does not round-trip
+faithfully (HUGEINT etc. — the round-4 `hash_match: false` root cause).
+
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import sys
@@ -23,12 +32,28 @@ from spark_sql_flow_plugin_spark.registry import all_specs  # noqa: E402
 from spark_sql_flow_plugin_spark.session import get_session  # noqa: E402
 from spark_sql_flow_plugin_spark.sources import TABLES  # noqa: E402
 
+# DuckDB result types whose python representation is bit-faithful and
+# matches the corresponding Spark collect() type (see
+# tests/test_oracle_dtypes.py). Anything else (HUGEINT, DECIMAL, FLOAT,
+# ...) must be cast in the oracle SQL.
+PANDAS_FAITHFUL = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "TIMESTAMP",
+    "DATE",
+    "BOOLEAN",
+}
+
 
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # repr() is the shortest string that round-trips the exact double:
+        # bit-exact, no tolerance.
+        return repr(v)
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return repr(v)
@@ -37,6 +62,14 @@ def norm_cell(v):
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def digest(norm):
+    h = hashlib.md5()
+    for line in norm:
+        h.update(line.encode("utf-8", "surrogatepass"))
+        h.update(b"\n")
+    return h.hexdigest()[:12]
 
 
 def main() -> int:
@@ -70,29 +103,43 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[spec.name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[spec.name])
+            dtypes = [str(t) for t in rel.types]
+            dcols = rel.columns
+            drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {spec.name}: DUCKDB ERROR: {str(exc)[:300]}")
             n_fail += 1
             continue
         problems = []
+        bad_types = [
+            (c, t) for c, t in zip(dcols, dtypes) if t not in PANDAS_FAITHFUL
+        ]
+        if bad_types:
+            problems.append(f"driver-unsafe oracle types {bad_types}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={scols} duck={dcols}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        s_dig = d_dig = "-"
         if not problems:
             s_n = norm_rows(scols, [tuple(r) for r in srows])
             d_n = norm_rows(dcols, drows)
+            s_dig, d_dig = digest(s_n), digest(d_n)
             if s_n != d_n:
                 diff = [(a, b) for a, b in zip(s_n, d_n) if a != b][:3]
                 problems.append(f"values differ, e.g. {diff}")
         if problems:
-            print(f"FAIL  {spec.name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            print(
+                f"FAIL  {spec.name}: {'; '.join(problems)} "
+                f"spark={s_dig} duck={d_dig} [{time.time()-t0:.1f}s]"
+            )
             n_fail += 1
         else:
-            print(f"pass  {spec.name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            print(
+                f"pass  {spec.name}: rows={len(srows)} "
+                f"digest={s_dig} [{time.time()-t0:.1f}s]"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail / {len(specs)}")

@@ -274,8 +274,46 @@ def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
 def _roundtrip_agg(df):
     return df.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("sum_chars"),
         F.min(F.md5("text")).alias("min_text_md5"),
+    )
+
+
+# CSV byte-fidelity contract (tests/test_roundtrip_adversarial.py probes it
+# with control chars, CR/LF, whitespace-only fields, edge quotes, NFD, and
+# 4-byte emoji):
+# - the univocity WRITER trims whitespace by default — ignore*WhiteSpace
+#   must be false on BOTH sides or '  x  ' silently becomes 'x';
+# - multiLine=true on read, or embedded newlines abort the FAILFAST parse;
+# - nulls need a sentinel (classic \\N) to stay distinguishable from empty
+#   strings — both map to an empty field otherwise. A field whose VALUE is
+#   the literal sentinel would read back as null; acceptable for corpus
+#   text, documented here.
+_CSV_NULL = "\\N"
+
+
+def csv_write_fidelity(writer):
+    """Apply the byte-preserving option set to a CSV DataFrameWriter."""
+    return (
+        writer.option("header", True)
+        .option("escape", '"')
+        .option("nullValue", _CSV_NULL)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+    )
+
+
+def csv_read_fidelity(reader):
+    """Apply the matching byte-preserving option set to a CSV reader."""
+    return (
+        reader.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", _CSV_NULL)
+        .option("emptyValue", "")
+        .option("mode", "FAILFAST")
     )
 
 
@@ -305,19 +343,18 @@ def source_csv_roundtrip(spark, sf_dir):
     an explicit schema + strict (FAILFAST) parsing — corpus text contains
     commas/quotes/newlines-adjacent punctuation, so this round-trip proves
     the quote/escape configuration actually preserves bytes, which silent
-    PERMISSIVE mode would paper over with nulls."""
+    PERMISSIVE mode would paper over with nulls. The full fidelity option
+    set (multiLine, no whitespace trimming, null sentinel) lives in
+    :func:`csv_write_fidelity`/:func:`csv_read_fidelity` and is probed with
+    an adversarial corpus in tests/test_roundtrip_adversarial.py."""
     docs = load(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "source", "n_chars", "text"
     )
     path = _roundtrip_dir(spark, sf_dir, "csv")
-    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
-    back = (
+    csv_write_fidelity(docs.write.mode("overwrite")).csv(path)
+    back = csv_read_fidelity(
         spark.read.schema("doc_id bigint, source string, n_chars int, text string")
-        .option("header", True)
-        .option("escape", '"')
-        .option("mode", "FAILFAST")
-        .csv(path)
-    )
+    ).csv(path)
     return _roundtrip_agg(back)
 
 
@@ -559,7 +596,11 @@ def source_xml_roundtrip(spark, sf_dir):
     read back with an explicit schema, aggregate per source against the
     parquet-derived oracle. XML entity escaping (&, <, >, quotes) must
     round-trip the corpus text byte-exactly for the md5 column to match —
-    the parser fidelity check the other formats get, for the markup case."""
+    the parser fidelity check the other formats get, for the markup case.
+    Spec limits (probed in tests/test_roundtrip_adversarial.py): control
+    chars are illegal in XML 1.0 — the writer raises rather than corrupt;
+    whitespace-only element text is trimmed by the parser; CR/CRLF and all
+    valid unicode survive."""
     docs = load(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "source", "n_chars", "text"
     )

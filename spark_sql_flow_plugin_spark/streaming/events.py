@@ -91,6 +91,7 @@ def stream_hourly_counts(spark, sf_dir):
     """,
     "streaming",
     "bench",
+    "stream-exec",
 )
 def stream_user_totals(spark, sf_dir):
     """Stateful per-key running totals in update mode; the latest update per
@@ -211,6 +212,7 @@ def stream_dedup_exact(spark, sf_dir):
     """,
     "streaming",
     "bench",
+    "stream-exec",
 )
 def stream_click_purchase_join(spark, sf_dir):
     """Stream-stream interval join: click→purchase attribution within a
@@ -235,7 +237,19 @@ def stream_click_purchase_join(spark, sf_dir):
     the data path, not the setup. availableNow re-pays it per bench run by
     design (fresh checkpoint = deterministic, oracle-checkable result).
     """
+    return _click_purchase_pipeline(spark, sf_dir)
+
+
+def _click_purchase_pipeline(spark, sf_dir, empty: bool = False):
+    """The click→purchase interval-join pipeline. ``empty=True`` keeps the
+    exact plan shape (same readStream, watermarks, state stores per shuffle
+    partition) but filters the source to zero rows — bench.py uses it to
+    measure the micro-batch MACHINERY cost of this query shape (state-store
+    creation, checkpoint, offset/commit logs) separately from the data
+    path."""
     ev = _read_events_stream(spark, sf_dir)
+    if empty:
+        ev = ev.where("user_id < 0")
     clicks = (
         ev.where("event_type = 'click'")
         .select(

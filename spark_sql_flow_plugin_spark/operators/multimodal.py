@@ -3,12 +3,14 @@
 Images/audio/video are carried as opaque ``binary`` columns next to a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. The codec
-layer is split: PPM (P6) and uncompressed 24-bit BMP decode natively
-(stdlib+numpy — ``multimodal_image_decode_stats`` runs a REAL
-decode→feature pipeline on them); compressed formats and audio need
-PIL/soundfile, which this container lacks, so those paths raise
-``NotImplementedError`` behind an import gate and the remaining pipelines
-use a deterministic fake "decode" (byte inspection / md5 features) so
+layer decodes natively, stdlib+numpy only: PPM (P6), uncompressed 24-bit
+BMP, 8-bit RGB PNG (zlib + all five filters), baseline huffman JPEG
+(operators.jpeg — any chroma sampling, restart markers), and PCM WAV.
+``multimodal_image_decode_stats`` / ``multimodal_jpeg_roundtrip`` run REAL
+decode→feature pipelines on them. Progressive JPEG and compressed audio
+need PIL/soundfile, which this container lacks, so those paths raise
+``NotImplementedError`` behind an import gate; the remaining pipelines use
+a deterministic fake "decode" (byte inspection / md5 features) so
 correctness stays oracle-checkable.
 
 At 100 TB the pattern matters more than the stub: binary payloads stay in
@@ -35,10 +37,12 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload → (h, w, 3) uint8 RGB numpy array.
 
     REAL decode paths, stdlib+numpy only: binary PPM (P6), uncompressed
-    24-bit BMP, and non-interlaced 8-bit RGB PNG (zlib inflate + full
-    filter reconstruction: None/Sub/Up/Average/Paeth). Remaining formats
-    (JPEG/…) fall through to Pillow, which this container doesn't ship, so
-    they raise NotImplementedError behind the import gate.
+    24-bit BMP, non-interlaced 8-bit RGB PNG (zlib inflate + full
+    filter reconstruction: None/Sub/Up/Average/Paeth), and baseline /
+    extended-sequential huffman JPEG (any chroma sampling, restart
+    markers — see operators.jpeg). Progressive JPEG and everything else
+    fall through to Pillow, which this container doesn't ship, so they
+    raise NotImplementedError behind the import gate.
     """
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
@@ -46,6 +50,13 @@ def decode_image(payload: bytes) -> "object":
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/arithmetic: try Pillow below
     try:
         import io
 
@@ -54,8 +65,8 @@ def decode_image(payload: bytes) -> "object":
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "only PPM(P6)/BMP24/PNG(8-bit RGB) decode natively; other "
-            "codecs require Pillow — install it on the cluster image"
+            "PPM(P6)/BMP24/PNG(8-bit RGB)/baseline-JPEG decode natively; "
+            "other codecs require Pillow — install it on the cluster image"
         ) from exc
 
 
@@ -757,4 +768,86 @@ def multimodal_dedup_payload(spark, sf_dir):
             F.min("n_bytes").alias("n_bytes"),
         )
         .select("fp", "keeper", "n_copies", "n_bytes")
+    )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    f"""
+    SELECT doc_id,
+           {_IMG_W} AS width, {_IMG_H} AS height,
+           CASE WHEN doc_id % 2 = 1 THEN 'jpeg_420' ELSE 'jpeg_444' END
+               AS codec_mode,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Baseline-JPEG codec drive (operators.jpeg — stdlib+numpy huffman/
+    DCT, the last codec that was PIL-gated): per document, synthesize a
+    deterministic image, encode at quality 100 and decode with our OWN
+    decoder, then assert a measured reconstruction bound.
+
+    JPEG is lossy, so unlike the lossless PPM/BMP/PNG stats query the
+    oracle cannot predict exact pixels; instead the Spark side emits
+    ``decode_ok = (max |err| <= bound)`` and the oracle expects TRUE. The
+    bounds are measured-plus-margin (q100, 400-doc sweep): 4:4:4 gradient
+    max err 2 → bound 3; 4:2:0 needs chroma-smooth input (the wrap-around
+    gradient's 255→0 edge smears to err ~171 under 2×2 chroma averaging —
+    honest lossy behavior), so odd doc_ids use solid colors, max err 1 →
+    bound 2. Every third document adds restart markers (DRI interval 2) so
+    the RSTn + DC-predictor-reset path stays covered. A decoder or encoder
+    regression (huffman tables, zigzag, IDCT, upsampling, restart
+    handling) flips decode_ok to FALSE and breaks the value hash.
+    """
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    npx = _IMG_W * _IMG_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(npx, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                subsample = did % 2 == 1
+                if subsample:  # chroma-smooth input for 4:2:0
+                    color = [(did * 3) % 256, (did * 7) % 256, (did * 11) % 256]
+                    arr = np.full((_IMG_H, _IMG_W, 3), color, dtype=np.uint8)
+                    bound = 2
+                else:
+                    arr = ((base + did) % 256).astype(np.uint8).reshape(
+                        _IMG_H, _IMG_W, 3
+                    )
+                    bound = 3
+                payload = encode_jpeg(
+                    arr,
+                    quality=100,
+                    subsample=subsample,
+                    restart_interval=2 if did % 3 == 0 else 0,
+                )
+                img = decode_image(payload)
+                err = int(
+                    np.abs(img.astype(np.int64) - arr.astype(np.int64)).max()
+                )
+                rows.append(
+                    (
+                        did,
+                        img.shape[1],
+                        img.shape[0],
+                        "jpeg_420" if subsample else "jpeg_444",
+                        err <= bound,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "codec_mode", "decode_ok"],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, width int, height int, codec_mode string, "
+        "decode_ok boolean",
     )

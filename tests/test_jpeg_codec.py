@@ -1,0 +1,92 @@
+"""Unit tests for the stdlib baseline JPEG codec (operators.jpeg).
+
+JPEG is lossy, so correctness is asserted through measured reconstruction
+bounds on analytically chosen inputs: solid colors are DC-only blocks and
+must survive q100 quantization within ±1-2; smooth gradients bound the AC
+path; noise bounds the full pipeline loosely. Structural paths (chroma
+subsampling MCU interleave, restart markers + DC predictor reset, odd
+dimensions / edge crop, ZRL runs) each get a dedicated drive.
+"""
+
+import numpy as np
+import pytest
+
+from spark_sql_flow_plugin_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _maxerr(a, b):
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+def test_solid_color_444_is_near_exact():
+    img = np.full((8, 8, 3), [200, 30, 90], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (8, 8, 3)
+    assert _maxerr(out, img) <= 1
+
+
+def test_solid_color_420_with_restarts():
+    img = np.full((40, 56, 3), [12, 200, 64], dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, quality=95, subsample=True, restart_interval=2)
+    )
+    assert out.shape == (40, 56, 3)
+    assert _maxerr(out, img) <= 1
+
+
+def test_smooth_gradient_bound():
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = np.stack(
+        [np.clip(yy * 2, 0, 255), np.clip(xx * 3, 0, 255), np.clip(yy + xx, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert _maxerr(out, img) <= 4
+
+
+def test_noise_roundtrip_bounded():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.mean() < 12  # lossy but sane; a broken path lands ~70+
+
+
+def test_odd_dimensions_crop():
+    img = np.full((17, 23, 3), [255, 255, 0], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert out.shape == (17, 23, 3)
+    assert _maxerr(out, img) <= 2
+
+
+def test_long_zero_runs_exercise_zrl():
+    # one bright pixel in a black image: AC spectrum is dense, but a black
+    # second block is all-zero after the DC diff — drives EOB + ZRL paths
+    img = np.zeros((8, 32, 3), dtype=np.uint8)
+    img[3, 4] = [255, 255, 255]
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (8, 32, 3)
+    assert int(out[3, 4].astype(int).min()) > 150  # the spike survives
+    assert int(out[:, 16:, :].max()) <= 4  # black stays black
+
+
+def test_progressive_rejected_loudly():
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): decoder must refuse, not mis-decode
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_decode_image_routes_jpeg():
+    from spark_sql_flow_plugin_spark.operators.multimodal import decode_image
+
+    img = np.full((8, 8, 3), [10, 250, 33], dtype=np.uint8)
+    out = decode_image(encode_jpeg(img, quality=100))
+    assert _maxerr(np.asarray(out), img) <= 1

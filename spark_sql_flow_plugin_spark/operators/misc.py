@@ -619,3 +619,50 @@ def source_xml_roundtrip(spark, sf_dir):
         .load(path)
     )
     return _roundtrip_agg(back)
+
+
+@register(
+    "source_python_datasource",
+    """
+    WITH g AS (SELECT unnest(generate_series(0, 9999)) AS doc_id)
+    SELECT 'src' || CAST(doc_id % 10 AS VARCHAR) AS source,
+           COUNT(*) AS n_docs,
+           CAST(SUM((doc_id * 37) % 991) AS BIGINT) AS sum_chars,
+           MIN(md5(CAST(doc_id AS VARCHAR))) AS min_md5
+    FROM g
+    WHERE doc_id >= 2500 AND doc_id < 7500
+    GROUP BY 1
+    """,
+    "scan",
+    "source-format",
+)
+def source_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``):
+    read the deterministic ``synthetic_docs`` format — the API a pipeline
+    uses to mount a non-file corpus service as a first-class
+    ``spark.read`` source — through a doc_id range filter, then
+    aggregate. The read is partition-parallel (8 declared InputPartitions;
+    asserted in test_scale_plans); the filter is applied post-scan because
+    Python-source pushdown is unsafe on Spark 4.1 (scan-cache leak — see
+    sources/synthetic.py). Every row is a closed-form function of doc_id,
+    so the DuckDB generate_series oracle reproduces the dataset exactly
+    and any range-bookkeeping bug (skipped/double-read boundary rows)
+    breaks the value hash. sf-independent by design: the source IS the
+    generator."""
+    from ..sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic_docs").option("rows", "10000").load()
+    return (
+        df.where((F.col("doc_id") >= 2500) & (F.col("doc_id") < 7500))
+        .groupBy(
+            F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")).alias(
+                "source"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("doc_id") * 37) % 991).cast("bigint").alias("sum_chars"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("min_md5"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+A deterministic synthetic-documents source — the pattern a training-data
+pipeline uses to plug a non-file system (an internal corpus service, a
+queue, a proprietary store) into Spark as a first-class ``spark.read``
+format. Spark 4's Python DataSource API is the public, Arrow-backed way
+to do that without a JVM connector.
+
+Scale posture: ``partitions()`` declares one :class:`InputPartition` per
+row-range, so the read is distributed — every executor slot pulls its own
+range; no driver-side materialization, no single-reader bottleneck. Rows
+are generated with pure closed-form functions of ``doc_id`` (md5 text,
+modular n_chars), so a DuckDB ``generate_series`` oracle reproduces the
+exact dataset and any drift in the partition/range bookkeeping (skipped
+rows, double-read boundaries) breaks the value hash.
+
+Filter pushdown (``pushFilters``) is deliberately NOT implemented: on
+Spark 4.1 the planned Python scan is cached per ``load()`` relation, and a
+pushed-down range from one plan leaks into OTHER plans built from the same
+DataFrame — measured: ``df.where(rng).count()`` followed by a plain
+``df.count()`` returned the filtered count (silent row loss). Until the
+engine scopes Python-source pushdown per query plan, a stateless reader is
+the only configuration that cannot corrupt results; the partition-pruning
+upside is small next to that risk. The probe is kept as a regression test
+(consistency across filtered-then-unfiltered actions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCHEMA = "doc_id bigint, source string, n_chars int, text string"
+#: rows per InputPartition — the distribution grain; at 100 TB you size
+#: this so a partition is a few hundred MB of generated rows
+_ROWS_PER_PARTITION = 1250
+
+
+def synth_row(doc_id: int) -> tuple:
+    """Closed-form row — MUST stay in lockstep with the DuckDB oracle in
+    operators.misc.source_python_datasource."""
+    return (
+        doc_id,
+        f"src{doc_id % 10}",
+        (doc_id * 37) % 991,
+        hashlib.md5(str(doc_id).encode()).hexdigest(),
+    )
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "10000"))
+
+    def partitions(self):
+        out = []
+        start = 0
+        while start < self.n_rows:
+            end = min(start + _ROWS_PER_PARTITION, self.n_rows)
+            out.append(InputPartition((start, end)))
+            start = end
+        # zero-row reads still need >= 1 partition
+        return out or [InputPartition((0, 0))]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for doc_id in range(lo, hi):
+            yield synth_row(doc_id)
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the format with this session."""
+    spark.dataSource.register(SyntheticDocsDataSource)

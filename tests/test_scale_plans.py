@@ -443,3 +443,22 @@ def test_hashmin_raises_on_deep_graph_instead_of_wrong_labels(spark):
     labels, rounds = dedup._two_phase_star_labels(spark, edges.localCheckpoint(), 1)
     assert rounds <= 8
     assert sorted(r["comp"] for r in labels.collect()) == [0] * (n + 1)
+
+
+def test_python_datasource_partitioned_read_is_exact_and_stateless(spark):
+    # the synthetic_docs source declares 10k rows / 1250-per-partition = 8
+    # InputPartitions (distributed read, no single-reader bottleneck)
+    from spark_sql_flow_plugin_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic_docs").option("rows", "10000").load()
+    assert df.rdd.getNumPartitions() == 8
+    # regression guard for the Spark 4.1 scan-cache leak that forced
+    # pushFilters OFF (see sources/synthetic.py): a filtered action on the
+    # relation must NOT narrow a later unfiltered action on the same df
+    assert df.where("doc_id >= 2500 AND doc_id < 3750").count() == 1250
+    assert df.count() == 10000
+    # boundary exactness: no skipped/double-read rows across partitions
+    assert df.select("doc_id").distinct().count() == 10000

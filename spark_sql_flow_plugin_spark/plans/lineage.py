@@ -66,6 +66,9 @@ _TABLE_CLASSES = {
     # a memory-sink streaming result read back via spark.table(name) —
     # the downstream half of a streaming pipeline is a table scan too
     "MemoryPlan",
+    # DSv2 scans, incl. Spark 4 custom Python DataSources (sources.synthetic)
+    "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
 }
 _VIEW_CLASSES = {"View", "TempViewNode"}
 
@@ -199,6 +202,12 @@ class LineageExtractor:
         if plan.cls in _VIEW_CLASSES:
             return NodeType.VIEW
         if plan.cls == "Range":
+            return NodeType.LEAF_PLAN
+        if plan.cls == "UnionLoopRef":
+            # recursive CTE (Spark 4): the loop's self-reference is a leaf
+            # by construction (it scans the previous iteration, not a
+            # table) — classified like Range so contraction keeps it.
+            # Reference parity n/a: Spark 3.2 had no recursive CTE.
             return NodeType.LEAF_PLAN
         return NodeType.PLAN
 

@@ -403,3 +403,54 @@ def stream_foreach_batch_totals(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+@register(
+    "stream_state_store_read",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+    "streaming",
+)
+def stream_state_store_read(spark, sf_dir):
+    """State-store data source (Spark 4 ``spark.read.format("statestore")``):
+    run a stateful per-key count to a persistent checkpoint, then read the
+    operator's STATE back as a batch DataFrame — the ops workflow for
+    inspecting, auditing, or repairing a production streaming job's state
+    without replaying its input. After availableNow drains the (static)
+    backlog, the keyed state IS the batch aggregate, so the oracle is the
+    plain GROUP BY — a state-encoding or partition-assignment bug in the
+    reader surfaces as a value mismatch.
+
+    At scale: the state read is partition-parallel (one task per state
+    store partition, ``partition_id`` exposed) and never touches the
+    original source."""
+    import shutil
+    import uuid as _uuid
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ckpt = os.path.join(
+        repo, "spark-warehouse",
+        f"state_read_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    agg = _read_events_stream(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    name = f"state_src_{_uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )

@@ -95,10 +95,17 @@ def main() -> None:
         _run_to_memory,
     )
 
+    # The `user_id < 0` predicate pushes down to the parquet file-source
+    # scan (row-group min/max stats exclude every group), so the empty
+    # twin pays planning + state-store topology but almost no scan — the
+    # point of the machinery/data split. dsum (not a plain F.sum) keeps
+    # the aggregate plan identical to stream_user_totals.
+    from spark_sql_flow_plugin_spark.functions.exprs import dsum
+
     def _empty_user_totals():
         src = _read_events_stream(spark, sf_dir).where("user_id < 0")
         agg = src.groupBy("user_id").agg(
-            F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+            F.count("*").alias("n_events"), dsum("value", "sum_value")
         )
         return _run_to_memory(agg, "update")
 

@@ -426,17 +426,20 @@ def _pack_bins(toks, chunk_docs=_PACK_CHUNK_DOCS):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return chunked.join(F.broadcast(offsets), ["source", "chunk"]).select(
-        "source",
-        "n_toks",
-        F.floor(
+    return (
+        chunked.join(F.broadcast(offsets), ["source", "chunk"])
+        .select(
+            "source",
+            "n_toks",
             (
                 F.col("chunk_offset")
                 + F.sum("n_toks").over(w_in)
                 - F.col("n_toks")
-            )
-            / _PACK_L
-        ).alias("bin"),
+            ).alias("cum_before"),
+        )
+        # integer DIV, like the chunk id above: a double division would
+        # lose exactness once cumulative token counts pass 2^53
+        .select("source", "n_toks", F.expr(f"cum_before DIV {_PACK_L}").alias("bin"))
     )
 
 

@@ -329,6 +329,39 @@ def _decode_scan(
     reader = _BitReader(payload, pos)
     mcu_index = 0
 
+    try:
+        _decode_mcus(
+            payload, reader, comps, planes, pred, huff_dc, huff_ac,
+            scan_tables, quant, mcus_x, mcus_y, restart_interval,
+        )
+    except (_MarkerReached, IndexError) as exc:
+        # truncated entropy data or a desynced huffman stream running into
+        # a marker/EOF: surface the module's documented error type
+        raise ValueError("truncated or corrupt JPEG entropy stream") from exc
+
+    # upsample each component to full resolution (nearest neighbor) and crop
+    out = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+
+    if len(out) == 1:  # grayscale
+        y = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = out[0] + 128.0, out[1], out[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_mcus(
+    payload, reader, comps, planes, pred, huff_dc, huff_ac, scan_tables,
+    quant, mcus_x, mcus_y, restart_interval,
+):
+    mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
@@ -351,23 +384,6 @@ def _decode_scan(
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_index += 1
-
-    # upsample each component to full resolution (nearest neighbor) and crop
-    out = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid]
-        if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        out.append(p[:h, :w])
-
-    if len(out) == 1:  # grayscale
-        y = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    y, cb, cr = out[0] + 128.0, out[1], out[2]
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
 def _decode_block(reader, dc_tbl, ac_tbl, pred, cid, q):
@@ -449,8 +465,13 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
 
-    ql = _scale_quant(QUANT_LUMA, quality)
-    qc = _scale_quant(QUANT_CHROMA, quality)
+    # permute the (raster-order) Annex K literals into zigzag order: both
+    # the DQT payload and the per-coefficient quantization below consume
+    # zigzag positions, so without this permutation the effective
+    # quantization matrix would be a scrambled Annex K (self-consistent
+    # with our decoder, but mis-weighted vs every spec decoder)
+    ql = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
     dc_l = _canonical_codes(*DC_LUMA_SPEC)
     ac_l = _canonical_codes(*AC_LUMA_SPEC)
     dc_c = _canonical_codes(*DC_CHROMA_SPEC)
@@ -488,8 +509,8 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
 
     # zigzag direction: the decoder scatters with dq[ZIGZAG] = coeffs (the
     # i-th entropy-coded value lands at raster position ZIGZAG[i]), so the
-    # encoder gathers with coef[ZIGZAG]. DQT tables are stored in zigzag
-    # order per T.81, matching both sides.
+    # encoder gathers with coef[ZIGZAG]; q tables above are already
+    # permuted into the same zigzag order (DQT stores zigzag per T.81).
     def _emit_block(plane, y0, x0, q, dc_codes, ac_codes, ci):
         block = plane[y0 : y0 + 8, x0 : x0 + 8]
         coef = (_A @ block @ _A.T).flatten()

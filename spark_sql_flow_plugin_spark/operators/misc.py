@@ -258,16 +258,43 @@ def _session_token(spark) -> str:
     return spark.sparkContext.applicationId
 
 
-def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
-    # anchored to the repo (not CWD or the session warehouse conf): the
-    # harness may launch the session from any working directory
+#: scratch dirs from sessions older than this are presumed dead and pruned
+#: (sessions here live minutes; 6 h is a generous upper bound)
+_SCRATCH_TTL_SEC = 6 * 3600
+
+
+def scratch_path(spark, base: str) -> str:
+    """``spark-warehouse/<base>_<applicationId>`` — anchored to the repo
+    (not CWD or the session warehouse conf: the harness may launch from
+    any working directory). Same-base dirs left behind by DEAD sessions
+    (mtime older than the TTL) are pruned best-effort on the way, so the
+    per-session suffixing that kills the concurrent-overwrite race cannot
+    accumulate scratch data forever."""
+    import glob
     import os
+    import shutil
+    import time
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(
-        repo,
-        "spark-warehouse",
-        f"roundtrip_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}_{_session_token(spark)}",
+    wh = os.path.join(repo, "spark-warehouse")
+    token = _session_token(spark)
+    now = time.time()
+    for old in glob.glob(os.path.join(wh, base + "_*")):
+        if old.endswith(token):
+            continue
+        try:
+            if now - os.path.getmtime(old) > _SCRATCH_TTL_SEC:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(wh, f"{base}_{token}")
+
+
+def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
+    import os
+
+    return scratch_path(
+        spark, f"roundtrip_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
 
 
@@ -484,10 +511,8 @@ def partitioned_write_prune(spark, sf_dir):
     ev = load(spark, sf_dir, "events")["events"].withColumn(
         "d", F.to_date("ts")
     )
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(
-        repo, "spark-warehouse",
-        f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}_{_session_token(spark)}",
+    path = scratch_path(
+        spark, f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     write_partitioned(ev, path, ["d"])
     back = spark.read.parquet(path).where(

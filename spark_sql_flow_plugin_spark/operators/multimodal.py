@@ -796,8 +796,11 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     max err 2 → bound 3; 4:2:0 needs chroma-smooth input (the wrap-around
     gradient's 255→0 edge smears to err ~171 under 2×2 chroma averaging —
     honest lossy behavior), so odd doc_ids use solid colors, max err 1 →
-    bound 2. Every third document adds restart markers (DRI interval 2) so
-    the RSTn + DC-predictor-reset path stays covered. A decoder or encoder
+    bound 2. Every third document adds restart markers with DRI interval 1
+    — a 16x8 4:4:4 image has exactly 2 MCUs, so interval 1 is the only
+    value that actually EMITS an RSTn between them (interval 2 would
+    write a DRI segment but never fire), keeping the RSTn +
+    DC-predictor-reset path covered. A decoder or encoder
     regression (huffman tables, zigzag, IDCT, upsampling, restart
     handling) flips decode_ok to FALSE and breaks the value hash.
     """
@@ -826,7 +829,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
                     arr,
                     quality=100,
                     subsample=subsample,
-                    restart_interval=2 if did % 3 == 0 else 0,
+                    restart_interval=1 if did % 3 == 0 else 0,
                 )
                 img = decode_image(payload)
                 err = int(

@@ -369,14 +369,15 @@ def variant_extract_battery(spark, sf_dir):
     JSON path functions on the same payloads — equal VALUES prove the
     variant path semantics, which is the point of the check."""
     ev = load(spark, sf_dir, "events")["events"]
-    v = F.parse_json("props")
-    return ev.select(
+    parsed = ev.select("event_id", F.parse_json("props").alias("v"))
+    extracted = parsed.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_num"),
-        F.expr(
-            "try_variant_get(parse_json(props), '$.missing', 'bigint')"
-        ).alias("k_missing"),
-        (
-            F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 2 == 0
-        ).alias("k_is_even"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_num"),
+        F.expr("try_variant_get(v, '$.missing', 'bigint')").alias("k_missing"),
+    )
+    return extracted.select(
+        "event_id",
+        "k_num",
+        "k_missing",
+        (F.col("k_num") % 2 == 0).alias("k_is_even"),
     )

@@ -361,16 +361,13 @@ def stream_foreach_batch_totals(spark, sf_dir):
     from its latest batch — with availableNow's single batch that is the
     totals themselves, matched against the batch-SQL oracle.
     """
-    import os
     import shutil
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    # per-session suffix: concurrent sessions must not race on overwrite of
-    # a shared scratch dir (see operators.misc._session_token)
-    target = os.path.join(
-        repo, "spark-warehouse",
-        f"foreach_totals_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
+    # per-session suffix + stale-sibling TTL pruning (operators.misc)
+    from ..operators.misc import scratch_path
+
+    target = scratch_path(
+        spark, f"foreach_totals_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(target, ignore_errors=True)
 
@@ -428,11 +425,10 @@ def stream_state_store_read(spark, sf_dir):
     import shutil
     import uuid as _uuid
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    ckpt = os.path.join(
-        repo, "spark-warehouse",
-        f"state_read_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
+    from ..operators.misc import scratch_path
+
+    ckpt = scratch_path(
+        spark, f"state_read_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(ckpt, ignore_errors=True)
 

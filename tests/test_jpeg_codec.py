@@ -90,3 +90,22 @@ def test_decode_image_routes_jpeg():
     img = np.full((8, 8, 3), [10, 250, 33], dtype=np.uint8)
     out = decode_image(encode_jpeg(img, quality=100))
     assert _maxerr(np.asarray(out), img) <= 1
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    payload = encode_jpeg(np.full((24, 24, 3), 128, dtype=np.uint8), quality=90)
+    # chop inside the entropy-coded data (before the EOI)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) - 10] + b"\xff\xd9")
+
+
+def test_dqt_payload_is_annex_k_in_zigzag_order():
+    # the DQT segment must carry the Annex K luminance table in zigzag
+    # order (quality 50 = unscaled): spec decoders dequantize by zigzag
+    # position, so a raster-order payload would scramble the weighting
+    from spark_sql_flow_plugin_spark.operators.jpeg import QUANT_LUMA, ZIGZAG
+
+    payload = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=50)
+    i = payload.find(b"\xff\xdb")
+    table = np.frombuffer(payload[i + 5 : i + 5 + 64], dtype=np.uint8)
+    assert (table == QUANT_LUMA[ZIGZAG]).all()

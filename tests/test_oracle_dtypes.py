@@ -20,17 +20,9 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# DuckDB types whose python/pandas representation is bit-faithful and
-# matches the corresponding Spark collect() type.
-PANDAS_FAITHFUL = {
-    "BIGINT",
-    "INTEGER",
-    "DOUBLE",
-    "VARCHAR",
-    "TIMESTAMP",
-    "DATE",
-    "BOOLEAN",
-}
+# Single source of truth lives next to the comparator so the pytest guard
+# and the matrix checker can never drift apart.
+from tools.check_oracle import PANDAS_FAITHFUL
 
 
 @pytest.fixture(scope="module")

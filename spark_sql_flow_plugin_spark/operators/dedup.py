@@ -1153,7 +1153,13 @@ def dedup_winnow_overlap(spark, sf_dir):
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
     h = aug.select("doc_id", F.expr(_SPARK_WKGRAMS).alias("h")).persist()
-    fps = h.select("doc_id", F.expr(_SPARK_WWINNOW).alias("fps")).select(
-        "doc_id", F.explode("fps").alias("f")
+    # persist the exploded fingerprints too: _winnow_pairs consumes them
+    # THREE times (doc-frequency aggregate + both self-join sides), and
+    # recomputing the winnow expression per consumer measured +63% on the
+    # bench when the df-cap branch was added
+    fps = (
+        h.select("doc_id", F.expr(_SPARK_WWINNOW).alias("fps"))
+        .select("doc_id", F.explode("fps").alias("f"))
+        .persist()
     )
-    return scope_caches(_winnow_pairs(fps), h)
+    return scope_caches(_winnow_pairs(fps), h, fps)

@@ -348,3 +348,142 @@ def text_tfidf_top_terms(spark, sf_dir):
         ),
         toks,
     )
+
+
+# Fixed-weight linear quality model: the shape of fastText/logistic-reg
+# quality filtering without a training dependency — weights are constants,
+# features are exact integer-derived ratios, the score is one dot product
+# of doubles (identical expression order in both engines, so bit-exact).
+# No sigmoid: exp() is a libm call whose last-ulp behavior differs across
+# engines; a monotone transform does not change the keep decision anyway.
+_QM_W = (0.8, -1.2, 2.0, -0.5)  # (len_score, punct_ratio, stop_ratio, upper_ratio)
+_QM_KEEP = 0.55
+
+
+@register(
+    "quality_model_filter",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
+               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                   / (length(text) + 1) AS punct_ratio,
+               CAST(len(list_filter({_DUCK_WTOKS}, t -> t IN ({_SW_LIST_SQL}))) AS DOUBLE)
+                   / (len({_DUCK_WTOKS}) + 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                   / (length(text) + 1) AS upper_ratio
+        FROM documents)
+    SELECT doc_id,
+           {_QM_W[0]} * len_score + {_QM_W[1]} * punct_ratio
+               + {_QM_W[2]} * stop_ratio + {_QM_W[3]} * upper_ratio AS model_score,
+           ({_QM_W[0]} * len_score + {_QM_W[1]} * punct_ratio
+               + {_QM_W[2]} * stop_ratio + {_QM_W[3]} * upper_ratio) >= {_QM_KEEP}
+               AS keep
+    FROM f
+    """,
+    "text",
+    "curation",
+)
+def quality_model_filter(spark, sf_dir):
+    """Model-based corpus filtering with a fixed-weight linear scorer —
+    the fastText-classifier shape (featurize → dot product → threshold)
+    that production pipelines run after the heuristic filters, minus the
+    training dependency: weights are checked-in constants, so the filter
+    is reproducible and auditable. Features are exact ratios of integer
+    counts; the score is a single double dot product evaluated in the
+    same order in both engines (no sigmoid — exp() is a libm call whose
+    last bits differ across engines, and a monotone transform can't
+    change the keep decision). Row-local: zero shuffles at any scale;
+    swapping in learned weights is a one-line change."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = F.expr(_SPARK_WTOKS)
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    len_score = F.least(F.length("text").cast("double") / 1000.0, F.lit(1.0))
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[\p{Punct}]", ""))
+    ).cast("double") / (F.length("text") + 1)
+    stop_ratio = F.expr(
+        f"cast(size(filter({_SPARK_WTOKS}, t -> t IN ({stops}))) as double)"
+        f" / (size({_SPARK_WTOKS}) + 1)"
+    )
+    upper_ratio = F.length(
+        F.regexp_replace("text", r"[^A-Z]", "")
+    ).cast("double") / (F.length("text") + 1)
+    score = (
+        F.lit(_QM_W[0]) * len_score
+        + F.lit(_QM_W[1]) * punct_ratio
+        + F.lit(_QM_W[2]) * stop_ratio
+        + F.lit(_QM_W[3]) * upper_ratio
+    )
+    return d.select(
+        "doc_id",
+        score.alias("model_score"),
+        (score >= F.lit(_QM_KEEP)).alias("keep"),
+    )
+
+
+@register(
+    "source_similarity_jaccard",
+    f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest({_DUCK_WTOKS}) AS token FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jacc
+    FROM inter JOIN sizes sa ON inter.src_a = sa.source
+               JOIN sizes sb ON inter.src_b = sb.source
+    """,
+    "text",
+)
+def source_similarity_jaccard(spark, sf_dir):
+    """Source-level vocabulary overlap matrix: exact Jaccard of each source
+    pair's distinct-token sets — the corpus-analytics view a domain-mixing
+    decision starts from (two sources with jacc≈1 are the same crawl under
+    two names; near-0 means genuinely new vocabulary).
+
+    100 TB shape: the self-join runs on the DISTINCT (source, token) vocab
+    table, not the corpus — vocabulary is bounded by the language
+    (~10^6-10^7 types), not the corpus size, and a token contributes at
+    most #sources² pair rows, so the join output is ≤ vocab ×
+    #sources²/2 regardless of how many petabytes produced the vocab.
+    Counts are exact integers; the one double division is identical on
+    both engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        d.select("source", F.explode(F.expr(_SPARK_WTOKS)).alias("token"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    from ..caching import scope_caches
+
+    return scope_caches(
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jacc"),
+        ),
+        vocab,
+    )

@@ -462,3 +462,25 @@ def test_python_datasource_partitioned_read_is_exact_and_stateless(spark):
     assert df.count() == 10000
     # boundary exactness: no skipped/double-read rows across partitions
     assert df.select("doc_id").distinct().count() == 10000
+
+
+def test_variant_extract_is_row_local(spark, sf_dir):
+    # variant parse + typed extraction is pure per-row work: any Exchange
+    # means an accidental shuffle of event payloads
+    plan = _physical(queries()["variant_extract_battery"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_quality_model_filter_is_row_local(spark, sf_dir):
+    plan = _physical(queries()["quality_model_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_source_similarity_joins_vocab_not_corpus(spark, sf_dir):
+    # the pair join must consume the DISTINCT (source, token) vocab table —
+    # an aggregate must sit below the join on both sides — and never plan a
+    # cartesian product
+    plan = _physical(queries()["source_similarity_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    join_pos = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], "vocab distinct not below the pair join"

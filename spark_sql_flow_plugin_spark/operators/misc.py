@@ -691,3 +691,117 @@ def source_python_datasource(spark, sf_dir):
             F.min(F.md5(F.col("doc_id").cast("string"))).alias("min_md5"),
         )
     )
+
+
+@register(
+    "scd2_customer_merge",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment FROM customer),
+    upd AS (
+        SELECT c_custkey, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 11 = 0 AND c_custkey % 7 != 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0),
+    joined AS (
+        SELECT COALESCE(d.c_custkey, u.c_custkey) AS c_custkey,
+               d.segment AS old_seg, u.segment AS new_seg
+        FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey)
+    SELECT c_custkey, old_seg AS segment, DATE '2024-01-01' AS valid_from,
+           DATE '2024-06-01' AS valid_to, FALSE AS is_current
+    FROM joined WHERE old_seg IS NOT NULL AND new_seg IS NOT NULL
+                  AND old_seg != new_seg
+    UNION ALL
+    SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM joined WHERE new_seg IS NOT NULL
+                  AND (old_seg IS NULL OR old_seg != new_seg)
+    UNION ALL
+    SELECT c_custkey, old_seg, DATE '2024-01-01', CAST(NULL AS DATE), TRUE
+    FROM joined WHERE old_seg IS NOT NULL
+                  AND (new_seg IS NULL OR old_seg = new_seg)
+    """,
+    "pipeline",
+)
+def scd2_customer_merge(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) merge — the warehouse
+    operation behind every versioned dimension table, expressed with plain
+    DataFrame ops (no table-format MERGE INTO needed): one full-outer join
+    of the current dimension against the update batch classifies every key
+    as changed / unchanged / no-op-update / insert, then a three-way union
+    emits closed old versions (valid_to = the merge date), new current
+    versions, and untouched rows. No-op updates (same attribute value)
+    deliberately produce NO new version — the mistake that silently
+    doubles dimension tables. The update batch is synthesized
+    deterministically from the customer table (%7 changed, %11 no-op,
+    %13 inserts) so the oracle is exact.
+
+    At 100 TB: one key-partitioned join + row-local projections; the
+    three-way union reuses the joined result (Spark caches nothing here —
+    each branch re-reads the shuffled join output, which AQE plans once)."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    dim = c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    upd = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+                "segment"
+            ),
+        )
+        .union(
+            c.where((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        )
+        .union(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEW").alias("segment"),
+            )
+        )
+    )
+    j = (
+        dim.alias("d")
+        .join(upd.alias("u"), F.col("d.c_custkey") == F.col("u.c_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("d.c_custkey"), F.col("u.c_custkey")).alias("c_custkey"),
+            F.col("d.segment").alias("old_seg"),
+            F.col("u.segment").alias("new_seg"),
+        )
+    )
+    d0 = F.lit("2024-01-01").cast("date")
+    d1 = F.lit("2024-06-01").cast("date")
+    null_d = F.lit(None).cast("date")
+    changed = F.col("old_seg").isNotNull() & F.col("new_seg").isNotNull() & (
+        F.col("old_seg") != F.col("new_seg")
+    )
+    closed = j.where(changed).select(
+        "c_custkey",
+        F.col("old_seg").alias("segment"),
+        d0.alias("valid_from"),
+        d1.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.where(
+        F.col("new_seg").isNotNull()
+        & (F.col("old_seg").isNull() | (F.col("old_seg") != F.col("new_seg")))
+    ).select(
+        "c_custkey",
+        F.col("new_seg").alias("segment"),
+        d1.alias("valid_from"),
+        null_d.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = j.where(
+        F.col("old_seg").isNotNull()
+        & (F.col("new_seg").isNull() | (F.col("old_seg") == F.col("new_seg")))
+    ).select(
+        "c_custkey",
+        F.col("old_seg").alias("segment"),
+        d0.alias("valid_from"),
+        null_d.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.union(opened).union(untouched)

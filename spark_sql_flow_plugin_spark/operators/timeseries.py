@@ -381,3 +381,57 @@ def variant_extract_battery(spark, sf_dir):
         "k_missing",
         (F.col("k_num") % 2 == 0).alias("k_is_even"),
     )
+
+
+@register(
+    "hypertable_incremental_refresh",
+    f"""
+    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "timeseries",
+)
+def hypertable_incremental_refresh(spark, sf_dir):
+    """Incremental continuous-aggregate refresh (TimescaleDB invalidation
+    semantics): a late-arriving batch (event_id % 17 — ~6% of events) must
+    update the hourly rollup WITHOUT recomputing it. Buckets untouched by
+    the late batch are carried over from the existing rollup via an
+    anti-join; only the dirty (user_id, hour) buckets are recomputed, from
+    the base events SEMI-JOINED down to those buckets plus the late rows.
+
+    The oracle is the FULL recompute over all events — so the check proves
+    the incremental merge is exactly equivalent, which is the entire
+    correctness obligation of an incremental view maintenance engine.
+    Partial sums stay DECIMAL through the carry-over/recompute split (only
+    the final projection casts to double), so merged and recomputed
+    buckets are bit-identical to the one-shot aggregation.
+
+    At 100 TB: the dirty-bucket set is proportional to the LATE data, not
+    the table; with the rollup stored partitioned by hour, the semi-join
+    becomes partition-pruned reads of just the invalidated hours."""
+    ev = load(spark, sf_dir, "events")["events"].withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    base = ev.where(F.col("event_id") % 17 != 0)
+    late = ev.where(F.col("event_id") % 17 == 0)
+
+    def hourly_dec(df):
+        return df.groupBy("user_id", "hour").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_value"),
+        )
+
+    existing = hourly_dec(base)
+    dirty = late.select("user_id", "hour").distinct()
+    untouched = existing.join(dirty, ["user_id", "hour"], "left_anti")
+    base_dirty = base.join(dirty, ["user_id", "hour"], "left_semi")
+    recomputed = hourly_dec(base_dirty.unionByName(late))
+    return untouched.unionByName(recomputed).select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.col("dec_value").cast("double").alias("sum_value"),
+    )

@@ -487,3 +487,55 @@ def pack_sequences_running(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_toks"),
     )
+
+
+@register(
+    "padding_waste_stats",
+    f"""
+    WITH lens AS (
+        SELECT CAST(len({_DUCK_WTOKS}) AS BIGINT) AS n_toks FROM documents
+        WHERE len({_DUCK_WTOKS}) > 0),
+    bucketed AS (
+        SELECT n_toks,
+               CAST(POWER(2, CEIL(LOG2(n_toks))) AS BIGINT) AS bucket
+        FROM lens)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS real_toks,
+           CAST(SUM(bucket - n_toks) AS BIGINT) AS padding_toks,
+           CAST(SUM(bucket - n_toks) AS DOUBLE)
+               / (CAST(SUM(bucket) AS DOUBLE)) AS waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+    "curation",
+)
+def padding_waste_stats(spark, sf_dir):
+    """Length-bucketed batching economics: assign each document to its
+    power-of-two token-length bucket and report how many pad tokens the
+    bucket costs vs the real tokens — the number that decides a training
+    job's effective FLOP utilization (padding is compute burned on
+    nothing; bucketed batching exists to shrink it). Integer token counts
+    end to end; the one ratio is a double division of exact sums.
+    Row-local bucket assignment + one small aggregation (#buckets rows):
+    no scale hazards."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    lens = d.select(
+        F.expr(f"cast(size({_SPARK_WTOKS}) as bigint)").alias("n_toks")
+    ).where(F.col("n_toks") > 0)
+    # ceil(log2(n)) in float is safe here: exact powers of two have exact
+    # float log2 (so ceil can't overshoot), and non-powers sit >= ~1e-7
+    # from the nearest integer for any realistic doc length — far beyond
+    # libm's last-ulp differences, so both engines bucket identically
+    bucketed = lens.withColumn(
+        "bucket",
+        F.expr("cast(power(2, ceil(log2(n_toks))) as bigint)"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("real_toks"),
+        F.sum(F.col("bucket") - F.col("n_toks")).cast("bigint").alias("padding_toks"),
+        (
+            F.sum(F.col("bucket") - F.col("n_toks")).cast("double")
+            / F.sum("bucket").cast("double")
+        ).alias("waste_ratio"),
+    )

@@ -487,3 +487,72 @@ def source_similarity_jaccard(spark, sf_dir):
         ),
         vocab,
     )
+
+
+#: reference-vocabulary size for OOV-rate scoring
+_OOV_TOPK = 256
+
+
+@register(
+    "oov_rate_against_top_vocab",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WTOKS}) AS token FROM documents),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+            ORDER BY c DESC, token LIMIT {_OOV_TOPK})),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_toks,
+               COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(n_oov AS DOUBLE) / n_toks AS oov_rate
+    FROM scored
+    """,
+    "text",
+)
+def oov_rate_against_top_vocab(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus' own top-256
+    token vocabulary — the cheap proxy for "how much of this document will
+    a fixed tokenizer fragment": high-OOV documents are boilerplate, code,
+    or foreign-language content a text pipeline wants flagged before
+    tokenization.
+
+    Shape: the reference vocabulary is a top-k over global token counts
+    (TakeOrderedAndProject: per-partition heaps + driver merge of k rows,
+    never a full sort), then BROADCAST against the token stream — the
+    corpus never shuffles for scoring; the only corpus-sized aggregate is
+    the per-doc count pair. Tie-breaking on (count DESC, token) makes the
+    vocabulary deterministic in both engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_WTOKS)).alias("token")
+    ).persist()
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_OOV_TOPK)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+    return scope_caches(
+        scored.select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_toks")).alias("oov_rate"),
+        ),
+        toks,
+    )

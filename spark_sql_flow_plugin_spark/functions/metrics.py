@@ -42,5 +42,8 @@ def row_audit(df: DataFrame) -> tuple[DataFrame, Observation]:
     action."""
     metrics = {"n_rows": F.count(F.lit(1))}
     for c in df.columns:
-        metrics[f"null_{c}"] = F.count_if(F.col(c).isNull())
+        # backtick-quote: a column literally named "a.b" would otherwise
+        # resolve as struct-field access
+        quoted = "`" + c.replace("`", "``") + "`"
+        metrics[f"null_{c}"] = F.count_if(F.col(quoted).isNull())
     return with_metrics(df, **metrics)

@@ -426,8 +426,12 @@ def _pack_bins(toks, chunk_docs=_PACK_CHUNK_DOCS):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # no forced broadcast: the offsets table grows with the corpus
+    # (n_docs / chunk_docs rows) — Catalyst broadcasts it while it is
+    # small and falls back to a shuffle join on (source, chunk) at scale,
+    # which is co-partitioned with the in-chunk window right below
     return (
-        chunked.join(F.broadcast(offsets), ["source", "chunk"])
+        chunked.join(offsets, ["source", "chunk"])
         .select(
             "source",
             "n_toks",
@@ -472,7 +476,7 @@ def pack_sequences_running(spark, sf_dir):
     per-source window would cap parallelism at 20 tasks (a ~5 TB
     single-task sort per source at 100 TB). Instead: (1) chunk by
     ``doc_id DIV 1024`` and aggregate per-chunk token sums, (2) prefix-sum
-    the tiny chunk table and broadcast each chunk's starting offset back,
+    the chunk table and join each chunk's starting offset back,
     (3) window only WITHIN (source, chunk). Same output for any chunk
     size; parallelism ∝ corpus size. Integer arithmetic end to end, so
     both engines agree exactly.

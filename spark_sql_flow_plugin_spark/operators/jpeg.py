@@ -240,6 +240,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — consume ONE fill byte and rescan, or the real
+            # marker byte would be misread as a segment length
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -262,6 +268,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             ncomp = data[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) and exotic layouts must
+                # gate loudly — dropping the K plane would silently emit
+                # wrong pixels, violating the module contract
+                raise NotImplementedError(
+                    f"only 1- or 3-component JPEG decodes natively "
+                    f"(got {ncomp} components) — use Pillow for CMYK/YCCK"
+                )
             comps = []
             for c in range(ncomp):
                 cid = data[6 + c * 3]
@@ -290,6 +304,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             ns = data[0]
+            if frame is not None and ns != len(frame[2]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG is not "
+                    "supported — one interleaved scan covering every "
+                    "component is required"
+                )
             scan_tables = {}
             for c in range(ns):
                 cid = data[1 + c * 2]
@@ -327,7 +347,6 @@ def _decode_scan(
     }
     pred = {cid: 0 for cid, *_ in comps}
     reader = _BitReader(payload, pos)
-    mcu_index = 0
 
     try:
         _decode_mcus(

@@ -705,7 +705,8 @@ def source_python_datasource(spark, sf_dir):
         SELECT c_custkey, c_mktsegment FROM customer
         WHERE c_custkey % 11 = 0 AND c_custkey % 7 != 0
         UNION ALL
-        SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0),
+        SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + c_custkey, 'NEW'
+        FROM customer WHERE c_custkey % 13 = 0),
     joined AS (
         SELECT COALESCE(d.c_custkey, u.c_custkey) AS c_custkey,
                d.segment AS old_seg, u.segment AS new_seg
@@ -732,7 +733,9 @@ def scd2_customer_merge(spark, sf_dir):
     of the current dimension against the update batch classifies every key
     as changed / unchanged / no-op-update / insert, then a three-way union
     emits closed old versions (valid_to = the merge date), new current
-    versions, and untouched rows. No-op updates (same attribute value)
+    versions, and untouched rows. Insert keys are offset past
+    MAX(c_custkey) (scalar aggregate, broadcast), never a fixed literal a
+    bigger table would collide with. No-op updates (same attribute value)
     deliberately produce NO new version — the mistake that silently
     doubles dimension tables. The update batch is synthesized
     deterministically from the customer table (%7 changed, %11 no-op,
@@ -756,8 +759,14 @@ def scd2_customer_merge(spark, sf_dir):
             .select("c_custkey", F.col("c_mktsegment").alias("segment"))
         )
         .union(
-            c.where(F.col("c_custkey") % 13 == 0).select(
-                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            # insert keys offset past MAX(c_custkey): a fixed literal
+            # offset would collide with real keys once the table outgrows
+            # it (at TPC-H SF >= ~67 for a 10M offset) and silently break
+            # the SCD2 semantics at exactly the scale this demonstrates
+            c.where(F.col("c_custkey") % 13 == 0)
+            .crossJoin(F.broadcast(c.agg(F.max("c_custkey").alias("maxk"))))
+            .select(
+                (F.col("maxk") + 1 + F.col("c_custkey")).alias("c_custkey"),
                 F.lit("NEW").alias("segment"),
             )
         )

@@ -396,15 +396,13 @@ def quality_model_filter(spark, sf_dir):
     change the keep decision). Row-local: zero shuffles at any scale;
     swapping in learned weights is a one-line change."""
     d = load(spark, sf_dir, "documents")["documents"]
-    toks = F.expr(_SPARK_WTOKS)
-    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
     len_score = F.least(F.length("text").cast("double") / 1000.0, F.lit(1.0))
     punct_ratio = (
         F.length("text")
         - F.length(F.regexp_replace("text", r"[\p{Punct}]", ""))
     ).cast("double") / (F.length("text") + 1)
     stop_ratio = F.expr(
-        f"cast(size(filter({_SPARK_WTOKS}, t -> t IN ({stops}))) as double)"
+        f"cast(size(filter({_SPARK_WTOKS}, t -> t IN ({_SW_LIST_SQL}))) as double)"
         f" / (size({_SPARK_WTOKS}) + 1)"
     )
     upper_ratio = F.length(
@@ -471,8 +469,6 @@ def source_similarity_jaccard(spark, sf_dir):
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
-    from ..caching import scope_caches
-
     return scope_caches(
         inter.join(F.broadcast(sa), "src_a")
         .join(F.broadcast(sb), "src_b")

@@ -109,3 +109,27 @@ def test_dqt_payload_is_annex_k_in_zigzag_order():
     i = payload.find(b"\xff\xdb")
     table = np.frombuffer(payload[i + 5 : i + 5 + 64], dtype=np.uint8)
     assert (table == QUANT_LUMA[ZIGZAG]).all()
+
+
+def test_fill_bytes_before_markers_are_consumed():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    # inject one before every segment marker of a valid stream
+    img = np.full((8, 8, 3), [77, 150, 20], dtype=np.uint8)
+    payload = encode_jpeg(img, quality=100)
+    out = bytearray(payload[:2])
+    i = 2
+    while i < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] in (0xDB, 0xC0, 0xC4, 0xDA):
+            out.append(0xFF)  # fill byte
+        out.append(payload[i])
+        i += 1
+    decoded = decode_jpeg(bytes(out))
+    assert _maxerr(decoded, img) <= 1
+
+
+def test_cmyk_component_count_gates_loudly():
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 9] = 4  # claim 4 components (CMYK) in SOF0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))

@@ -1,0 +1,135 @@
+"""Property-based fuzz for the round-5 algorithmic kernels.
+
+These don't touch the oracle registry — they attack the pure-Python /
+plan-construction layers with randomized inputs hypothesis shrinks to
+minimal counterexamples:
+
+- JPEG codec: random images, sizes, qualities, sampling/restart configs
+  must round-trip within the lossy error model and never crash.
+- Star connected-components: labels must equal a trusted union-find on
+  random edge lists (the fixpoint's convergence check is exact, so a
+  collision can't hide a wrong answer).
+- Winnow pair counting: the df-cap must equal a brute-force reference.
+"""
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from spark_sql_flow_plugin_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+_SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@_SLOW
+@given(
+    h=st.integers(4, 40),
+    w=st.integers(4, 40),
+    quality=st.integers(60, 100),
+    subsample=st.booleans(),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_never_crashes_and_is_bounded(
+    h, w, quality, subsample, restart, seed
+):
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (block-constant): keeps the lossy error bounded
+    # for any sampling config, unlike white noise
+    base = rng.integers(0, 256, (max(1, h // 8) + 1, max(1, w // 8) + 1, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w].astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsample=subsample, restart_interval=restart)
+    )
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # block-constant content: every 8x8 block is a DC-dominated patch;
+    # q60 keeps DC error small, block EDGES under 4:2:0 chroma averaging
+    # are the worst case
+    assert err.mean() < 20
+    assert np.median(err) <= 8
+
+
+@_SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    from spark_sql_flow_plugin_spark.operators.dedup import _two_phase_star_labels
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # trusted reference: plain union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    labels, _rounds = _two_phase_star_labels(spark, df, npart=4)
+    got = {r.node: r.comp for r in labels.collect()}
+    assert got == expect
+
+
+@_SLOW
+@given(
+    fps=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 6)),
+        min_size=0,
+        max_size=50,
+    ),
+    cap=st.integers(1, 8),
+)
+def test_winnow_pairs_match_bruteforce(spark, fps, cap):
+    from collections import Counter
+    from itertools import combinations
+
+    from spark_sql_flow_plugin_spark.operators.dedup import _winnow_pairs
+
+    fps = sorted(set(fps))  # per-doc fingerprints are distinct by winnowing
+    if not fps:
+        return
+    by_f = {}
+    for d, f in fps:
+        by_f.setdefault(f, set()).add(d)
+    pair_counts = Counter()
+    for f, docs in by_f.items():
+        if len(docs) > cap:
+            continue  # hot fingerprint dropped
+        for a, b in combinations(sorted(docs), 2):
+            pair_counts[(a, b)] += 1
+    expect = {p: c for p, c in pair_counts.items() if c >= 2}
+
+    df = spark.createDataFrame(fps, "doc_id bigint, f bigint")
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in _winnow_pairs(df, cap=cap).collect()
+    }
+    assert got == expect

@@ -133,3 +133,60 @@ def test_winnow_pairs_match_bruteforce(spark, fps, cap):
         for r in _winnow_pairs(df, cap=cap).collect()
     }
     assert got == expect
+
+
+# arbitrary unicode minus unpaired surrogates (not encodable to UTF-8);
+# unicode line separators NEL/LS/PS are fair game — probed to survive the
+# quoted-field path (see test_unicode_line_separators_roundtrip)
+_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+    ),
+    max_size=40,
+)
+
+
+@_SLOW
+@given(vals=st.lists(_TEXT, min_size=1, max_size=8))
+def test_csv_fidelity_roundtrips_arbitrary_unicode(spark, tmp_path_factory, vals):
+    from spark_sql_flow_plugin_spark.operators.misc import (
+        csv_read_fidelity,
+        csv_write_fidelity,
+    )
+
+    path = str(tmp_path_factory.mktemp("csvfuzz"))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    csv_write_fidelity(df.write.mode("overwrite")).csv(path)
+    back = csv_read_fidelity(spark.read.schema("id bigint, v string")).csv(path)
+    got = {r.id: r.v for r in back.collect()}
+    assert got == dict(rows)
+
+
+@_SLOW
+@given(vals=st.lists(_TEXT, min_size=1, max_size=8))
+def test_json_roundtrips_arbitrary_unicode(spark, tmp_path_factory, vals):
+    path = str(tmp_path_factory.mktemp("jsonfuzz"))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("id bigint, v string").json(path)
+    got = {r.id: r.v for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_unicode_line_separators_roundtrip(spark, tmp_path):
+    # NEL/LS/PS are line terminators to some parsers; the fidelity option
+    # set must carry them through the quoted-field path byte-exactly
+    from spark_sql_flow_plugin_spark.operators.misc import (
+        csv_read_fidelity,
+        csv_write_fidelity,
+    )
+
+    nel, ls, ps = chr(0x85), chr(0x2028), chr(0x2029)
+    rows = [(0, f"a{nel}b"), (1, f"c{ls}d"), (2, f"e{ps}f")]
+    path = str(tmp_path / "nel")
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    csv_write_fidelity(df.write.mode("overwrite")).csv(path)
+    back = csv_read_fidelity(spark.read.schema("id bigint, v string")).csv(path)
+    assert {r.id: r.v for r in back.collect()} == dict(rows)

@@ -543,3 +543,108 @@ def padding_waste_stats(spark, sf_dir):
             / F.sum("bucket").cast("double")
         ).alias("waste_ratio"),
     )
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+# A 2^20-bit Bloom bitmap (16 KiB of longs) with 4 md5-derived hash
+# positions per n-gram.  At 100 TB the benchmark n-gram SET is small but
+# still wide (hundreds of MBs of md5 strings); the bitmap is what a real
+# pipeline broadcasts instead — constant 128 KiB regardless of benchmark
+# size.  md5-derived positions make the filter (including its false
+# positives) a pure deterministic function of the gram, so DuckDB
+# reproduces the exact same flag set via the equivalent position-set
+# membership formulation.
+_BLOOM_M = 1 << 20
+_BLOOM_K = 4
+_SPARK_BLOOM_POS = (
+    "CAST(conv(substr(md5(concat(k, ':', j)), 1, 8), 16, 10) AS BIGINT) "
+    f"% {_BLOOM_M}"
+)
+_DUCK_BLOOM_POS = (
+    "('0x' || substr(md5(k || ':' || j), 1, 8))::BIGINT "
+    f"% {_BLOOM_M}"
+)
+
+
+@register(
+    "decontaminate_bloom",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    ng AS (
+        SELECT doc_id, unnest({_DUCK_NGRAM_KEYS}) AS k
+        FROM toks WHERE len(toks) >= {_N}),
+    bench AS (SELECT DISTINCT k FROM ng WHERE doc_id % 20 = 0),
+    bpos AS (
+        SELECT DISTINCT {_DUCK_BLOOM_POS} AS pos
+        FROM bench, generate_series(1, {_BLOOM_K}) AS t(j)),
+    corpus AS (SELECT doc_id, k FROM ng WHERE doc_id % 20 != 0),
+    cpos AS (
+        SELECT doc_id, k, {_DUCK_BLOOM_POS} AS pos
+        FROM corpus, generate_series(1, {_BLOOM_K}) AS t(j)),
+    hits AS (
+        SELECT doc_id, k FROM cpos JOIN bpos USING (pos)
+        GROUP BY doc_id, k HAVING COUNT(*) = {_BLOOM_K})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+    FROM hits GROUP BY doc_id
+    """,
+    "curation",
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Decontamination against a broadcast Bloom bitmap instead of the raw
+    benchmark n-gram set.
+
+    100 TB shape: the corpus n-gram stream is probed against a constant-size
+    (2^20-bit) bitmap — built with a word-packed ``bit_or`` aggregation over
+    the benchmark grams' hash positions — so the broadcast payload stays
+    ~16K longs no matter how large the eval suites grow, and the corpus side
+    never shuffles until the tiny per-(doc, gram) hit aggregation.  The
+    deliberate false-positive rate ((1-e^(-kn/m))^k, ~1e-3 at sf0.1) is the
+    price of the constant-size broadcast; flagged docs would be re-checked
+    exactly downstream (`decontaminate_ngram` IS that exact check).
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    ng = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") >= _N)
+        .select("doc_id", F.explode(F.expr(_SPARK_NGRAM_KEYS)).alias("k"))
+    )
+    # Build: benchmark grams -> 4 bit positions each -> packed 64-bit words.
+    bloom = (
+        ng.where(F.col("doc_id") % 20 == 0)
+        .select("k")
+        .distinct()
+        .select("k", F.explode(F.expr(f"sequence(1, {_BLOOM_K})")).alias("j"))
+        .select(F.expr(_SPARK_BLOOM_POS).alias("pos"))
+        .distinct()
+        .select(
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    # Probe: every corpus gram checks its 4 bits against the broadcast words.
+    probe = (
+        ng.where(F.col("doc_id") % 20 != 0)
+        .select("doc_id", "k", F.explode(F.expr(f"sequence(1, {_BLOOM_K})")).alias("j"))
+        .withColumn("pos", F.expr(_SPARK_BLOOM_POS))
+        .withColumn("word_idx", F.expr("pos DIV 64"))
+        .withColumn("bit", F.expr("CAST(pos % 64 AS INT)"))
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.expr(
+                "CASE WHEN word IS NULL THEN 0 "
+                "ELSE CAST(shiftright(word, bit) & 1 AS INT) END"
+            ),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.sum("hit").alias("nh"))
+        .where(F.col("nh") == _BLOOM_K)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged_ngrams")
+    )

@@ -50,6 +50,7 @@ def all_specs() -> list[QuerySpec]:
     from .operators import (  # noqa: F401
         curation,
         dedup,
+        frequency,
         generators,
         misc,
         multimodal,

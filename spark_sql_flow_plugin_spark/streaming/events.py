@@ -450,3 +450,54 @@ def stream_state_store_read(spark, sf_dir):
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "stream_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+    "streaming",
+)
+def stream_session_window(spark, sf_dir):
+    """STREAMING gap-based sessionization: Spark's native ``session_window``
+    keyed state merges adjacent sessions as events arrive — the incremental
+    twin of the batch ``session_window_agg`` (same gaps-and-islands oracle).
+
+    Complete output mode keeps every closed-and-open session in state so the
+    availableNow run over the static backlog is exactly the batch result; a
+    live pipeline would run append mode with the watermark bounding session
+    state (sessions emit once the watermark passes session_end). State is
+    per (user, open session) — merged eagerly, so it scales with concurrent
+    active users, not event volume.
+    """
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

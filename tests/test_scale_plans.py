@@ -484,3 +484,28 @@ def test_source_similarity_joins_vocab_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     join_pos = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
     assert "HashAggregate" in plan[join_pos:], "vocab distinct not below the pair join"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: two-pass heavy hitters + Bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    # Pass 2's candidate join must broadcast the tiny MG candidate set —
+    # a SortMergeJoin there would shuffle the full token stream, which is
+    # exactly what the two-pass design exists to avoid.
+    plan = _physical(queries()["freq_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_bitmap_words(spark, sf_dir):
+    # The corpus n-gram stream probes the packed bloom words via broadcast;
+    # the corpus side must never sort-merge against the bitmap.
+    plan = _physical(queries()["decontaminate_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # bit_or word packing really is aggregated (build side), partials included
+    assert plan.count("HashAggregate") >= 2

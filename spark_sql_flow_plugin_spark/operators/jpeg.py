@@ -5,16 +5,24 @@ walk, DQT/DHT/DRI/SOS parsing, byte-unstuffing entropy decode with restart
 markers, per-component MCU assembly for any sampling layout (4:4:4, 4:2:2,
 4:2:0, ...), dequantize + dezigzag, exact float IDCT via the 8×8 cosine
 basis (one numpy matmul pair per block), nearest-neighbor chroma
-upsampling, and BT.601 YCbCr→RGB. Progressive (SOF2) and arithmetic-coded
-JPEGs raise NotImplementedError — a loud capability gate, never a wrong
-pixel.
+upsampling, and BT.601 YCbCr→RGB. PROGRESSIVE (SOF2) huffman JPEG decodes
+natively too (T.81 Annex G): multi-scan coefficient accumulation with
+spectral selection and successive approximation (DC/AC first + refinement
+passes, EOB-run state, restart handling), then one vectorized
+dequantize+IDCT at EOI. Arithmetic-coded / hierarchical / lossless
+processes raise NotImplementedError — a loud capability gate, never a
+wrong pixel.
 
 Encoder: the matching baseline writer (Annex K quantization tables scaled
 by quality, Annex K huffman tables, optional 2×2 chroma subsampling and
-restart intervals). A production pipeline would use it for thumbnail
-sinks; the test suite uses it to drive the decoder through every entropy /
-sampling path and checks analytic cases (solid colors are DC-only blocks
-and must decode to the exact color after quantization).
+restart intervals), plus a progressive writer (``encode_jpeg_progressive``)
+whose scan script exercises every Annex G decode path with quantization
+identical to the baseline writer — so progressive encode→decode must equal
+baseline encode→decode pixel-for-pixel, which the test suite asserts. A
+production pipeline would use the writers for thumbnail sinks; the test
+suite uses them to drive the decoder through every entropy / sampling path
+and checks analytic cases (solid colors are DC-only blocks and must decode
+to the exact color after quantization).
 
 Scale posture: decode runs inside ``mapInPandas`` batches (see
 operators.multimodal) — per-row Python work on opaque binary columns is
@@ -233,6 +241,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
+    decoded_scans = 0
+    coeffs: dict[int, np.ndarray] = {}  # progressive: cid -> (bh, bw, 64)
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -249,6 +260,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            if progressive and coeffs and decoded_scans:
+                return _reconstruct_progressive(frame, coeffs, quant)
             break
         seg_len = int.from_bytes(payload[pos : pos + 2], "big")
         data = payload[pos + 2 : pos + seg_len]
@@ -264,7 +277,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(data[i : i + 128], ">u2").astype(np.int64)
                     i += 128
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             ncomp = data[5]
@@ -282,11 +295,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = data[7 + c * 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, data[8 + c * 3]))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported by the stdlib "
-                "decoder — install Pillow on the cluster image"
-            )
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coeffs = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                    for cid, hs, vs, _tq in comps
+                }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X})"
@@ -304,17 +322,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             ns = data[0]
-            if frame is not None and ns != len(frame[2]):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG is not "
-                    "supported — one interleaved scan covering every "
-                    "component is required"
-                )
             scan_tables = {}
+            scan_cids = []
             for c in range(ns):
                 cid = data[1 + c * 2]
                 tdta = data[2 + c * 2]
                 scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
+                scan_cids.append(cid)
+            if progressive:
+                ss, se = data[1 + ns * 2], data[2 + ns * 2]
+                ahal = data[3 + ns * 2]
+                pos = _decode_progressive_scan(
+                    payload, pos + seg_len, frame, scan_cids, scan_tables,
+                    ss, se, ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                    coeffs, restart_interval,
+                )
+                decoded_scans += 1
+                continue
+            if frame is not None and ns != len(frame[2]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) sequential JPEG is not "
+                    "supported — one interleaved scan covering every "
+                    "component is required"
+                )
             return _decode_scan(
                 payload,
                 pos + seg_len,
@@ -358,7 +388,14 @@ def _decode_scan(
         # a marker/EOF: surface the module's documented error type
         raise ValueError("truncated or corrupt JPEG entropy stream") from exc
 
-    # upsample each component to full resolution (nearest neighbor) and crop
+    return _planes_to_rgb(planes, frame)
+
+
+def _planes_to_rgb(planes, frame):
+    """Upsample component planes (nearest neighbor), crop, color-convert."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -428,6 +465,244 @@ def _decode_block(reader, dc_tbl, ac_tbl, pred, cid, q):
     dq = np.zeros(64, dtype=np.float64)
     dq[ZIGZAG] = coeffs * q
     return _A.T @ dq.reshape(8, 8) @ _A
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (SOF2) — T.81 Annex G
+# ---------------------------------------------------------------------------
+#
+# A progressive image arrives as several scans, each delivering a slice of
+# the DCT coefficient space: a spectral band [Ss, Se] at a successive-
+# approximation bit position (Ah = previous precision, Al = this scan's).
+# Coefficients accumulate in integer arrays across scans (zigzag index
+# order); dequantization + IDCT happen ONCE at EOI.  DC scans may be
+# interleaved over all components; AC scans are per-component
+# non-interleaved by spec (T.81 G.1.1.1.1).
+
+
+def _comp_block_dims(frame, cid):
+    """Non-interleaved scans walk ceil(comp_size/8) blocks, NOT the
+    MCU-padded grid (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, hs, vs, _tq in comps:
+        if c == cid:
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            return -(-ch // 8), -(-cw // 8)
+    raise ValueError(f"scan references unknown component id {cid}")
+
+
+def _skip_restart(reader, payload):
+    """Byte-align, consume an expected RSTn marker (tolerating stuffing)."""
+    reader.byte_align()
+    p = reader.pos
+    while payload[p] == 0xFF and payload[p + 1] == 0x00:
+        p += 2
+    if payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7:
+        reader.pos = p + 2
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan_cids, scan_tables, ss, se, ah, al,
+    huff_dc, huff_ac, coeffs, restart_interval,
+):
+    """Decode one progressive scan into the coefficient accumulators and
+    return the stream position of the next marker."""
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    # T.81 G.1.1.1.1 scan-header constraints — enforced loudly so sequential
+    # entropy data relabeled SOF2 can never be mis-decoded as progressive
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "invalid progressive scan header: a DC scan requires Se=0 "
+            "(sequential scan data under an SOF2 marker?)"
+        )
+    if ss > 0 and len(scan_cids) != 1:
+        raise ValueError(
+            "invalid progressive scan header: AC scans are single-component"
+        )
+    if not (ss <= se <= 63):
+        raise ValueError("invalid progressive spectral band")
+    h, w, comps = frame
+    comp_by_id = {c[0]: c for c in comps}
+    reader = _BitReader(payload, pos)
+    pred = {cid: 0 for cid in scan_cids}
+    eobrun = 0
+    unit = 0  # restart unit: MCU (interleaved) or block (non-interleaved)
+
+    def _maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            _skip_restart(reader, payload)
+            pred = {cid: 0 for cid in scan_cids}
+            eobrun = 0
+
+    try:
+        if ss == 0 and len(scan_cids) > 1:
+            # interleaved DC scan: baseline MCU geometry
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    _maybe_restart()
+                    for cid in scan_cids:
+                        _c, hs, vs, _tq = comp_by_id[cid]
+                        dc_tbl = huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                        for by in range(vs):
+                            for bx in range(hs):
+                                block = coeffs[cid][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    _dc_first_block(reader, block, dc_tbl, pred, cid, al)
+                                else:
+                                    _dc_refine_block(reader, block, al)
+                    unit += 1
+        else:
+            # non-interleaved scan (single component): raster over its blocks
+            (cid,) = scan_cids
+            bh, bw = _comp_block_dims(frame, cid)
+            dc_tbl = huff_dc.get(scan_tables[cid][0]) if ss == 0 else None
+            ac_tbl = huff_ac.get(scan_tables[cid][1]) if ss > 0 else None
+            for by in range(bh):
+                for bx in range(bw):
+                    _maybe_restart()
+                    block = coeffs[cid][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _dc_first_block(reader, block, dc_tbl, pred, cid, al)
+                        else:
+                            _dc_refine_block(reader, block, al)
+                    elif ah == 0:
+                        eobrun = _ac_first_block(
+                            reader, block, ac_tbl, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            reader, block, ac_tbl, ss, se, al, eobrun
+                        )
+                    unit += 1
+    except (_MarkerReached, IndexError) as exc:
+        raise ValueError("truncated or corrupt JPEG entropy stream") from exc
+
+    # advance to the next marker (skip trailing stuffed bytes / RSTn / fill)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if payload[p] != 0xFF:
+            p += 1
+        elif payload[p + 1] == 0x00:
+            p += 2
+        elif payload[p + 1] == 0xFF or 0xD0 <= payload[p + 1] <= 0xD7:
+            p += 1 if payload[p + 1] == 0xFF else 2
+        else:
+            break
+    return p
+
+
+def _dc_first_block(reader, block, dc_tbl, pred, cid, al):
+    t = _decode_huff_symbol(reader, dc_tbl)
+    diff = _extend(reader.receive(t), t)
+    pred[cid] += diff
+    block[0] = pred[cid] << al
+
+
+def _dc_refine_block(reader, block, al):
+    if reader.read_bit():
+        block[0] = int(block[0]) | (1 << al)
+
+
+def _ac_first_block(reader, block, ac_tbl, ss, se, al, eobrun):
+    """First AC scan for the band [ss, se] at bit position al (T.81 G.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff_symbol(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, block, ac_tbl, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.7): newly-significant
+    coefficients arrive as run-length-coded ±1<<al; coefficients already
+    nonzero receive one correction bit each as the run passes over them."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+
+    def _correct(idx):
+        v = int(block[idx])
+        if reader.read_bit() and (v & p1) == 0:
+            block[idx] = v + (p1 if v >= 0 else m1)
+
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff_symbol(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions, no new coefficient
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in AC refinement scan (must be 1)"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    _correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            block[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # EOB run covers this block: refine the remaining nonzero history
+        while k <= se:
+            if block[k] != 0:
+                _correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coeffs, quant):
+    """Dequantize + IDCT every accumulated block (vectorized) and finish
+    through the shared upsample/color-convert path."""
+    _h, _w, comps = frame
+    planes = {}
+    for cid, _hs, _vs, tq in comps:
+        arr = coeffs[cid]  # (bh, bw, 64) int64, zigzag order
+        bh, bw, _ = arr.shape
+        q = quant[tq]
+        dq = np.zeros((bh, bw, 64), dtype=np.float64)
+        dq[..., ZIGZAG] = arr * q
+        blocks = dq.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ux,bcuv,vy->bcxy", _A, blocks, _A)
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _planes_to_rgb(planes, frame)
 
 
 # ---------------------------------------------------------------------------
@@ -614,5 +889,295 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# Exists to drive the progressive decoder through every scan type with
+# pixel-exact expectations: the scan script below quantizes identically to
+# the baseline encoder, so progressive encode -> decode must reproduce the
+# EXACT pixels of baseline encode -> decode for the same input.
+#
+# AC scans need EOBn symbols (0x10..0xE0), which the Annex K sequential AC
+# tables do not contain, so progressive AC uses a fixed flat canonical
+# table covering all 256 symbols (2 codes of length 8, 254 of length 9) —
+# bulky output, trivially valid, and decodable by any conformant decoder.
+
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 2, 254, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _fwd_coeffs(plane, q):
+    """MCU-padded plane -> (bh, bw, 64) quantized zigzag coefficients."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    freq = np.einsum("ux,bcxy,vy->bcuv", _A, blocks, _A)
+    flat = freq.reshape(bh, bw, 64)
+    return np.round(flat[..., ZIGZAG] / q).astype(np.int64)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: v / 2^al truncated toward zero (T.81 G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _ProgACState:
+    """Per-scan EOB-run + buffered-correction-bit state."""
+
+    def __init__(self, writer, ac_codes):
+        self.w = writer
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def flush_eob(self):
+        if self.eobrun == 0 and not self.be_bits:
+            return
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = self.codes[nbits << 4]
+            self.w.write(c, ln)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+        for b in self.be_bits:
+            self.w.write(b, 1)
+        self.eobrun = 0
+        self.be_bits = []
+
+
+def _emit_ac_first(zz, st, ss, se, al):
+    band = [(k, _trunc_shift(int(zz[k]), al)) for k in range(ss, se + 1)]
+    if all(v == 0 for _k, v in band):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    st.flush_eob()
+    r = 0
+    for _k, v in band:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = st.codes[0xF0]
+            st.w.write(c, ln)
+            r -= 16
+        t, code = _magnitude(v)
+        c, ln = st.codes[(r << 4) | t]
+        st.w.write(c, ln)
+        st.w.write(code, t)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _emit_ac_refine(zz, st, ss, se, al):
+    mags = [(k, _trunc_shift(abs(int(zz[k])), al)) for k in range(ss, se + 1)]
+    eob_idx = max((k for k, t in mags if t == 1), default=ss - 1)
+    if eob_idx < ss:
+        # no newly-significant coefficient: whole block folds into the EOB
+        # run; history-nonzero coefficients contribute buffered bits
+        st.be_bits.extend(t & 1 for _k, t in mags if t >= 2)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    st.flush_eob()
+    r = 0
+    br: list[int] = []
+    for k, t in mags:
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_idx:
+            c, ln = st.codes[0xF0]
+            st.w.write(c, ln)
+            r -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if t >= 2:  # history-nonzero: one buffered correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1): run-length symbol + sign bit
+        c, ln = st.codes[(r << 4) | 1]
+        st.w.write(c, ln)
+        st.w.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be_bits.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script: interleaved DC first at Al=1, per-component AC first scans
+    (the Y band split in two to exercise spectral selection), DC refinement,
+    then per-component AC refinement — every Annex G decode path.
+    Quantization is identical to ``encode_jpeg``, so decoding both streams
+    must yield identical pixels.
+    """
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    ql = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
+
+    if subsample:
+        hs_y = vs_y = 2
+        mcu_w = mcu_h = 16
+    else:
+        hs_y = vs_y = 1
+        mcu_w = mcu_h = 8
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    def _pad(plane, ph, pw):
+        out = np.empty((ph, pw))
+        hh, ww = plane.shape
+        out[:hh, :ww] = plane
+        out[hh:, :ww] = plane[hh - 1 : hh, :]
+        out[:, ww:] = out[:, ww - 1 : ww]
+        return out
+
+    ypl = _pad(y, mcus_y * mcu_h, mcus_x * mcu_w)
+    if subsample:
+        cbf = _pad(cb, mcus_y * 16, mcus_x * 16)
+        crf = _pad(cr, mcus_y * 16, mcus_x * 16)
+        cbs = cbf.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+        crs = crf.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+    else:
+        cbs = _pad(cb, mcus_y * 8, mcus_x * 8)
+        crs = _pad(cr, mcus_y * 8, mcus_x * 8)
+
+    # quantized zigzag coefficients per component
+    zz = {1: _fwd_coeffs(ypl, ql), 2: _fwd_coeffs(cbs, qc), 3: _fwd_coeffs(crs, qc)}
+    samp = {1: (hs_y, vs_y), 2: (1, 1), 3: (1, 1)}
+
+    dc_codes = {1: _canonical_codes(*DC_LUMA_SPEC), 2: _canonical_codes(*DC_CHROMA_SPEC)}
+    dc_codes[3] = dc_codes[2]
+    ac_codes = _canonical_codes(*PROG_AC_SPEC)
+
+    # non-interleaved block dims per component (true, not MCU-padded)
+    def _nb_dims(cid):
+        hs, vs = samp[cid]
+        cw = -(-w * hs // (8 * hs_y))
+        ch = -(-h * vs // (8 * vs_y))
+        return ch, cw
+
+    def _dc_scan(al):
+        wtr = _BitWriter()
+        pred = {1: 0, 2: 0, 3: 0}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in (1, 2, 3):
+                    hs, vs = samp[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(zz[cid][my * vs + by, mx * hs + bx, 0]) >> al
+                            diff = v - pred[cid]
+                            pred[cid] = v
+                            t, code = _magnitude(diff)
+                            c, ln = dc_codes[cid][t]
+                            wtr.write(c, ln)
+                            if t:
+                                wtr.write(code, t)
+        wtr.pad_to_byte()
+        return bytes(wtr.out)
+
+    def _dc_refine_scan(al):
+        wtr = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in (1, 2, 3):
+                    hs, vs = samp[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(zz[cid][my * vs + by, mx * hs + bx, 0])
+                            wtr.write((v >> al) & 1, 1)
+        wtr.pad_to_byte()
+        return bytes(wtr.out)
+
+    def _ac_scan(cid, ss, se, ah, al):
+        wtr = _BitWriter()
+        st = _ProgACState(wtr, ac_codes)
+        bh, bw = _nb_dims(cid)
+        emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+        for by in range(bh):
+            for bx in range(bw):
+                emit(zz[cid][by, bx], st, ss, se, al)
+        st.flush_eob()
+        wtr.pad_to_byte()
+        return bytes(wtr.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(comps_tbls, ss, se, ah, al):
+        body = bytearray([len(comps_tbls)])
+        for cid, td, ta in comps_tbls:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, (hs_y << 4) | vs_y, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xC2, bytes(sof))
+    for tc_th, spec in (
+        (0x00, DC_LUMA_SPEC),
+        (0x01, DC_CHROMA_SPEC),
+        (0x10, PROG_AC_SPEC),
+    ):
+        bits, vals = spec
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    # scan script
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    out += _dc_scan(1)
+    out += sos([(1, 0, 0)], 1, 5, 0, 1)
+    out += _ac_scan(1, 1, 5, 0, 1)
+    out += sos([(1, 0, 0)], 6, 63, 0, 1)
+    out += _ac_scan(1, 6, 63, 0, 1)
+    out += sos([(2, 0, 0)], 1, 63, 0, 1)
+    out += _ac_scan(2, 1, 63, 0, 1)
+    out += sos([(3, 0, 0)], 1, 63, 0, 1)
+    out += _ac_scan(3, 1, 63, 0, 1)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    out += _dc_refine_scan(0)
+    out += sos([(1, 0, 0)], 1, 5, 1, 0)
+    out += _ac_scan(1, 1, 5, 1, 0)
+    out += sos([(1, 0, 0)], 6, 63, 1, 0)
+    out += _ac_scan(1, 6, 63, 1, 0)
+    out += sos([(2, 0, 0)], 1, 63, 1, 0)
+    out += _ac_scan(2, 1, 63, 1, 0)
+    out += sos([(3, 0, 0)], 1, 63, 1, 0)
+    out += _ac_scan(3, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -38,9 +38,10 @@ def decode_image(payload: bytes) -> "object":
 
     REAL decode paths, stdlib+numpy only: binary PPM (P6), uncompressed
     24-bit BMP, non-interlaced 8-bit RGB PNG (zlib inflate + full
-    filter reconstruction: None/Sub/Up/Average/Paeth), and baseline /
-    extended-sequential huffman JPEG (any chroma sampling, restart
-    markers — see operators.jpeg). Progressive JPEG and everything else
+    filter reconstruction: None/Sub/Up/Average/Paeth), and huffman JPEG —
+    baseline / extended-sequential (any chroma sampling, restart markers)
+    AND progressive SOF2 (multi-scan successive approximation) — see
+    operators.jpeg. Arithmetic-coded / hierarchical JPEG and other codecs
     fall through to Pillow, which this container doesn't ship, so they
     raise NotImplementedError behind the import gate.
     """
@@ -56,7 +57,7 @@ def decode_image(payload: bytes) -> "object":
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            pass  # progressive/arithmetic: try Pillow below
+            pass  # arithmetic/hierarchical/CMYK: try Pillow below
     try:
         import io
 

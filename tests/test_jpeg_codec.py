@@ -70,12 +70,14 @@ def test_long_zero_runs_exercise_zrl():
     assert int(out[:, 16:, :].max()) <= 4  # black stays black
 
 
-def test_progressive_rejected_loudly():
+def test_relabeled_sequential_scan_rejected_loudly():
     payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): decoder must refuse, not mis-decode
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the sequential scan header (Ss=0,
+    # Se=63) violates T.81 G.1.1.1.1 for progressive, so the decoder must
+    # refuse loudly instead of mis-decoding AC data as a DC scan
     idx = payload.find(b"\xff\xc0")
     payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
 
@@ -132,4 +134,85 @@ def test_cmyk_component_count_gates_loudly():
     i = payload.index(b"\xff\xc0")
     payload[i + 9] = 4  # claim 4 components (CMYK) in SOF0
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — the scan script quantizes identically to baseline,
+# so progressive decode must match baseline decode EXACTLY, pixel for pixel
+# ---------------------------------------------------------------------------
+
+from spark_sql_flow_plugin_spark.operators.jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def _assert_prog_equals_baseline(img, quality=85, subsample=False):
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_solid_color_444():
+    _assert_prog_equals_baseline(
+        np.full((8, 8, 3), [200, 30, 90], dtype=np.uint8), quality=100
+    )
+
+
+def test_progressive_noise_420_odd_dims():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    _assert_prog_equals_baseline(img, quality=75, subsample=True)
+
+
+def test_progressive_gradient_exercises_eob_runs():
+    # smooth gradient: most high-frequency bands are zero after the Al=1
+    # point transform, so whole-block EOB runs span many blocks in the
+    # first AC scans, and refinement adds them back bit by bit
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, ((yy + xx)) % 256], axis=-1
+    ).astype(np.uint8)
+    _assert_prog_equals_baseline(img, quality=90)
+    _assert_prog_equals_baseline(img, quality=90, subsample=True)
+
+
+def test_progressive_spike_exercises_zrl_refinement():
+    # isolated spikes produce sparse AC spectra: long zero-history runs
+    # with embedded correction bits — the ZRL branch of AC refinement
+    img = np.zeros((16, 40, 3), dtype=np.uint8)
+    img[3, 4] = [255, 255, 255]
+    img[12, 33] = [0, 255, 0]
+    _assert_prog_equals_baseline(img, quality=95)
+
+
+def test_progressive_dc_only_scans_give_blocky_preview():
+    # decoding only the DC scans (truncate before the first AC scan) is
+    # the progressive contract: a valid, coarse image — every 8x8 block
+    # must be flat and near the block mean of the original
+    img = np.full((16, 16, 3), [120, 60, 200], dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=95)
+    # find the second SOS (first AC scan) and truncate there, append EOI
+    first_sos = payload.index(b"\xff\xda")
+    second_sos = payload.index(b"\xff\xda", first_sos + 2)
+    truncated = payload[:second_sos] + b"\xff\xd9"
+    out = decode_jpeg(truncated)
+    assert out.shape == (16, 16, 3)
+    assert _maxerr(out, img) <= 6  # DC carries the solid color
+
+
+def test_progressive_grayscale_relabel_rejected():
+    # Ss>0 scan with >1 component is invalid per T.81 — covered by the
+    # relabel test above; here: band outside [0,63] must also gate
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive(img))
+    # corrupt the first AC scan's Se byte to 200
+    first_sos = payload.index(b"\xff\xda")
+    second_sos = payload.index(b"\xff\xda", first_sos + 2)
+    seg_len = int.from_bytes(payload[second_sos + 2 : second_sos + 4], "big")
+    # scan header: [len][ns][cid tdta]*ns [Ss][Se][AhAl] — Se is at -2
+    payload[second_sos + 2 + seg_len - 2] = 200
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))

@@ -23,15 +23,17 @@ def test_decode_stubs_are_gated():
     # malformed JPEG bytes fail loudly with ValueError...
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0...")
-    # ...while PROGRESSIVE JPEG (SOF2) still gates to Pillow
+    # ...PROGRESSIVE JPEG (SOF2) decodes natively since round 5, so the
+    # routing check lives with the codec tests; a relabeled sequential
+    # stream (invalid progressive scan header) still fails loudly
     import numpy as np
 
     from spark_sql_flow_plugin_spark.operators.jpeg import encode_jpeg
 
-    progressive = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
-        decode_image(bytes(progressive))
+    relabeled = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    relabeled[relabeled.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_image(bytes(relabeled))
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF...")
     # PNG decodes natively ONLY for the 8-bit RGB non-interlaced layout;

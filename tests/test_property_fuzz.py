@@ -190,3 +190,26 @@ def test_unicode_line_separators_roundtrip(spark, tmp_path):
     csv_write_fidelity(df.write.mode("overwrite")).csv(path)
     back = csv_read_fidelity(spark.read.schema("id bigint, v string")).csv(path)
     assert {r.id: r.v for r in back.collect()} == dict(rows)
+
+
+@_SLOW
+@given(
+    h=st.integers(4, 40),
+    w=st.integers(4, 40),
+    quality=st.integers(60, 100),
+    subsample=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_decode_equals_baseline_decode(h, w, quality, subsample, seed):
+    # the progressive scan script quantizes identically to the baseline
+    # writer, so for ANY image the two streams must decode to IDENTICAL
+    # pixels — a bit-exact cross-check of every Annex G scan path (DC/AC
+    # first + refinement, EOB runs, spectral bands) against the
+    # well-tested sequential path
+    from spark_sql_flow_plugin_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsample=subsample))
+    assert np.array_equal(base, prog)

@@ -217,14 +217,22 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
         .where(F.size("shingles") > 0)
         .persist()
     )
-    hashed = sets.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    # Signatures are ROW-LOCAL: hash each shingle once with a transform(),
+    # then take the 16 permuted mins with array_min over the same array —
+    # no explode, no shuffle. (The explode→groupBy formulation shuffles
+    # one row per (doc, shingle) — at 100 TB that shuffle dwarfs the band
+    # join this stage exists to feed; the HOF form is a pure map stage and
+    # produces the identical signature, as the unchanged oracle proves.)
+    hs = sets.select(
+        "doc_id", F.expr(f"transform(shingles, sh -> {_SPARK_H32})").alias("hs")
+    )
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        F.expr(
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
     ]
-    return sets, hashed.groupBy("doc_id").agg(*mins).persist()
+    return sets, hs.select("doc_id", *mins).persist()
 
 
 #: shared CTE chain ending in `pairs` (near-dup pairs with raw jacc) — used

@@ -523,6 +523,68 @@ def partitioned_write_prune(spark, sf_dir):
     )
 
 
+@register(
+    "zorder_layout_prune",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {SQL_DSUM.format(x='value')} AS sum_value
+    FROM (SELECT event_type, value,
+                 user_id % 64 AS x,
+                 hour(CAST(ts AS TIMESTAMP)) AS y
+          FROM events)
+    WHERE x BETWEEN 12 AND 27 AND y BETWEEN 9 AND 16
+    GROUP BY event_type
+    """,
+    "scan",
+    "source-format",
+)
+def zorder_layout_prune(spark, sf_dir):
+    """Multi-dimensional data skipping via Z-ORDER layout: events laid out
+    on a Morton curve over (user bucket, hour-of-day bucket), partitioned
+    by the z-value's high bits, then queried with a 2-D box predicate that
+    prunes to only the directory partitions whose z-range intersects the
+    box — linear partitioning can prune one of the two dimensions, the
+    space-filling curve prunes BOTH (the Delta/Iceberg OPTIMIZE ZORDER
+    technique in plain Spark SQL bit ops, sources.layout.zvalue_expr).
+
+    The driver enumerates the box's z-buckets (a superset), pushes
+    ``zbucket IN (...)`` as a partition filter, and re-applies the exact
+    box predicate after the scan — so the result is exactly the oracle's
+    unpartitioned filter, while the scan touches a fraction of the
+    partitions (asserted in test_scale_plans)."""
+    import os
+
+    from ..sources.layout import (
+        ZORDER_BITS,
+        write_partitioned,
+        zorder_buckets_for_box,
+        zvalue_expr,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")["events"]
+        .withColumn("x", F.expr("CAST(pmod(user_id, 64) AS INT)"))
+        .withColumn("y", F.expr("CAST(hour(ts) AS INT)"))
+        .withColumn("z", F.expr(zvalue_expr("x", "y")))
+        .withColumn("zbucket", F.expr(f"z >> {ZORDER_BITS}"))
+    )
+    path = scratch_path(
+        spark, f"events_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_partitioned(
+        ev.select("event_type", "value", "x", "y", "zbucket"), path, ["zbucket"]
+    )
+    buckets = zorder_buckets_for_box(12, 27, 9, 16)
+    back = (
+        spark.read.parquet(path)
+        .where(F.col("zbucket").isin(buckets))  # partition pruning
+        .where(F.col("x").between(12, 27) & F.col("y").between(9, 16))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4: modern SQL surface both engines share — GROUP BY ALL, lateral
 # column aliases, and the dedicated UNPIVOT clause.

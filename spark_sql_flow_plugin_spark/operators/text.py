@@ -552,3 +552,84 @@ def oov_rate_against_top_vocab(spark, sf_dir):
         ),
         toks,
     )
+
+
+# Bigram pairs carried as (w1, bigram) structs so the conditional-count
+# join key and the history key come out of one zip_with pass.
+_SPARK_BIGRAMS = (
+    "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+    "(x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))"
+)
+_DUCK_BIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i + 1]})"
+)
+
+
+@register(
+    "lm_bigram_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    big AS (
+        SELECT doc_id, p.w1 AS w1, p.bg AS bg
+        FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS p
+              FROM toks WHERE len(toks) >= 2)),
+    c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY bg),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1)
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(1e9 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS lm_score_q9
+    FROM big JOIN c12 USING (bg) JOIN c1 USING (w1)
+    GROUP BY big.doc_id
+    """,
+    "text",
+    "llm-pipeline",
+)
+def lm_bigram_score(spark, sf_dir):
+    """Statistical language-model quality scoring (the CCNet-style filter):
+    train a bigram model ON the corpus itself, then score every document by
+    its average conditional bigram probability p(w2|w1) = c(w1 w2)/c(w1).
+    Low scores flag gibberish, boilerplate, and non-linguistic content; the
+    downstream filter keeps the head of the score distribution.
+
+    Cross-engine determinism: each probability is ONE IEEE double division
+    of two exact BIGINT counts, quantized with floor(1e9 * p) before the
+    integer sum — no float accumulation order anywhere, so DuckDB
+    reproduces the score bit-exactly (consumers divide by n_bigrams for
+    the average).
+
+    Scale posture: bigram extraction is row-local (zip_with structs, no
+    Python); the model tables (c12/c1) are vocabulary-sized aggregates
+    with map-side partial aggregation; scoring joins shuffle the
+    occurrence stream on (bg) then (w1) — the standard LM-scoring shape.
+    Natural-language token frequency is Zipfian, so the (w1) join key is
+    SKEWED at corpus scale: AQE skew-join splitting handles moderate skew
+    (asserted enabled in tests), and operators.skew has the two-phase
+    salting kit if a corpus needs it."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    big = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") >= 2)
+        .select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+        .persist()
+    )
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(c12, "bg")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(1e9 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("lm_score_q9"),
+        )
+    )
+    return scope_caches(scored, big)

@@ -86,6 +86,7 @@ def _mg_candidates(batches):
     """,
     "frequency",
     "llm-pipeline",
+    "bench",
 )
 def freq_heavy_hitters(spark, sf_dir):
     """Exact tokens with frequency > total/_HH_T, without a full token GROUP BY."""

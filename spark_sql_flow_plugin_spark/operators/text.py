@@ -585,6 +585,7 @@ _DUCK_BIGRAMS = (
     """,
     "text",
     "llm-pipeline",
+    "bench",
 )
 def lm_bigram_score(spark, sf_dir):
     """Statistical language-model quality scoring (the CCNet-style filter):

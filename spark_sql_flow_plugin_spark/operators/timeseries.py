@@ -435,3 +435,114 @@ def hypertable_incremental_refresh(spark, sf_dir):
         "n_events",
         F.col("dec_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "events_funnel_steps",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id)
+    SELECT step, n_users FROM (
+        SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3)
+    """,
+    "timeseries",
+)
+def events_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a step only with an event strictly AFTER their previous
+    step's first event — the product-analytics primitive behind every
+    conversion dashboard.
+
+    Shape: three per-user aggregations chained by user_id equi-joins; all
+    three stages and both joins cluster on user_id, so one hash
+    partitioning serves the whole chain (no join explosion — each stage's
+    right side is one row per user). The final counts are three scalar
+    aggregates over user-sized tables."""
+    ev = load(spark, sf_dir, "events")["events"]
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step"), "n_users")
+    )
+    two = (
+        s2.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(2).alias("step"), "n_users")
+    )
+    three = (
+        s3.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(3).alias("step"), "n_users")
+    )
+    return one.unionByName(two).unionByName(three)
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events
+        GROUP BY user_id)
+    SELECT c.cohort,
+           date_diff('day', c.cohort, CAST(e.ts AS DATE)) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY c.cohort, day_offset
+    """,
+    "timeseries",
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen date, then
+    distinct-user counts per (cohort, day offset) — the growth-analytics
+    staple.
+
+    Shape: one per-user aggregation builds the user->cohort map (one row
+    per user); joining it back to the event stream clusters on user_id
+    (same partitioning as the aggregation's output, no extra exchange for
+    the probe side); the final count-distinct is over (cohort, offset)
+    cells, which partial-aggregates map-side to the triangle's size."""
+    ev = load(spark, sf_dir, "events")["events"]
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

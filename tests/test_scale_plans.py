@@ -509,3 +509,29 @@ def test_bloom_probe_broadcasts_bitmap_words(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # bit_or word packing really is aggregated (build side), partials included
     assert plan.count("HashAggregate") >= 2
+
+
+def test_funnel_and_retention_no_cartesian(spark, sf_dir):
+    for name in ("events_funnel_steps", "retention_cohorts"):
+        plan = _physical(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lm_bigram_model_tables_are_aggregated_below_joins(spark, sf_dir):
+    # the c12/c1 model tables must be aggregates (vocabulary-sized), and the
+    # scoring join must never be a nested loop over the occurrence stream
+    plan = _physical(queries()["lm_bigram_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # c12, c1 partial+final at least
+
+
+def test_power_iteration_shuffles_only_dim_partials(spark, sf_dir):
+    # the cross-row reduction must partial-aggregate map-side (dim rows per
+    # task), and the row-local dot must not introduce any join or extra
+    # exchange: exactly ONE shuffle in the whole plan
+    plan = _physical(queries()["embedding_power_iteration"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2

@@ -364,6 +364,28 @@ def source_json_roundtrip(spark, sf_dir):
     return _roundtrip_agg(back)
 
 
+@register("source_orc_roundtrip", _ROUNDTRIP_ORACLE, "scan", "source-format")
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source: write documents as zlib ORC and read back — the columnar
+    format a Hive-heritage warehouse feeds a pipeline from. ORC is binary
+    and schema-full, so unlike the CSV/JSON/XML round-trips there is no
+    quoting/escaping fidelity surface; the round-trip proves the
+    reader/writer wiring and that corpus bytes (any unicode, embedded
+    newlines/controls) survive the ORC string codec."""
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    n = spark.sparkContext.defaultParallelism
+    docs.repartition(n).write.mode("overwrite").option(
+        "compression", "zlib"
+    ).orc(path)
+    back = spark.read.schema(
+        "doc_id bigint, source string, n_chars int, text string"
+    ).orc(path)
+    return _roundtrip_agg(back)
+
+
 @register("source_csv_roundtrip", _ROUNDTRIP_ORACLE, "scan", "source-format")
 def source_csv_roundtrip(spark, sf_dir):
     """CSV source: write documents as headered, quoted CSV and read back with

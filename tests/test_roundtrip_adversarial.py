@@ -139,3 +139,15 @@ def test_xml_rejects_control_chars_loudly(spark, tmp_path):
             .option("rowTag", "doc")
             .save(path)
         )
+
+
+def test_orc_roundtrip_is_fully_lossless(spark, tmp_path):
+    # ORC strings are length-prefixed binary: every adversarial case —
+    # including the control chars XML must reject — must survive verbatim
+    cases = {**ADVERSARIAL, **CONTROL}
+    path = str(tmp_path / "orc")
+    _df(spark, cases).write.mode("overwrite").option(
+        "compression", "zlib"
+    ).orc(path)
+    back = spark.read.schema(SCHEMA).orc(path)
+    _assert_roundtrip(back, cases)

@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from ..caching import scope_caches
 from ..registry import register
 from ..sources import load
 from .text import _DUCK_WTOKS, _SPARK_WTOKS
@@ -105,17 +106,23 @@ def freq_heavy_hitters(spark, sf_dir):
     # Pass 2: one exact scan.  Candidate tokens keep their identity; all
     # other tokens fold into a single NULL key per task (map-side partial
     # aggregation), which also yields the grand total in the same pass.
+    # g is tiny (<= K*partitions + 1 rows) and consumed twice (output rows
+    # + grand total) — persist it, or both consumers re-run the corpus
+    # scan AND the pass-1 sketch (the executed plan showed 4 corpus scans
+    # without this; with it, exactly the two passes the algorithm promises)
     g = (
         tok.join(F.broadcast(cand), "token", "left")
         .groupBy(
             F.when(F.col("_c").isNotNull(), F.col("token")).alias("key")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     tot = g.agg(F.sum("cnt").alias("n"))
-    return (
+    return scope_caches(
         g.where(F.col("key").isNotNull())
         .crossJoin(F.broadcast(tot))
         .where(F.col("cnt") * _HH_T > F.col("n"))
-        .select(F.col("key").alias("token"), F.col("cnt"))
+        .select(F.col("key").alias("token"), F.col("cnt")),
+        g,
     )

@@ -468,16 +468,21 @@ def events_funnel_steps(spark, sf_dir):
     step's first event — the product-analytics primitive behind every
     conversion dashboard.
 
-    Shape: three per-user aggregations chained by user_id equi-joins; all
-    three stages and both joins cluster on user_id, so one hash
-    partitioning serves the whole chain (no join explosion — each stage's
-    right side is one row per user). The final counts are three scalar
-    aggregates over user-sized tables."""
+    Shape: three per-user aggregations chained by user_id equi-joins (each
+    stage's right side is one row per user — no join explosion); the step
+    tables are persisted because each feeds BOTH the next stage's join and
+    its own scalar count — without that, the step-3 branch re-derives the
+    whole chain and the event stream is scanned six times instead of
+    three. The final counts are three scalar aggregates over user-sized
+    tables."""
+    from ..caching import scope_caches
+
     ev = load(spark, sf_dir, "events")["events"]
     s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -485,6 +490,7 @@ def events_funnel_steps(spark, sf_dir):
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -505,7 +511,7 @@ def events_funnel_steps(spark, sf_dir):
         s3.agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.lit(3).alias("step"), "n_users")
     )
-    return one.unionByName(two).unionByName(three)
+    return scope_caches(one.unionByName(two).unionByName(three), s1, s2)
 
 
 @register(

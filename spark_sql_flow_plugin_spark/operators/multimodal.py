@@ -4,8 +4,9 @@ Images/audio/video are carried as opaque ``binary`` columns next to a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. The codec
 layer decodes natively, stdlib+numpy only: PPM (P6), uncompressed 24-bit
-BMP, 8-bit RGB PNG (zlib + all five filters), baseline huffman JPEG
-(operators.jpeg — any chroma sampling, restart markers), and PCM WAV.
+BMP, PNG (zlib + all five filters, every 8/16-bit color type, Adam7
+interlace), huffman JPEG — baseline AND progressive (operators.jpeg — any
+chroma sampling, restart markers) — and PCM WAV.
 ``multimodal_image_decode_stats`` / ``multimodal_jpeg_roundtrip`` run REAL
 decode→feature pipelines on them. Progressive JPEG and compressed audio
 need PIL/soundfile, which this container lacks, so those paths raise
@@ -37,8 +38,9 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload → (h, w, 3) uint8 RGB numpy array.
 
     REAL decode paths, stdlib+numpy only: binary PPM (P6), uncompressed
-    24-bit BMP, non-interlaced 8-bit RGB PNG (zlib inflate + full
-    filter reconstruction: None/Sub/Up/Average/Paeth), and huffman JPEG —
+    24-bit BMP, PNG in every 8/16-bit color type incl. palette and Adam7
+    interlace (zlib inflate + full filter reconstruction:
+    None/Sub/Up/Average/Paeth), and huffman JPEG —
     baseline / extended-sequential (any chroma sampling, restart markers)
     AND progressive SOF2 (multi-scan successive approximation) — see
     operators.jpeg. Arithmetic-coded / hierarchical JPEG and other codecs
@@ -66,8 +68,8 @@ def decode_image(payload: bytes) -> "object":
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "PPM(P6)/BMP24/PNG(8-bit RGB)/baseline-JPEG decode natively; "
-            "other codecs require Pillow — install it on the cluster image"
+            "PPM(P6)/BMP24/PNG(8/16-bit, Adam7)/huffman-JPEG decode "
+            "natively; other codecs require Pillow on the cluster image"
         ) from exc
 
 
@@ -112,56 +114,35 @@ def _decode_bmp(payload: bytes) -> "object":
     return rows[:, :, ::-1]  # BGR → RGB
 
 
-def _decode_png(payload: bytes) -> "object":
-    """Non-interlaced 8-bit RGB PNG via stdlib zlib: walk the chunk stream
-    (IHDR → IDAT* → IEND), inflate the concatenated IDAT payload, then
-    reconstruct scanlines through the five PNG filters (None/Sub/Up/
-    Average/Paeth). Up is vectorized; Sub/Average/Paeth carry a
-    left-neighbor dependency so those rows reconstruct byte-sequentially —
-    fine for thumbnails/tiles; hand large frames to Pillow."""
-    import zlib
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    pos, w, h, idat = 8, None, None, bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc32
-        if typ == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            if tuple(data[8:13]) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "only 8-bit, color-type-2 (RGB), non-interlaced PNG "
-                    "decodes natively; use Pillow for other layouts"
-                )
-        elif typ == b"IDAT":
-            idat.extend(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride, bpp = w * 3, 3
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
-    out = np.zeros((h, stride), dtype=np.int32)
-    at = 0
-    for r in range(h):
+
+def _png_unfilter(raw, at, ph, rowbytes, bpp):
+    """Reconstruct ``ph`` scanlines of ``rowbytes`` each from the filtered
+    stream starting at ``raw[at]``; returns ((ph, rowbytes) int32, new
+    offset). Up is vectorized; Sub/Average/Paeth carry a left-neighbor
+    dependency so those rows reconstruct byte-sequentially."""
+    out = np.zeros((ph, rowbytes), dtype=np.int32)
+    for r in range(ph):
         ftype = raw[at]
         at += 1
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at).astype(
+        line = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=at).astype(
             np.int32
         )
-        at += stride
-        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        at += rowbytes
+        prior = out[r - 1] if r > 0 else np.zeros(rowbytes, dtype=np.int32)
         if ftype == 0:
             out[r] = line
         elif ftype == 2:  # Up
             out[r] = (line + prior) % 256
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth
             recon = out[r]
-            for x in range(stride):
+            for x in range(rowbytes):
                 a = recon[x - bpp] if x >= bpp else 0
                 b = prior[x]
                 c = prior[x - bpp] if x >= bpp else 0
@@ -176,26 +157,114 @@ def _decode_png(payload: bytes) -> "object":
                 recon[x] = (line[x] + pred) % 256
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out, at
 
 
-def encode_png(arr) -> bytes:
-    """(h, w, 3) uint8 RGB → non-interlaced 8-bit RGB PNG. Each scanline
-    uses filter type (row % 5), deliberately cycling through all five PNG
-    filters so a decoder round-trip exercises every reconstruction path."""
+def _png_bytes_to_px(recon, pw, channels, depth):
+    """(ph, rowbytes) reconstructed bytes -> (ph, pw, channels) samples."""
+    ph = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(ph, pw, channels)
+    pairs = recon.reshape(ph, pw, channels, 2)
+    return (pairs[..., 0] << 8) | pairs[..., 1]  # network byte order
+
+
+def _decode_png(payload: bytes) -> "object":
+    """PNG via stdlib zlib: walks the chunk stream (IHDR / PLTE / IDAT* /
+    IEND), inflates the concatenated IDAT payload, reconstructs scanlines
+    through the five PNG filters, and handles every 8/16-bit color type —
+    grayscale(0), RGB(2), palette(3, 8-bit), gray+alpha(4), RGBA(6) — plus
+    Adam7 interlacing (seven filtered sub-images scattered on the pass
+    grid). 16-bit samples downscale with >> 8; alpha is DROPPED (straight
+    RGB — compositing policy belongs to the caller). Sub-8-bit palette /
+    grayscale depths (1/2/4) gate to Pillow."""
     import zlib
 
-    h, w = arr.shape[0], arr.shape[1]
-    bpp = 3
-    rows = np.ascontiguousarray(arr).astype(np.int32).reshape(h, w * 3)
+    pos, w, h, idat, plte = 8, None, None, bytearray(), None
+    depth = ct = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc32
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ct, comp, filt, interlace = data[8:13]
+            if (
+                ct not in _PNG_CHANNELS
+                or depth not in (8, 16)
+                or (ct == 3 and depth != 8)
+                or comp != 0
+                or filt != 0
+                or interlace not in (0, 1)
+            ):
+                raise NotImplementedError(
+                    "PNG layout not supported natively (8/16-bit color "
+                    "types 0/2/3/4/6, filter 0, Adam7 or none) — use "
+                    "Pillow for exotic layouts"
+                )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = _PNG_CHANNELS[ct]
+    bpp = channels * (depth // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        expect = h * (w * bpp + 1)
+        if len(raw) != expect:
+            raise ValueError("PNG scanline data length mismatch")
+        recon, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        img = _png_bytes_to_px(recon, w, channels, depth)
+    else:
+        img = np.zeros((h, w, channels), dtype=np.int32)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            recon, at = _png_unfilter(raw, at, ph, pw * bpp, bpp)
+            img[y0::dy, x0::dx] = _png_bytes_to_px(recon, pw, channels, depth)
+        if at != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+
+    if depth == 16:
+        img = img >> 8
+    if ct == 3:
+        return plte[img[:, :, 0]]
+    if ct in (4, 6):  # drop alpha
+        img = img[:, :, : channels - 1]
+    if img.shape[2] == 1:  # grayscale -> replicate
+        img = np.repeat(img, 3, axis=2)
+    return img.astype(np.uint8)
+
+
+def _png_filter_rows(rows, bpp):
+    """Filter (ph, rowbytes) sample bytes with type (row % 5) — cycling
+    through all five PNG filters so round-trips exercise every
+    reconstruction path. Returns the filtered scanline stream."""
+    ph, rowbytes = rows.shape
     zero = np.zeros(bpp, dtype=np.int32)
     scan = bytearray()
-    for r in range(h):
+    for r in range(ph):
         ftype = r % 5
         raw = rows[r]
-        prior = rows[r - 1] if r > 0 else np.zeros(w * 3, dtype=np.int32)
-        left = np.concatenate([zero, raw[:-bpp]])
-        upleft = np.concatenate([zero, prior[:-bpp]])
+        prior = rows[r - 1] if r > 0 else np.zeros(rowbytes, dtype=np.int32)
+        left = np.concatenate([zero, raw[:-bpp]]) if rowbytes > bpp else np.zeros(
+            rowbytes, dtype=np.int32
+        )
+        upleft = np.concatenate([zero, prior[:-bpp]]) if rowbytes > bpp else np.zeros(
+            rowbytes, dtype=np.int32
+        )
         if ftype == 0:
             filt = raw
         elif ftype == 1:
@@ -215,6 +284,67 @@ def encode_png(arr) -> bytes:
             filt = (raw - pred) % 256
         scan.append(ftype)
         scan.extend(filt.astype(np.uint8).tobytes())
+    return scan
+
+
+def _png_samples(arr, color_type, bit_depth):
+    """RGB uint8 input -> (h, w, channels) samples + optional palette.
+
+    gray takes channel 0; alpha channels take channel 1 (decode drops
+    them, so any deterministic content exercises the filter paths)."""
+    if color_type == 0:
+        samples = arr[:, :, :1]
+    elif color_type == 2:
+        samples = arr
+    elif color_type == 3:
+        flat = arr.reshape(-1, 3)
+        palette, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError("palette PNG needs <= 256 distinct colors")
+        return idx.reshape(arr.shape[0], arr.shape[1], 1).astype(np.uint8), palette
+    elif color_type == 4:
+        samples = np.stack([arr[:, :, 0], arr[:, :, 1]], axis=2)
+    elif color_type == 6:
+        samples = np.concatenate([arr, arr[:, :, 1:2]], axis=2)
+    else:
+        raise ValueError(f"unsupported color type {color_type}")
+    if bit_depth == 16:
+        return samples.astype(np.uint16) * 257, None  # v<<8 | v
+    return samples.astype(np.uint8), None
+
+
+def encode_png(arr, *, color_type: int = 2, bit_depth: int = 8,
+               interlace: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG. Defaults to the 8-bit RGB non-interlaced
+    layout; ``color_type``/``bit_depth``/``interlace`` select grayscale /
+    palette / alpha variants, 16-bit samples, and Adam7 — the writer-side
+    twin the test suite uses to drive every native decode path. Scanline
+    filters cycle through all five types per row."""
+    import zlib
+
+    h, w = arr.shape[0], arr.shape[1]
+    samples, palette = _png_samples(np.asarray(arr), color_type, bit_depth)
+    channels = samples.shape[2]
+    bpp = channels * (bit_depth // 8)
+
+    def to_rows(block):
+        bh, bw = block.shape[0], block.shape[1]
+        if bit_depth == 16:
+            by = np.zeros((bh, bw, channels, 2), dtype=np.int32)
+            by[..., 0] = block >> 8
+            by[..., 1] = block & 0xFF
+            return by.reshape(bh, bw * bpp)
+        return block.astype(np.int32).reshape(bh, bw * bpp)
+
+    scan = bytearray()
+    if interlace == 0:
+        scan = _png_filter_rows(to_rows(samples), bpp)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] <= 0 or sub.shape[1] <= 0:
+                continue
+            scan.extend(_png_filter_rows(to_rows(sub), bpp))
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -224,13 +354,15 @@ def encode_png(arr) -> bytes:
             + zlib.crc32(typ + data).to_bytes(4, "big")
         )
 
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan)))
-        + chunk(b"IEND", b"")
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, interlace])
     )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
 
 
 def encode_ppm(arr) -> bytes:

@@ -36,11 +36,12 @@ def test_decode_stubs_are_gated():
         decode_image(bytes(relabeled))
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF...")
-    # PNG decodes natively ONLY for the 8-bit RGB non-interlaced layout;
-    # other IHDR layouts (here: grayscale) must gate, not mis-decode
+    # PNG decodes natively for all 8/16-bit color types (incl. Adam7) since
+    # round 5; sub-8-bit depths (here: 4-bit grayscale) must still gate,
+    # not mis-decode
     import zlib
 
-    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([4, 0, 0, 0, 0])
     gray = (
         b"\x89PNG\r\n\x1a\n"
         + len(ihdr).to_bytes(4, "big")
@@ -228,3 +229,53 @@ def test_foreach_batch_rerun_is_idempotent(spark, sf_dir):
         for r in queries()["stream_foreach_batch_totals"](spark, sf_dir).collect()
     }
     assert r1 == r2
+
+
+def test_png_all_color_types_and_adam7_roundtrip():
+    import numpy as np
+
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    gray = np.repeat(img[:, :, :1], 3, axis=2)
+    pal = (
+        rng.integers(0, 7, (17, 19, 1)) * np.array([[[11, 31, 53]]])
+    ).astype(np.uint8) % 256
+    cases = [
+        (encode_png(img), img),
+        (encode_png(img, interlace=1), img),
+        (encode_png(img, color_type=0), gray),
+        (encode_png(img, color_type=0, interlace=1), gray),
+        (encode_png(pal, color_type=3), pal),
+        (encode_png(pal, color_type=3, interlace=1), pal),
+        (encode_png(img, color_type=4), gray),  # alpha dropped
+        (encode_png(img, color_type=6), img),
+        (encode_png(img, color_type=6, interlace=1), img),
+        (encode_png(img, bit_depth=16), img),  # v*257 >> 8 == v
+        (encode_png(img, color_type=0, bit_depth=16, interlace=1), gray),
+    ]
+    for payload, expect in cases:
+        assert np.array_equal(_decode_png(payload), expect)
+
+
+def test_png_sub8bit_depth_still_gates():
+    import numpy as np
+    import zlib
+
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    ihdr_at = payload.index(b"IHDR")
+    payload[ihdr_at + 12] = 4  # claim bit depth 4
+    # fix the IHDR crc so only the depth gate can reject it
+    body = bytes(payload[ihdr_at : ihdr_at + 17])
+    payload[ihdr_at + 17 : ihdr_at + 21] = zlib.crc32(body).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError):
+        _decode_png(bytes(payload))

@@ -398,37 +398,133 @@ def encode_bmp(arr) -> bytes:
 def decode_audio(payload: bytes) -> "object":
     """Decode an audio payload → (n_samples,) float64 waveform in [-1, 1).
 
-    REAL decode path, stdlib only: RIFF/WAVE PCM (8/16/32-bit int) parses
-    via the stdlib ``wave`` module; multi-channel audio is downmixed by
-    channel mean. Compressed codecs (mp3/ogg/flac/…) need soundfile or
-    librosa, which this container lacks — they gate behind
-    NotImplementedError."""
+    REAL decode paths, stdlib+numpy only, via a manual RIFF chunk walker:
+    integer PCM (8/16/24/32-bit), IEEE float (32/64-bit), and the G.711
+    telephony codecs µ-law / A-law (table decode built from the segment
+    structure), including WAVE_FORMAT_EXTENSIBLE headers; multi-channel
+    audio is downmixed by channel mean. Perceptual codecs (mp3/ogg/flac/…)
+    need soundfile or librosa, which this container lacks — they gate
+    behind NotImplementedError."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
-        "only PCM WAV decodes natively; compressed audio requires "
-        "soundfile/librosa — install on the cluster image"
+        "only WAV containers (PCM/float/G.711) decode natively; perceptual "
+        "codecs require soundfile/librosa — install on the cluster image"
     )
 
 
-def _decode_wav(payload: bytes) -> "object":
-    import io
-    import wave
+def _g711_ulaw_table() -> "object":
+    """All 256 µ-law codes → int16 linear (G.711 segment expansion)."""
+    u = (~np.arange(256)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
-        raw = w.readframes(n_frames)
-    if width == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 4:
-        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
-    elif width == 1:  # 8-bit WAV is unsigned
-        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+
+def _g711_alaw_table() -> "object":
+    """All 256 A-law codes → int16 linear."""
+    a = np.arange(256) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
+def _wav_chunks(payload: bytes):
+    """Yield (chunk_id, data) from a RIFF/WAVE stream (sizes pad to even)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        yield cid, payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+
+
+def _decode_wav(payload: bytes) -> "object":
+    fmt = data = None
+    for cid, chunk in _wav_chunks(payload):
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format in GUID
+        if len(fmt) < 26:
+            raise ValueError("extensible WAV missing subformat")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported PCM sample width {bits // 8}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"unsupported float WAV width {bits}")
+    elif audio_format == 6:  # G.711 A-law
+        arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif audio_format == 7:  # G.711 µ-law
+        arr = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     else:
-        raise NotImplementedError(f"unsupported PCM sample width {width}")
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} not supported natively "
+            "(PCM/IEEE-float/A-law/µ-law decode; perceptual codecs need "
+            "soundfile)"
+        )
     if n_ch > 1:
         arr = arr.reshape(-1, n_ch).mean(axis=1)
     return arr
+
+
+def encode_g711(samples, law: str = "ulaw", sample_rate: int = 8000) -> bytes:
+    """int16 numpy samples → mono G.711 WAV bytes (µ-law or A-law).
+
+    Encoding is nearest-codeword quantization against the decode table —
+    equivalent to the spec's segment quantizer up to ties, and it
+    guarantees decode(encode(x)) is the closest representable level."""
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int64)
+    s = np.asarray(samples, dtype=np.int64)
+    idx = np.searchsorted(levels, s)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    lo, hi = levels[idx - 1], levels[idx]
+    pick = np.where((s - lo) <= (hi - s), idx - 1, idx)
+    codes = order[pick].astype(np.uint8)
+    fmt_code = 7 if law == "ulaw" else 6
+    fmt = (
+        fmt_code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(codes).to_bytes(4, "little") + codes.tobytes()
+    )
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:

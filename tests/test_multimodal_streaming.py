@@ -279,3 +279,79 @@ def test_png_sub8bit_depth_still_gates():
     payload[ihdr_at + 17 : ihdr_at + 21] = zlib.crc32(body).to_bytes(4, "big")
     with pytest.raises(NotImplementedError):
         _decode_png(bytes(payload))
+
+
+def _wav_manual(fmt_code, bits, data_bytes, n_ch=1, extensible=False):
+    rate = 8000
+    fmt = (
+        (0xFFFE if extensible else fmt_code).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")
+        + (n_ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    if extensible:
+        fmt += (22).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        fmt += (0).to_bytes(4, "little") + fmt_code.to_bytes(2, "little")
+        fmt += b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data_bytes).to_bytes(4, "little") + data_bytes
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_24bit_and_float_decode():
+    rng = np.random.default_rng(9)
+    v24 = rng.integers(-(1 << 23), 1 << 23, 64).astype(np.int64)
+    raw = bytearray()
+    for v in v24:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    got = decode_audio(_wav_manual(1, 24, bytes(raw)))
+    assert np.allclose(got * 8388608.0, v24)
+
+    f32 = rng.standard_normal(64).astype("<f4")
+    got = decode_audio(_wav_manual(3, 32, f32.tobytes()))
+    assert np.allclose(got, f32.astype(np.float64))
+
+    f64 = rng.standard_normal(64)
+    got = decode_audio(_wav_manual(3, 64, f64.astype("<f8").tobytes()))
+    assert np.array_equal(got, f64)
+
+
+def test_wav_extensible_header_resolves_subformat():
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32768, 32).astype("<i2")
+    got = decode_audio(_wav_manual(1, 16, s.tobytes(), extensible=True))
+    assert np.allclose(got * 32768.0, s)
+
+
+def test_g711_roundtrip_within_companding_bound():
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_g711
+
+    rng = np.random.default_rng(0)
+    s = rng.integers(-32000, 32000, 2000).astype(np.int16)
+    for law, bound in (("ulaw", 1 / 16), ("alaw", 1 / 8)):
+        dec = decode_audio(encode_g711(s, law)) * 32768.0
+        rel = np.abs(dec - s) / np.maximum(np.abs(s), 64)
+        assert rel.max() <= bound + 1e-9, law
+
+
+def test_g711_spec_anchor_values():
+    # µ-law code 0xFF (and its complement pair 0x7F) is exactly 0; the
+    # extreme codes hit the spec's ±32124 (µ) / ±32256 (A) full-scale
+    from spark_sql_flow_plugin_spark.operators import multimodal as mm
+
+    assert mm._ULAW_TABLE[0xFF] == 0 and mm._ULAW_TABLE[0x7F] == 0
+    assert mm._ULAW_TABLE.max() == 32124 and mm._ULAW_TABLE.min() == -32124
+    assert mm._ALAW_TABLE.max() == 32256 and mm._ALAW_TABLE.min() == -32256
+
+
+def test_perceptual_codecs_still_gate():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04...")
+    # unknown WAV format code gates loudly instead of mis-decoding
+    with pytest.raises(NotImplementedError):
+        decode_audio(_wav_manual(2, 4, b"\x00\x00"))  # MS-ADPCM

@@ -5,8 +5,9 @@ metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. The codec
 layer decodes natively, stdlib+numpy only: PPM (P6), uncompressed 24-bit
 BMP, PNG (zlib + all five filters, every 8/16-bit color type, Adam7
-interlace), huffman JPEG — baseline AND progressive (operators.jpeg — any
-chroma sampling, restart markers) — and PCM WAV.
+interlace), GIF (pure-python LZW, interlace, local/global palettes),
+huffman JPEG — baseline AND progressive (operators.jpeg — any chroma
+sampling, restart markers) — and WAV (integer/float PCM + G.711).
 ``multimodal_image_decode_stats`` / ``multimodal_jpeg_roundtrip`` run REAL
 decode→feature pipelines on them. Progressive JPEG and compressed audio
 need PIL/soundfile, which this container lacks, so those paths raise
@@ -53,6 +54,8 @@ def decode_image(payload: bytes) -> "object":
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -393,6 +396,178 @@ def encode_bmp(arr) -> bytes:
         + b"\x00" * 16
     )
     return header + data
+
+
+_GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start, step)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI handling,
+    dictionary growth to 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    code_size = min_code_size + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    prev = None
+    out = []
+    while bitpos + code_size <= total_bits:
+        code = (big >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> "object":
+    """GIF87a/89a via a pure-python LZW decoder: logical screen descriptor,
+    global/local color tables, extension-block skipping, sub-block
+    reassembly, and the 4-pass interlace row order. Animations decode as
+    their FIRST frame (the corpus-stats contract; temporal sampling is
+    multimodal_frame_sample's job)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = payload[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(min_code, bytes(data))
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.array(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                out = np.zeros_like(grid)
+                src_r = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for r in range(start, ih, step):
+                        out[r] = grid[src_r]
+                        src_r += 1
+                grid = out
+            return table[np.clip(grid, 0, len(table) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr, *, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB (<= 256 distinct colors) → GIF89a.
+
+    Writer-side twin for the decoder tests: palette from unique colors,
+    fixed-width LZW with periodic CLEAR codes (the classic
+    "uncompressed GIF" technique — every pixel emits one literal code and
+    the dictionary never grows past the current code width)."""
+    h, w = arr.shape[0], arr.shape[1]
+    flat = np.asarray(arr).reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF needs <= 256 distinct colors")
+    depth = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table_n = 1 << depth
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    grid = idx.reshape(h, w)
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        grid = grid[rows]
+    codes = grid.reshape(-1).tolist()
+
+    min_code = depth
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    span = clear - 2  # literals per CLEAR before the width would grow
+    bits = bitlen = 0
+    stream = bytearray()
+
+    def emit(c):
+        nonlocal bits, bitlen
+        bits |= c << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            stream.append(bits & 0xFF)
+            bits >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    for i, c in enumerate(codes):
+        if i and i % span == 0:
+            emit(clear)
+        emit(int(c))
+    emit(eoi)
+    if bitlen:
+        stream.append(bits & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def decode_audio(payload: bytes) -> "object":

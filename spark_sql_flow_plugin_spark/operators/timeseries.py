@@ -552,3 +552,59 @@ def retention_cohorts(spark, sf_dir):
         .groupBy("cohort", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_from
+        FROM pairs GROUP BY event_type)
+    SELECT p.event_type AS from_type, p.next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(t.n_from) AS DOUBLE) AS p_trans
+    FROM pairs p JOIN tot t ON p.event_type = t.event_type
+    GROUP BY p.event_type, p.next_type
+    """,
+    "timeseries",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral model behind
+    next-action prediction and anomaly scoring on clickstreams.
+
+    Shape: one window pass (lead over user_id ordering, tie-broken on
+    event_id for determinism) turns the stream into transition pairs;
+    the matrix and its row totals are #event_types^2-sized aggregates.
+    Each probability is one IEEE division of two exact counts — bit-equal
+    cross-engine."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    tot = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_from"))
+    return (
+        pairs.join(tot, "event_type")
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.any_value("n_from").cast("double")
+            ).alias("p_trans"),
+        )
+    )

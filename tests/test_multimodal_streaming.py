@@ -355,3 +355,81 @@ def test_perceptual_codecs_still_gate():
     # unknown WAV format code gates loudly instead of mis-decoding
     with pytest.raises(NotImplementedError):
         decode_audio(_wav_manual(2, 4, b"\x00\x00"))  # MS-ADPCM
+
+
+def test_gif_roundtrip_all_layouts():
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 13, (37, 29))]
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+    assert np.array_equal(decode_image(encode_gif(img, interlace=True)), img)
+    pal256 = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], dtype=np.uint8
+    )
+    img256 = pal256[rng.integers(0, 256, (41, 43))]
+    assert np.array_equal(
+        decode_image(encode_gif(img256, interlace=True)), img256
+    )
+
+
+def test_gif_lzw_decoder_inverts_real_compression():
+    # the module's writer emits literal-only LZW; a REAL greedy encoder
+    # exercises dictionary growth, width changes, and the KwKwK
+    # (code == next_code) special case the literal stream never produces
+    from spark_sql_flow_plugin_spark.operators.multimodal import _lzw_decode
+
+    def lzw_encode(min_code, pixels):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        code_size = min_code + 1
+        bits = bitlen = 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal bits, bitlen, code_size
+            bits |= c << bitlen
+            bitlen += code_size
+            while bitlen >= 8:
+                out.append(bits & 0xFF)
+                bits >>= 8
+                bitlen -= 8
+
+        emit(clear)
+        buf = ()
+        for p in pixels:
+            cand = buf + (p,)
+            if cand in table:
+                buf = cand
+                continue
+            emit(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                # the decoder adds each entry one code LATER than the
+                # encoder (it needs the next code's first symbol), so at
+                # the moment the encoder emits code k+1 the decoder has
+                # one fewer entry — the encoder must therefore bump the
+                # width one add AFTER the decoder's 2^cs trigger
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            buf = (p,)
+        if buf:
+            emit(table[buf])
+        emit(eoi)
+        if bitlen:
+            out.append(bits & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(11)
+    # KwKwK stress: long runs of one symbol force code == next_code
+    runs = np.repeat(rng.integers(0, 4, 40), rng.integers(1, 9, 40))
+    for pixels in (
+        [0, 0, 0, 0, 0, 0, 0],  # minimal KwKwK
+        runs.tolist(),
+        rng.integers(0, 16, 3000).tolist(),  # width growth past 9 bits
+    ):
+        min_code = max(2, int(np.ceil(np.log2(max(max(pixels) + 1, 2)))))
+        assert _lzw_decode(min_code, lzw_encode(min_code, pixels)) == pixels

@@ -655,6 +655,14 @@ def _decode_wav(payload: bytes) -> "object":
             arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
         else:
             raise NotImplementedError(f"unsupported float WAV width {bits}")
+    elif audio_format == 0x11:  # IMA ADPCM
+        if n_ch != 1:
+            raise NotImplementedError("IMA ADPCM decodes mono natively")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        vals = []
+        for b0 in range(0, len(data), block_align):
+            vals.extend(_ima_adpcm_decode_block(data[b0 : b0 + block_align]))
+        arr = np.array(vals, dtype=np.float64) / 32768.0
     elif audio_format == 6:  # G.711 A-law
         arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     elif audio_format == 7:  # G.711 µ-law
@@ -668,6 +676,117 @@ def _decode_wav(payload: bytes) -> "object":
     if n_ch > 1:
         arr = arr.reshape(-1, n_ch).mean(axis=1)
     return arr
+
+
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+
+def _ima_adpcm_decode_block(block: bytes) -> list:
+    """One mono IMA ADPCM block: 4-byte header (int16 predictor, step
+    index, reserved) then 4-bit nibbles, low nibble first."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = min(max(block[2], 0), 88)
+    out = [pred]
+    step = int(_IMA_STEP_TABLE[index])
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + int(_IMA_INDEX_TABLE[nib])))
+            step = int(_IMA_STEP_TABLE[index])
+            out.append(pred)
+    return out
+
+
+def encode_ima_adpcm(samples, sample_rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """int16 numpy samples → mono IMA ADPCM WAV (format 0x11).
+
+    Standard greedy quantizer: each nibble encodes sign + the 3-bit
+    magnitude that best approximates the prediction residual at the
+    current step size; the decoder below is its exact inverse state
+    machine, so roundtrips track the waveform within the adaptive step."""
+    s = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block (mono)
+    blocks = bytearray()
+    n_blocks = 0
+    for b0 in range(0, len(s), spb):
+        chunk = s[b0 : b0 + spb]
+        pred = int(chunk[0])
+        index = 0
+        blocks += int(pred).to_bytes(2, "little", signed=True)
+        blocks += bytes([index, 0])
+        step = int(_IMA_STEP_TABLE[index])
+        nibs = []
+        for v in chunk[1:]:
+            delta = int(v) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(32767, max(-32768, pred))
+            index = min(88, max(0, index + int(_IMA_INDEX_TABLE[nib])))
+            step = int(_IMA_STEP_TABLE[index])
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(lo | (hi << 4))
+        # pad the final block to block_align
+        short = block_align - 4 - len(nibs) // 2
+        blocks += b"\x00" * short
+        n_blocks += 1
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(blocks).to_bytes(4, "little") + bytes(blocks)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def encode_g711(samples, law: str = "ulaw", sample_rate: int = 8000) -> bytes:

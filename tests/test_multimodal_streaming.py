@@ -433,3 +433,26 @@ def test_gif_lzw_decoder_inverts_real_compression():
     ):
         min_code = max(2, int(np.ceil(np.log2(max(max(pixels) + 1, 2)))))
         assert _lzw_decode(min_code, lzw_encode(min_code, pixels)) == pixels
+
+
+def test_ima_adpcm_roundtrip_tracks_waveform():
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        encode_ima_adpcm,
+    )
+
+    t = np.arange(4000)
+    sig = (
+        12000 * np.sin(2 * np.pi * t / 50) + 3000 * np.sin(2 * np.pi * t / 13)
+    ).astype(np.int16)
+    dec = (decode_audio(encode_ima_adpcm(sig)) * 32768.0)[: len(sig)]
+    # ADPCM adapts its step from 7 upward, so the first samples of each
+    # block carry a transient; steady state must track tightly
+    assert np.corrcoef(dec, sig)[0, 1] > 0.99
+    assert np.abs(dec - sig).mean() < 400
+    assert np.abs(dec[200:] - sig[200:]).max() < 4000
+    # stereo ADPCM gates loudly rather than mis-deinterleaving
+    payload = bytearray(encode_ima_adpcm(sig))
+    fmt_at = payload.index(b"fmt ")
+    payload[fmt_at + 10] = 2  # claim 2 channels
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(payload))

@@ -731,10 +731,10 @@ def encode_ima_adpcm(samples, sample_rate: int = 8000,
     spb = (block_align - 4) * 2 + 1  # samples per block (mono)
     blocks = bytearray()
     n_blocks = 0
+    index = 0  # the adapted step index CARRIES across blocks via the header
     for b0 in range(0, len(s), spb):
         chunk = s[b0 : b0 + spb]
-        pred = int(chunk[0])
-        index = 0
+        pred = int(chunk[0])  # block's first sample is stored verbatim
         blocks += int(pred).to_bytes(2, "little", signed=True)
         blocks += bytes([index, 0])
         step = int(_IMA_STEP_TABLE[index])

@@ -607,6 +607,66 @@ def zorder_layout_prune(spark, sf_dir):
     )
 
 
+@register(
+    "sql_udf_battery",
+    f"""
+    SELECT l_returnflag, t.i AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(date_diff('day', DATE '1992-01-01', l_shipdate)) AS BIGINT) AS sum_ship_days
+    FROM lineitem CROSS JOIN (VALUES (1), (2)) t(i)
+    WHERE l_shipdate <= DATE '1995-03-01'
+    GROUP BY l_returnflag, t.i
+    """,
+    "scalar-func",
+    "spark4",
+)
+def sql_udf_battery(spark, sf_dir):
+    """Spark 4 SQL-language UDF surface in one battery: a scalar SQL UDF
+    (CREATE TEMPORARY FUNCTION ... RETURN expr), a date-arithmetic scalar
+    UDF, a TABLE-valued SQL UDF consumed in the FROM clause, and a session
+    VARIABLE (DECLARE / SET VAR) driving the filter predicate.
+
+    SQL UDFs are the catalog-managed alternative to Python UDFs with NONE
+    of their cost: the body inlines into the plan at analysis time, so
+    everything below stays whole-stage-codegen JVM expressions — the
+    oracle simply substitutes the bodies textually. At 100 TB this is the
+    difference between a UDF library your analysts share and a serialized
+    Python round-trip per row."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ship_days_since(d DATE) "
+        "RETURNS INT RETURN CAST(datediff(d, DATE'1992-01-01') AS INT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION row_buckets(n INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ship_cutoff DATE DEFAULT DATE'1990-01-01'"
+    )
+    spark.sql("SET VAR ship_cutoff = DATE'1995-03-01'")
+    return spark.sql(
+        """
+        SELECT l_returnflag, t.i AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(ship_days_since(l_shipdate))
+                    AS BIGINT) AS sum_ship_days
+        FROM lineitem CROSS JOIN row_buckets(2) t
+        WHERE l_shipdate <= ship_cutoff
+        GROUP BY l_returnflag, t.i
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4: modern SQL surface both engines share — GROUP BY ALL, lateral
 # column aliases, and the dedicated UNPIVOT clause.

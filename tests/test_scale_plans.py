@@ -535,3 +535,15 @@ def test_power_iteration_shuffles_only_dim_partials(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sql_udfs_inline_into_codegen(spark, sf_dir):
+    # SQL-language UDFs must inline at analysis time: no Python evaluation
+    # node anywhere, and the aggregate input stays inside codegen
+    plan = _physical(queries()["sql_udf_battery"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the UDF body must appear as a plain JVM expression in the aggregate
+    assert "(1.0 - d#" in plan or "(1.0 - l_discount" in plan
+    # the filter driven by the session VARIABLE still reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan  # 2-row TVF side broadcasts

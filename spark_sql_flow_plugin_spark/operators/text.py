@@ -634,3 +634,130 @@ def lm_bigram_score(spark, sf_dir):
         )
     )
     return scope_caches(scored, big)
+
+
+# BPE merge table (creation-order monotone: every pair that contains a
+# merged symbol appears after the merges that build its components, which
+# is exactly the structure trained merge lists have — and what makes the
+# leftmost-best-pair-per-step recursion below equal to standard
+# merge-all-occurrences BPE).
+_BPE_MERGES = [
+    "t h", "i n", "a n", "r e", "o n", "e r", "e n", "s t",
+    "o r", "a r", "a l", "e d", "i t", "e s", "o u", "th e",
+    "an d", "in g", "i s", "a t", "o f", "er s", "th at", "the re",
+]
+_BPE_BIG = 999999
+_BPE_MAXLEN = 32
+_SPARK_BPE_MERGES = "array(" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + ")"
+_DUCK_BPE_MERGES = "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
+
+
+@register(
+    "bpe_tokenize_counts",
+    f"""
+    WITH RECURSIVE vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+            SELECT unnest({_DUCK_WTOKS}) AS w FROM documents)
+        WHERE length(w) <= {_BPE_MAXLEN}
+        GROUP BY w),
+    bpe (w, s, iter) AS (
+        SELECT w, regexp_extract_all(w, '.') AS s, 0 FROM vocab
+        UNION ALL
+        SELECT w,
+               list_concat(list_concat(
+                   s[1 : idx - 1],
+                   [replace(pairs[idx], ' ', '')]),
+                   s[idx + 2 : len(s)]) AS s,
+               iter + 1
+        FROM (
+            SELECT w, s, iter, pairs,
+                   CAST(list_position(ranks, list_min(ranks)) AS INT) AS idx,
+                   list_min(ranks) AS best
+            FROM (
+                SELECT w, s, iter,
+                       list_transform(generate_series(1, len(s) - 1),
+                                      i -> s[i] || ' ' || s[i + 1]) AS pairs,
+                       list_transform(generate_series(1, len(s) - 1),
+                                      i -> coalesce(nullif(list_position({_DUCK_BPE_MERGES},
+                                                    s[i] || ' ' || s[i + 1]), 0), {_BPE_BIG})) AS ranks
+                FROM bpe)
+        ) WHERE best < {_BPE_BIG}),
+    finals AS (
+        SELECT w, s FROM (
+            SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
+        WHERE iter = mx)
+    SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt
+    FROM (SELECT v.n_occ, unnest(f.s) AS token
+          FROM finals f JOIN vocab v USING (w))
+    GROUP BY token
+    """,
+    "text",
+    "llm-pipeline",
+)
+def bpe_tokenize_counts(spark, sf_dir):
+    """REAL BPE tokenization of the corpus, expressed as a recursive CTE —
+    subword token counts under a fixed 24-entry merge table.
+
+    Algorithm: each word's symbol array repeatedly merges the leftmost
+    occurrence of its best-ranked adjacent pair until no listed pair
+    remains (per-step state is pure array algebra: zip-adjacent pairs →
+    rank lookup → slice/concat splice). Because the merge table is
+    creation-order monotone — the invariant trained BPE merge lists have —
+    this leftmost-best-pair-per-step recursion produces exactly the
+    standard merge-all-occurrences BPE segmentation.
+
+    Scale posture: the recursion runs over the DISTINCT-WORD VOCABULARY
+    (with per-word occurrence counts aggregated first), never the token
+    stream — the iteration's working set is vocabulary-sized and shrinks
+    every round as words reach their fixpoint; corpus-sized work is one
+    tokenize/count pass and one final vocab join. Words longer than
+    _BPE_MAXLEN chars are excluded on both sides (bounds recursion depth
+    under Spark's recursion level cap).
+
+    Engine trap worth recording: BOTH Spark's array_position and this
+    DuckDB build's list_position return 0 (not NULL) for a missing
+    element, so the rank lookup needs nullif(.., 0) before coalesce on
+    both sides — without it every unlisted pair silently ranks 0
+    (= best-possible!) and every word merges all the way to one token.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("bpe_docs_src")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE vocab AS (
+            SELECT w, COUNT(*) AS n_occ FROM (
+                SELECT explode({_SPARK_WTOKS}) AS w FROM bpe_docs_src)
+            WHERE length(w) <= {_BPE_MAXLEN}
+            GROUP BY w),
+        bpe (w, s, iter) AS (
+            SELECT w, regexp_extract_all(w, '(.)', 1) AS s, 0 FROM vocab
+            UNION ALL
+            SELECT w,
+                   concat(
+                       slice(s, 1, idx - 1),
+                       array(replace(element_at(pairs, idx), ' ', '')),
+                       slice(s, idx + 2, size(s))) AS s,
+                   iter + 1
+            FROM (
+                SELECT w, s, iter, pairs,
+                       CAST(array_position(ranks, array_min(ranks)) AS INT) AS idx,
+                       array_min(ranks) AS best
+                FROM (
+                    SELECT w, s, iter,
+                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                    (a, b) -> concat(a, ' ', b)) AS pairs,
+                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                    (a, b) -> coalesce(nullif(array_position({_SPARK_BPE_MERGES},
+                                                             concat(a, ' ', b)), 0), {_BPE_BIG})) AS ranks
+                    FROM bpe)
+            ) WHERE best < {_BPE_BIG}),
+        finals AS (
+            SELECT w, s FROM (
+                SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
+            WHERE iter = mx)
+        SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt
+        FROM (SELECT v.n_occ, explode(f.s) AS token
+              FROM finals f JOIN vocab v USING (w))
+        GROUP BY token
+        """
+    )

@@ -112,3 +112,64 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert set(exact) <= set(bloom)
     for doc_id, n_exact in exact.items():
         assert bloom[doc_id] >= n_exact
+
+
+def test_bpe_recursion_produces_standard_segmentations(spark):
+    # known segmentations under the fixed merge table: drives the splice
+    # algebra, rank tie-breaking (leftmost best pair), and fixpoint exit
+    from spark_sql_flow_plugin_spark.operators.text import (
+        _BPE_BIG,
+        _BPE_MERGES,
+        _SPARK_BPE_MERGES,
+    )
+
+    q = f"""
+    WITH RECURSIVE bpe (w, s, iter) AS (
+        SELECT w, regexp_extract_all(w, '(.)', 1) AS s, 0
+        FROM (VALUES ('there'), ('that'), ('interesting'), ('ending'), ('x')) t(w)
+        UNION ALL
+        SELECT w,
+               concat(slice(s, 1, idx - 1),
+                      array(replace(element_at(pairs, idx), ' ', '')),
+                      slice(s, idx + 2, size(s))) AS s,
+               iter + 1
+        FROM (
+            SELECT w, s, iter, pairs,
+                   CAST(array_position(ranks, array_min(ranks)) AS INT) AS idx,
+                   array_min(ranks) AS best
+            FROM (
+                SELECT w, s, iter,
+                       zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                (a, b) -> concat(a, ' ', b)) AS pairs,
+                       zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                (a, b) -> coalesce(nullif(array_position({_SPARK_BPE_MERGES},
+                                                         concat(a, ' ', b)), 0), {_BPE_BIG})) AS ranks
+                FROM bpe)
+        ) WHERE best < {_BPE_BIG})
+    SELECT w, s FROM (
+        SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
+    WHERE iter = mx
+    """
+    got = {r.w: list(r.s) for r in spark.sql(q).collect()}
+    # reference segmentations computed by hand against _BPE_MERGES
+    assert got["x"] == ["x"]
+    assert got["that"] == ["that"]       # t h -> th; a t? no: th a t -> 'th at'
+    assert got["there"] == ["there"]     # th e + r e -> the re -> there
+    assert got["ending"] == ["en", "d", "ing"]
+    assert got["interesting"] == ["in", "t", "e", "re", "st", "ing"]
+    # python reference implementation agrees on every vocabulary word shape
+    def py_bpe(word):
+        s = list(word)
+        while True:
+            ranks = [
+                _BPE_MERGES.index(f"{a} {b}") if f"{a} {b}" in _BPE_MERGES else None
+                for a, b in zip(s, s[1:])
+            ]
+            live = [r for r in ranks if r is not None]
+            if not live:
+                return s
+            i = ranks.index(min(live))
+            s = s[:i] + [s[i] + s[i + 1]] + s[i + 2 :]
+
+    for w, toks in got.items():
+        assert toks == py_bpe(w), w

@@ -761,3 +761,128 @@ def bpe_tokenize_counts(spark, sf_dir):
         GROUP BY token
         """
     )
+
+
+# --- BPE tokenizer TRAINING ------------------------------------------------
+# Learn the first _BPE_TRAIN_K merges from the corpus itself: per round,
+# count weighted adjacent symbol pairs over the vocabulary, take the argmax
+# (count DESC, pair ASC — deterministic), and merge ALL its occurrences in
+# every word. Merge-all-occurrences without a sequential fold: wrap each
+# symbol in chr(1) tags (s1§§s2§§s3 with § = chr(1)) and string-replace the
+# tagged pair left-to-right — non-overlapping replacement IS the BPE merge
+# order, and a consumed middle symbol can't pair twice. Vocabulary is
+# pre-tokenized to ^[a-z0-9]+$ (the GPT-2-style pretokenizer guarantee that
+# the tag byte cannot occur inside a symbol).
+_BPE_TRAIN_K = 8
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _duck_bpe_train_sql(k: int) -> str:
+    base = f"""v0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ, regexp_extract_all(w, '.') AS s
+        FROM (SELECT unnest({_DUCK_WTOKS}) AS w FROM documents)
+        WHERE regexp_matches(w, '{_BPE_WORD_RE}') AND length(w) <= {_BPE_MAXLEN}
+        GROUP BY w)"""
+    stages = [base]
+    for i in range(1, k + 1):
+        stages.append(f"""b{i} AS MATERIALIZED (
+        SELECT p, cnt FROM (
+            SELECT p, CAST(SUM(n_occ) AS BIGINT) AS cnt FROM (
+                SELECT n_occ,
+                       unnest(list_transform(generate_series(1, len(s) - 1),
+                              j -> s[j] || ' ' || s[j + 1])) AS p
+                FROM v{i - 1})
+            GROUP BY p)
+        ORDER BY cnt DESC, p ASC LIMIT 1)""")
+        stages.append(f"""v{i} AS MATERIALIZED (
+        SELECT w, n_occ,
+               string_split(
+                   trim(
+                       replace(
+                           chr(1) || array_to_string(s, chr(1) || chr(1)) || chr(1),
+                           chr(1) || replace(coalesce((SELECT p FROM b{i}), chr(2)),
+                                             ' ', chr(1) || chr(1)) || chr(1),
+                           chr(1) || replace(coalesce((SELECT p FROM b{i}), chr(2)),
+                                             ' ', '') || chr(1)),
+                       chr(1)),
+                   chr(1) || chr(1)) AS s
+        FROM v{i - 1})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, (SELECT p FROM b{i}) AS pair, (SELECT cnt FROM b{i}) AS cnt"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT CAST(rank AS INT) AS rank, pair, cnt FROM ({finals}) WHERE pair IS NOT NULL"
+    )
+
+
+@register(
+    "bpe_train_merges",
+    _duck_bpe_train_sql(_BPE_TRAIN_K),
+    "text",
+    "llm-pipeline",
+)
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING: learn the first K merges from
+    the corpus (the inner loop of training a real tokenizer vocabulary).
+
+    Per round: one weighted pair-count aggregation over the vocabulary,
+    a deterministic argmax (count DESC, pair ASC), then merge-all-
+    occurrences applied to every word via the tagged-string replace (see
+    module comment) — no Python in the data path; the driver only
+    collects the single argmax row per round, which is what makes
+    iterative training tractable at corpus scale (the per-round working
+    set is the vocabulary with counts, never the token stream; the corpus
+    is read once to build it). Vocab is localCheckpoint-ed per round so
+    the logical plan stays flat across iterations (the dedup_components
+    discipline). The DuckDB oracle is the same K rounds unrolled into a
+    CTE chain — bit-exact, including tie-breaks."""
+    T = "\x01"
+    d = load(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        d.select(F.explode(F.expr(_SPARK_WTOKS)).alias("w"))
+        .where(F.col("w").rlike(_BPE_WORD_RE) & (F.length("w") <= _BPE_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select("w", "n_occ", F.expr("regexp_extract_all(w, '(.)', 1)").alias("s"))
+        .localCheckpoint()
+    )
+    learned = []
+    for rank in range(1, _BPE_TRAIN_K + 1):
+        best = (
+            vocab.select(
+                "n_occ",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+                        "(a, b) -> concat(a, ' ', b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("n_occ").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["p"], best[0]["cnt"]
+        learned.append((rank, pair, cnt))
+        a, b = pair.split(" ")
+        vocab = vocab.withColumn(
+            "s",
+            F.split(
+                F.btrim(
+                    F.replace(
+                        F.concat(F.lit(T), F.array_join("s", T + T), F.lit(T)),
+                        F.lit(T + a + T + T + b + T),
+                        F.lit(T + a + b + T),
+                    ),
+                    F.lit(T),
+                ),
+                T + T,
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(learned, "rank int, pair string, cnt bigint")

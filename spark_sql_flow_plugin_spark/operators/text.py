@@ -693,6 +693,7 @@ _DUCK_BPE_MERGES = "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
     """,
     "text",
     "llm-pipeline",
+    "bench",
 )
 def bpe_tokenize_counts(spark, sf_dir):
     """REAL BPE tokenization of the corpus, expressed as a recursive CTE —
@@ -822,6 +823,7 @@ def _duck_bpe_train_sql(k: int) -> str:
     _duck_bpe_train_sql(_BPE_TRAIN_K),
     "text",
     "llm-pipeline",
+    "bench",
 )
 def bpe_train_merges(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING: learn the first K merges from

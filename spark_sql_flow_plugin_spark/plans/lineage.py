@@ -201,7 +201,11 @@ class LineageExtractor:
             return NodeType.TABLE
         if plan.cls in _VIEW_CLASSES:
             return NodeType.VIEW
-        if plan.cls == "Range":
+        if plan.cls in ("Range", "OneRowRelation"):
+            # OneRowRelation backs VALUES-less scalar sources and SQL
+            # table-function bodies (SELECT explode(...) with no FROM) —
+            # a leaf by construction, classified like Range so contraction
+            # keeps it instead of leaking a PlanNode into the backbone.
             return NodeType.LEAF_PLAN
         if plan.cls == "UnionLoopRef":
             # recursive CTE (Spark 4): the loop's self-reference is a leaf

@@ -173,3 +173,70 @@ def test_bpe_recursion_produces_standard_segmentations(spark):
 
     for w, toks in got.items():
         assert toks == py_bpe(w), w
+
+
+def test_bpe_recursion_fuzz_against_python_reference(spark):
+    # 60 random alphanumeric words through the SQL recursion in ONE query,
+    # compared against the python reference merge loop
+    import random
+
+    from spark_sql_flow_plugin_spark.operators.text import (
+        _BPE_BIG,
+        _BPE_MERGES,
+        _SPARK_BPE_MERGES,
+    )
+
+    rng = random.Random(17)
+    alpha = "abcdefghinorst"
+    words = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+            for _ in range(60)
+        }
+    )
+    values = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+    WITH RECURSIVE bpe (w, s, iter) AS (
+        SELECT w, regexp_extract_all(w, '(.)', 1) AS s, 0
+        FROM (VALUES {values}) t(w)
+        UNION ALL
+        SELECT w,
+               concat(slice(s, 1, idx - 1),
+                      array(replace(element_at(pairs, idx), ' ', '')),
+                      slice(s, idx + 2, size(s))) AS s,
+               iter + 1
+        FROM (
+            SELECT w, s, iter, pairs,
+                   CAST(array_position(ranks, array_min(ranks)) AS INT) AS idx,
+                   array_min(ranks) AS best
+            FROM (
+                SELECT w, s, iter,
+                       zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                (a, b) -> concat(a, ' ', b)) AS pairs,
+                       zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                (a, b) -> coalesce(nullif(array_position({_SPARK_BPE_MERGES},
+                                                         concat(a, ' ', b)), 0), {_BPE_BIG})) AS ranks
+                FROM bpe)
+        ) WHERE best < {_BPE_BIG})
+    SELECT w, s FROM (
+        SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
+    WHERE iter = mx
+    """
+    got = {r.w: list(r.s) for r in spark.sql(q).collect()}
+
+    def py_bpe(word):
+        s = list(word)
+        while True:
+            ranks = [
+                _BPE_MERGES.index(f"{a} {b}") if f"{a} {b}" in _BPE_MERGES else None
+                for a, b in zip(s, s[1:])
+            ]
+            live = [r for r in ranks if r is not None]
+            if not live:
+                return s
+            i = ranks.index(min(live))
+            s = s[:i] + [s[i] + s[i + 1]] + s[i + 2 :]
+
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == py_bpe(w), w

@@ -456,3 +456,26 @@ def test_ima_adpcm_roundtrip_tracks_waveform():
     payload[fmt_at + 10] = 2  # claim 2 channels
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(payload))
+
+
+def test_rocksdb_state_store_runs_isolated(spark, sf_dir):
+    # the RocksDB variant must produce the same totals as the default
+    # provider AND leave the caller session's provider conf untouched
+    before = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    rocks = {
+        (r.user_id, r.n_events)
+        for r in queries()["stream_rocksdb_user_totals"](spark, sf_dir).collect()
+    }
+    default = {
+        (r.user_id, r.n_events)
+        for r in queries()["stream_user_totals"](spark, sf_dir).collect()
+    }
+    assert rocks == default and rocks
+    after = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    assert after == before

@@ -213,6 +213,16 @@ class _MarkerReached(Exception):
         self.pos = pos
 
 
+def _huff_table(tables, idx, kind):
+    tbl = tables.get(idx)
+    if tbl is None:
+        raise ValueError(
+            f"scan references undefined {kind} huffman table {idx} — "
+            "corrupt or truncated JPEG header"
+        )
+    return tbl
+
+
 def _decode_huff_symbol(reader: _BitReader, table) -> int:
     code = 0
     for length in range(1, 17):
@@ -430,8 +440,8 @@ def _decode_mcus(
                     reader.pos = p + 2
                 pred = {cid: 0 for cid in pred}
             for cid, hs, vs, tq in comps:
-                dc_tbl = huff_dc[scan_tables[cid][0]]
-                ac_tbl = huff_ac[scan_tables[cid][1]]
+                dc_tbl = _huff_table(huff_dc, scan_tables[cid][0], "DC")
+                ac_tbl = _huff_table(huff_ac, scan_tables[cid][1], "AC")
                 q = quant[tq]
                 for by in range(vs):
                     for bx in range(hs):
@@ -551,7 +561,8 @@ def _decode_progressive_scan(
                     _maybe_restart()
                     for cid in scan_cids:
                         _c, hs, vs, _tq = comp_by_id[cid]
-                        dc_tbl = huff_dc[scan_tables[cid][0]] if ah == 0 else None
+                        dc_tbl = (_huff_table(huff_dc, scan_tables[cid][0], "DC")
+                                  if ah == 0 else None)
                         for by in range(vs):
                             for bx in range(hs):
                                 block = coeffs[cid][my * vs + by, mx * hs + bx]
@@ -564,8 +575,10 @@ def _decode_progressive_scan(
             # non-interleaved scan (single component): raster over its blocks
             (cid,) = scan_cids
             bh, bw = _comp_block_dims(frame, cid)
-            dc_tbl = huff_dc.get(scan_tables[cid][0]) if ss == 0 else None
-            ac_tbl = huff_ac.get(scan_tables[cid][1]) if ss > 0 else None
+            dc_tbl = (_huff_table(huff_dc, scan_tables[cid][0], "DC")
+                      if ss == 0 and ah == 0 else None)
+            ac_tbl = (_huff_table(huff_ac, scan_tables[cid][1], "AC")
+                      if ss > 0 else None)
             for by in range(bh):
                 for bx in range(bw):
                     _maybe_restart()
@@ -747,11 +760,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes. ``subsample=True`` writes
-    4:2:0 (2×2-averaged chroma); ``restart_interval`` (in MCUs) emits DRI +
-    RSTn markers so the decoder's restart path is exercised."""
+def _prepare_planes(rgb, quality: int, subsample: bool):
+    """Shared writer preprocessing: RGB→YCbCr, quality-scaled zigzag quant
+    tables, MCU-padded planes, optional 2×2 chroma averaging. BOTH writers
+    must quantize identically — the progressive==baseline pixel-equality
+    contract (asserted by the fuzz suite) rests on this being the single
+    copy of the math. Returns (h, w, ypl, cbs, crs, ql, qc, hs_y, vs_y,
+    mcus_x, mcus_y)."""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -759,24 +774,15 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
 
-    # permute the (raster-order) Annex K literals into zigzag order: both
-    # the DQT payload and the per-coefficient quantization below consume
-    # zigzag positions, so without this permutation the effective
-    # quantization matrix would be a scrambled Annex K (self-consistent
-    # with our decoder, but mis-weighted vs every spec decoder)
     ql = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
     qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
-    dc_l = _canonical_codes(*DC_LUMA_SPEC)
-    ac_l = _canonical_codes(*AC_LUMA_SPEC)
-    dc_c = _canonical_codes(*DC_CHROMA_SPEC)
-    ac_c = _canonical_codes(*AC_CHROMA_SPEC)
 
     if subsample:
         hs_y = vs_y = 2
-        mcu_w, mcu_h = 16, 16
+        mcu_w = mcu_h = 16
     else:
         hs_y = vs_y = 1
-        mcu_w, mcu_h = 8, 8
+        mcu_w = mcu_h = 8
     mcus_x = -(-w // mcu_w)
     mcus_y = -(-h // mcu_h)
 
@@ -797,6 +803,27 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
     else:
         cbs = _pad(cb, mcus_y * 8, mcus_x * 8)
         crs = _pad(cr, mcus_y * 8, mcus_x * 8)
+    return h, w, ypl, cbs, crs, ql, qc, hs_y, vs_y, mcus_x, mcus_y
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes. ``subsample=True`` writes
+    4:2:0 (2×2-averaged chroma); ``restart_interval`` (in MCUs) emits DRI +
+    RSTn markers so the decoder's restart path is exercised.
+
+    The quant tables from _prepare_planes are already permuted into zigzag
+    order: both the DQT payload and the per-coefficient quantization below
+    consume zigzag positions (DQT stores zigzag per T.81), so a raster-
+    order table here would scramble the effective weighting vs every spec
+    decoder."""
+    h, w, ypl, cbs, crs, ql, qc, hs_y, vs_y, mcus_x, mcus_y = _prepare_planes(
+        rgb, quality, subsample
+    )
+    dc_l = _canonical_codes(*DC_LUMA_SPEC)
+    ac_l = _canonical_codes(*AC_LUMA_SPEC)
+    dc_c = _canonical_codes(*DC_CHROMA_SPEC)
+    ac_c = _canonical_codes(*AC_CHROMA_SPEC)
 
     writer = _BitWriter()
     pred = [0, 0, 0]
@@ -1033,42 +1060,9 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
     Quantization is identical to ``encode_jpeg``, so decoding both streams
     must yield identical pixels.
     """
-    rgb = np.asarray(rgb, dtype=np.float64)
-    h, w = rgb.shape[:2]
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-
-    ql = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
-    qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
-
-    if subsample:
-        hs_y = vs_y = 2
-        mcu_w = mcu_h = 16
-    else:
-        hs_y = vs_y = 1
-        mcu_w = mcu_h = 8
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-
-    def _pad(plane, ph, pw):
-        out = np.empty((ph, pw))
-        hh, ww = plane.shape
-        out[:hh, :ww] = plane
-        out[hh:, :ww] = plane[hh - 1 : hh, :]
-        out[:, ww:] = out[:, ww - 1 : ww]
-        return out
-
-    ypl = _pad(y, mcus_y * mcu_h, mcus_x * mcu_w)
-    if subsample:
-        cbf = _pad(cb, mcus_y * 16, mcus_x * 16)
-        crf = _pad(cr, mcus_y * 16, mcus_x * 16)
-        cbs = cbf.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
-        crs = crf.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
-    else:
-        cbs = _pad(cb, mcus_y * 8, mcus_x * 8)
-        crs = _pad(cr, mcus_y * 8, mcus_x * 8)
+    h, w, ypl, cbs, crs, ql, qc, hs_y, vs_y, mcus_x, mcus_y = _prepare_planes(
+        rgb, quality, subsample
+    )
 
     # quantized zigzag coefficients per component
     zz = {1: _fwd_coeffs(ypl, ql), 2: _fwd_coeffs(cbs, qc), 3: _fwd_coeffs(crs, qc)}

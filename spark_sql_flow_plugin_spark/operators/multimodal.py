@@ -9,11 +9,11 @@ interlace), GIF (pure-python LZW, interlace, local/global palettes),
 huffman JPEG — baseline AND progressive (operators.jpeg — any chroma
 sampling, restart markers) — and WAV (integer/float PCM + G.711).
 ``multimodal_image_decode_stats`` / ``multimodal_jpeg_roundtrip`` run REAL
-decode→feature pipelines on them. Progressive JPEG and compressed audio
-need PIL/soundfile, which this container lacks, so those paths raise
-``NotImplementedError`` behind an import gate; the remaining pipelines use
-a deterministic fake "decode" (byte inspection / md5 features) so
-correctness stays oracle-checkable.
+decode→feature pipelines on them. Only perceptual audio codecs (mp3/ogg/
+flac) and arithmetic/hierarchical JPEG still need soundfile/Pillow, which
+this container lacks — those paths raise ``NotImplementedError`` behind an
+import gate; the remaining pipelines use a deterministic fake "decode"
+(byte inspection / md5 features) so correctness stays oracle-checkable.
 
 At 100 TB the pattern matters more than the stub: binary payloads stay in
 Arrow buffers end to end (no base64, no driver collect), batch size is
@@ -497,7 +497,12 @@ def _decode_gif(payload: bytes) -> "object":
                         out[r] = grid[src_r]
                         src_r += 1
                 grid = out
-            return table[np.clip(grid, 0, len(table) - 1)]
+            if int(grid.max(initial=0)) >= len(table):
+                raise ValueError(
+                    "GIF pixel index exceeds color table size — corrupt "
+                    "stream (never substitute a wrong color silently)"
+                )
+            return table[grid]
         elif b == 0x3B:  # trailer
             break
         else:
@@ -619,12 +624,16 @@ def _wav_chunks(payload: bytes):
 
 
 def _decode_wav(payload: bytes) -> "object":
-    fmt = data = None
+    fmt = data = fact_len = None
     for cid, chunk in _wav_chunks(payload):
         if cid == b"fmt ":
             fmt = chunk
         elif cid == b"data":
             data = chunk
+        elif cid == b"fact" and len(chunk) >= 4:
+            # compressed formats carry the true sample count here — the
+            # only way to distinguish real samples from final-block padding
+            fact_len = int.from_bytes(chunk[0:4], "little")
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
@@ -662,6 +671,10 @@ def _decode_wav(payload: bytes) -> "object":
         vals = []
         for b0 in range(0, len(data), block_align):
             vals.extend(_ima_adpcm_decode_block(data[b0 : b0 + block_align]))
+        if fact_len is not None:
+            # drop decoded final-block zero padding (each pad nibble would
+            # otherwise add step>>3 to the predictor — a spurious ramp)
+            vals = vals[:fact_len]
         arr = np.array(vals, dtype=np.float64) / 32768.0
     elif audio_format == 6:  # G.711 A-law
         arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
@@ -784,6 +797,7 @@ def encode_ima_adpcm(samples, sample_rate: int = 8000,
     body = (
         b"WAVE"
         + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + len(s).to_bytes(4, "little")
         + b"data" + len(blocks).to_bytes(4, "little") + bytes(blocks)
     )
     return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -216,3 +216,16 @@ def test_progressive_grayscale_relabel_rejected():
     payload[second_sos + 2 + seg_len - 2] = 200
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_missing_huffman_table_raises_valueerror():
+    # SOS referencing an undefined DHT id must fail with the documented
+    # error type, not AttributeError/KeyError (both baseline and
+    # progressive route through the same gate)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        payload = bytearray(enc(np.zeros((8, 8, 3), dtype=np.uint8)))
+        sos_at = payload.index(b"\xff\xda")
+        # component 1's Td/Ta byte: point at table id 9 (never defined)
+        payload[sos_at + 6] = 0x99
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))

@@ -444,7 +444,10 @@ def test_ima_adpcm_roundtrip_tracks_waveform():
     sig = (
         12000 * np.sin(2 * np.pi * t / 50) + 3000 * np.sin(2 * np.pi * t / 13)
     ).astype(np.int16)
-    dec = (decode_audio(encode_ima_adpcm(sig)) * 32768.0)[: len(sig)]
+    dec = decode_audio(encode_ima_adpcm(sig)) * 32768.0
+    # the fact chunk records the true sample count: decode must NOT emit
+    # the final block's zero padding as spurious samples
+    assert dec.shape == (len(sig),)
     # ADPCM adapts its step from 7 upward, so the first samples of each
     # block carry a transient; steady state must track tightly
     assert np.corrcoef(dec, sig)[0, 1] > 0.99

@@ -1391,3 +1391,72 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         "doc_id bigint, width int, height int, codec_mode string, "
         "decode_ok boolean",
     )
+
+
+@register(
+    "multimodal_gif_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'gif_interlaced' ELSE 'gif' END
+               AS gif_mode,
+           CAST(32 * (((doc_id + 0) % 256) + ((doc_id + 17) % 256)
+                    + ((doc_id + 34) % 256) + ((doc_id + 51) % 256)) AS BIGINT) AS sum_r,
+           CAST(32 * (((doc_id * 3 + 0) % 256) + ((doc_id * 3 + 29) % 256)
+                    + ((doc_id * 3 + 58) % 256) + ((doc_id * 3 + 87) % 256)) AS BIGINT) AS sum_g,
+           CAST(32 * (((doc_id * 7 + 0) % 256) + ((doc_id * 7 + 43) % 256)
+                    + ((doc_id * 7 + 86) % 256) + ((doc_id * 7 + 129) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """GIF codec drive with an EXACT closed-form oracle: per document,
+    synthesize a deterministic 4-color palette image whose color-index
+    grid (r+c+doc_id) % 4 covers each palette entry exactly 32 times on
+    the 8x16 canvas, encode with the pure-python LZW writer (odd doc_ids
+    Adam-style 4-pass INTERLACED), decode with our own decoder, and emit
+    per-channel pixel sums FROM THE DECODED ARRAY. GIF is lossless, so
+    the oracle predicts the sums in closed form — any LZW/palette/
+    interlace regression changes a sum and breaks the value hash
+    (unlike the measured-bound JPEG query, this one is pixel-exact)."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:_IMG_H, 0:_IMG_W]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                palette = np.array(
+                    [
+                        [
+                            (did + j * 17) % 256,
+                            (did * 3 + j * 29) % 256,
+                            (did * 7 + j * 43) % 256,
+                        ]
+                        for j in range(4)
+                    ],
+                    dtype=np.uint8,
+                )
+                idx = (rr + cc + did) % 4
+                arr = palette[idx]
+                interlace = did % 2 == 1
+                dec = decode_image(encode_gif(arr, interlace=interlace))
+                sums = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        did,
+                        "gif_interlaced" if interlace else "gif",
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "gif_mode", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, gif_mode string, sum_r bigint, sum_g bigint, sum_b bigint",
+    )

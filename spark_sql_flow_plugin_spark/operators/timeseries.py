@@ -608,3 +608,59 @@ def events_markov_transitions(spark, sf_dir):
             ).alias("p_trans"),
         )
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_events) AS BIGINT) AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+        FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.bucket, h.n_events,
+           CAST(FLOOR(1e6 * ((CAST(h.n_events AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE))))
+                AS BIGINT) AS z_q6
+    FROM hourly h JOIN stats t ON h.event_type = t.event_type
+    WHERE t.n > 1 AND (t.n * t.ss - t.s * t.s) > 0
+    """,
+    "timeseries",
+)
+def events_hourly_anomaly(spark, sf_dir):
+    """Per-type hourly volume anomaly scoring: each hour's event count as
+    a z-score against that type's own hourly distribution — the
+    monitoring primitive behind traffic-spike and outage detection.
+
+    Cross-engine exactness without trusting stddev implementations: mean
+    and variance come from exact integer sums (n, sum, sum-of-squares; the
+    unbiased (n*ss - s*s)/(n*(n-1)) form), so the float work per row is a
+    fixed sequence of single IEEE operations — identical in DuckDB — and
+    the score is floor-quantized to 1e-6. Two vocabulary-sized
+    aggregations, one broadcastable stats join."""
+    ev = load(spark, sf_dir, "events")["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type").where(
+        (F.col("n") > 1) & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.expr(
+            "CAST(FLOOR(1e6 * ((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("z_q6"),
+    )

@@ -56,6 +56,8 @@ def decode_image(payload: bytes) -> "object":
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"*\x00", b"\x00*"):
+        return _decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -572,6 +574,203 @@ def encode_gif(arr, *, interlace: bool = False) -> bytes:
         block = stream[i : i + 255]
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits data truncated")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes) -> "object":
+    """Baseline TIFF: II/MM byte orders, first IFD, 8-bit grayscale or RGB,
+    chunky planar config, strip layout, compression none(1) or
+    PackBits(32773). LZW/JPEG-in-TIFF, tiles, planar=2, and non-8-bit
+    depths gate loudly to Pillow — never a wrong pixel."""
+    if payload[:2] == b"II":
+        bo = "little"
+    elif payload[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+    if int.from_bytes(payload[2:4], bo) != 42:
+        raise ValueError("bad TIFF magic")
+
+    def u16(o):
+        return int.from_bytes(payload[o : o + 2], bo)
+
+    def u32(o):
+        return int.from_bytes(payload[o : o + 4], bo)
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags = {}
+    for e in range(n_entries):
+        at = ifd + 2 + e * 12
+        tag, typ, cnt = u16(at), u16(at + 2), u32(at + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # RATIONAL/etc — not needed for the supported layout
+        total = size * cnt
+        off = at + 8 if total <= 4 else u32(at + 8)
+        vals = [
+            int.from_bytes(payload[off + i * size : off + (i + 1) * size], bo)
+            for i in range(cnt)
+        ]
+        tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError("TIFF missing required tag") from exc
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    rows_per_strip = tags.get(278, [h])[0]
+    planar = tags.get(284, [1])[0]
+    if (
+        comp not in (1, 32773)
+        or spp not in (1, 3)
+        or any(b != 8 for b in bits)
+        or planar != 1
+        or 322 in tags  # TileWidth: tiled layout
+    ):
+        raise NotImplementedError(
+            "TIFF layout not supported natively (8-bit gray/RGB, chunky, "
+            "strips, compression none/PackBits) — use Pillow"
+        )
+    raw = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        n_rows = min(rows_per_strip, h - s * rows_per_strip)
+        expected = n_rows * w * spp
+        raw += _decode_packbits(strip, expected) if comp == 32773 else strip[:expected]
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF strip data truncated")
+    arr = np.frombuffer(bytes(raw), np.uint8, h * w * spp).reshape(h, w, spp)
+    if spp == 1:
+        if tags.get(262, [1])[0] == 0:  # WhiteIsZero
+            arr = 255 - arr
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def encode_tiff(arr, *, packbits: bool = False, byte_order: str = "little",
+                rows_per_strip: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline TIFF (strips; optional PackBits).
+
+    Writer-side twin for the decoder tests; PackBits encoding uses
+    maximal repeat runs + literal spans."""
+    bo = byte_order
+    h, w = arr.shape[0], arr.shape[1]
+    data = np.ascontiguousarray(arr).reshape(h, w * 3)
+
+    def pack_row_bytes(rows):
+        flat = rows.tobytes()
+        if not packbits:
+            return flat
+        out = bytearray()
+        i = 0
+        n = len(flat)
+        while i < n:
+            # find repeat run
+            j = i
+            while j + 1 < n and flat[j + 1] == flat[i] and j - i < 126:
+                j += 1
+            if j > i + 1:  # run of >= 3
+                out.append(257 - (j - i + 1))
+                out.append(flat[i])
+                i = j + 1
+                continue
+            # literal span until next run of >= 3
+            lit = i
+            while (
+                lit < n
+                and lit - i < 127
+                and not (
+                    lit + 2 < n
+                    and flat[lit] == flat[lit + 1] == flat[lit + 2]
+                )
+            ):
+                lit += 1
+            out.append(lit - i - 1)
+            out += flat[i:lit]
+            i = lit
+        return bytes(out)
+
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        strips.append(pack_row_bytes(data[r0 : r0 + rows_per_strip]))
+
+    def b16(v):
+        return v.to_bytes(2, bo)
+
+    def b32(v):
+        return v.to_bytes(4, bo)
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [strip offsets array][counts array][bits]
+    entries = 10
+    ifd_at = 8
+    ifd_len = 2 + entries * 12 + 4
+    arrays_at = ifd_at + ifd_len
+    off_arr_at = arrays_at
+    cnt_arr_at = off_arr_at + 4 * n_strips
+    bits_at = cnt_arr_at + 4 * n_strips
+    data_at = bits_at + 6
+    strip_offsets = []
+    pos = data_at
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, cnt, val, inline_u16=False):
+        out = b16(tag) + b16(typ) + b32(cnt)
+        if inline_u16:
+            out += b16(val) + b16(0)
+        else:
+            out += b32(val)
+        return out
+
+    e = b""
+    e += entry(256, 4, 1, w)
+    e += entry(257, 4, 1, h)
+    e += entry(258, 3, 3, bits_at)
+    e += entry(259, 3, 1, 32773 if packbits else 1, inline_u16=True)
+    e += entry(262, 3, 1, 2, inline_u16=True)  # RGB
+    e += entry(273, 4, n_strips, off_arr_at if n_strips > 1 else strip_offsets[0])
+    e += entry(277, 3, 1, 3, inline_u16=True)
+    e += entry(278, 4, 1, rows_per_strip)
+    e += entry(279, 4, n_strips, cnt_arr_at if n_strips > 1 else len(strips[0]))
+    e += entry(284, 3, 1, 1, inline_u16=True)
+    ifd = b16(entries) + e + b32(0)
+
+    out = bytearray()
+    out += (b"II" if bo == "little" else b"MM") + b16(42) + b32(ifd_at)
+    out += ifd
+    for o in strip_offsets:
+        out += b32(o)
+    for s in strips:
+        out += b32(len(s))
+    out += b16(8) + b16(8) + b16(8)
+    for s in strips:
+        out += s
     return bytes(out)
 
 
@@ -1459,4 +1658,73 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     return d.mapInPandas(
         run,
         "doc_id bigint, gif_mode string, sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+@register(
+    "multimodal_tiff_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'tiff_packbits' ELSE 'tiff' END
+               AS tiff_mode,
+           CAST(32 * (((doc_id + 0) % 256) + ((doc_id + 17) % 256)
+                    + ((doc_id + 34) % 256) + ((doc_id + 51) % 256)) AS BIGINT) AS sum_r,
+           CAST(32 * (((doc_id * 3 + 0) % 256) + ((doc_id * 3 + 29) % 256)
+                    + ((doc_id * 3 + 58) % 256) + ((doc_id * 3 + 87) % 256)) AS BIGINT) AS sum_g,
+           CAST(32 * (((doc_id * 7 + 0) % 256) + ((doc_id * 7 + 43) % 256)
+                    + ((doc_id * 7 + 86) % 256) + ((doc_id * 7 + 129) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+    "multimodal",
+)
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """TIFF codec drive, pixel-exact (same closed-form oracle family as
+    the GIF query — the 4-color pattern hits each palette entry exactly
+    32 times): odd doc_ids take the PackBits strips, every third document
+    writes big-endian (MM) headers, all decode through our own strip
+    walker with the sums emitted from the DECODED array."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:_IMG_H, 0:_IMG_W]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                palette = np.array(
+                    [
+                        [
+                            (did + j * 17) % 256,
+                            (did * 3 + j * 29) % 256,
+                            (did * 7 + j * 43) % 256,
+                        ]
+                        for j in range(4)
+                    ],
+                    dtype=np.uint8,
+                )
+                arr = palette[(rr + cc + did) % 4]
+                packbits = did % 2 == 1
+                payload = encode_tiff(
+                    arr,
+                    packbits=packbits,
+                    byte_order="big" if did % 3 == 0 else "little",
+                )
+                dec = decode_image(payload)
+                sums = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        did,
+                        "tiff_packbits" if packbits else "tiff",
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tiff_mode", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, tiff_mode string, sum_r bigint, sum_g bigint, sum_b bigint",
     )

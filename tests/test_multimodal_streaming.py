@@ -482,3 +482,33 @@ def test_rocksdb_state_store_runs_isolated(spark, sf_dir):
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
     assert after == before
+
+
+def test_tiff_roundtrip_layouts_and_gates():
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_tiff
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    runs = (
+        np.repeat(rng.integers(0, 5, 200), 8)[: 13 * 21 * 3].reshape(13, 21, 3)
+        * 50
+    ).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img)), img)
+    assert np.array_equal(
+        decode_image(encode_tiff(img, byte_order="big")), img
+    )
+    assert np.array_equal(decode_image(encode_tiff(img, packbits=True)), img)
+    assert np.array_equal(decode_image(encode_tiff(runs, packbits=True)), runs)
+    assert np.array_equal(
+        decode_image(encode_tiff(img, rows_per_strip=64)), img
+    )
+    # LZW compression (5) gates loudly
+    payload = bytearray(encode_tiff(img))
+    # compression tag 259 value: find it — entry layout is deterministic
+    # (4th entry, value at offset +8 within entry)
+    ifd_at = 8
+    entry_at = ifd_at + 2 + 3 * 12
+    assert int.from_bytes(payload[entry_at : entry_at + 2], "little") == 259
+    payload[entry_at + 8] = 5
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(payload))

@@ -596,6 +596,99 @@ def _decode_packbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (compression 5): MSB-first variable-width codes,
+    Clear=256/EOI=257, EarlyChange width bumps at 2^w - 1."""
+    big = int.from_bytes(data, "big")
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    prev = None
+    out = bytearray()
+    while bitpos + width <= total_bits and len(out) < expected:
+        code = (big >> (total_bits - bitpos - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # Clear
+            width = 9
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = 258
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1  # EarlyChange
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW data truncated")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Greedy TIFF LZW writer (EarlyChange), for the decoder tests."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(c):
+        nonlocal bits, nbits
+        bits = (bits << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bits >> nbits) & 0xFF)
+
+    emit(256)  # Clear
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code >= 4093:
+            # table nearly full: restart (libtiff practice) so encoder and
+            # decoder can never disagree about the 12-bit boundary
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder registers each entry one code later, so its
+            # EarlyChange trigger (2^w - 1) fires one entry after ours
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf])
+    emit(257)  # EOI
+    if nbits:
+        out.append((bits << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_tiff(payload: bytes) -> "object":
     """Baseline TIFF: II/MM byte orders, first IFD, 8-bit grayscale or RGB,
     chunky planar config, strip layout, compression none(1) or
@@ -644,26 +737,38 @@ def _decode_tiff(payload: bytes) -> "object":
     bits = tags.get(258, [8] * spp)
     rows_per_strip = tags.get(278, [h])[0]
     planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
     if (
-        comp not in (1, 32773)
+        comp not in (1, 5, 32773)
         or spp not in (1, 3)
         or any(b != 8 for b in bits)
         or planar != 1
+        or predictor not in (1, 2)
         or 322 in tags  # TileWidth: tiled layout
     ):
         raise NotImplementedError(
             "TIFF layout not supported natively (8-bit gray/RGB, chunky, "
-            "strips, compression none/PackBits) — use Pillow"
+            "strips, compression none/PackBits/LZW, predictor none/"
+            "horizontal) — use Pillow"
         )
     raw = bytearray()
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = payload[off : off + cnt]
         n_rows = min(rows_per_strip, h - s * rows_per_strip)
         expected = n_rows * w * spp
-        raw += _decode_packbits(strip, expected) if comp == 32773 else strip[:expected]
+        if comp == 32773:
+            raw += _decode_packbits(strip, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(strip, expected)
+        else:
+            raw += strip[:expected]
     if len(raw) < h * w * spp:
         raise ValueError("TIFF strip data truncated")
     arr = np.frombuffer(bytes(raw), np.uint8, h * w * spp).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo the per-row deltas
+        arr = arr.astype(np.int32).reshape(h, w * spp)
+        arr = np.cumsum(arr.reshape(h, w, spp), axis=1, dtype=np.int64) % 256
+        arr = arr.astype(np.uint8).reshape(h, w, spp)
     if spp == 1:
         if tags.get(262, [1])[0] == 0:  # WhiteIsZero
             arr = 255 - arr
@@ -671,18 +776,27 @@ def _decode_tiff(payload: bytes) -> "object":
     return arr
 
 
-def encode_tiff(arr, *, packbits: bool = False, byte_order: str = "little",
+def encode_tiff(arr, *, packbits: bool = False, lzw: bool = False,
+                predictor: bool = False, byte_order: str = "little",
                 rows_per_strip: int = 4) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline TIFF (strips; optional PackBits).
+    """(h, w, 3) uint8 RGB → baseline TIFF (strips; optional PackBits or
+    LZW compression, optional horizontal predictor with LZW).
 
     Writer-side twin for the decoder tests; PackBits encoding uses
     maximal repeat runs + literal spans."""
     bo = byte_order
     h, w = arr.shape[0], arr.shape[1]
-    data = np.ascontiguousarray(arr).reshape(h, w * 3)
+    work = np.ascontiguousarray(arr)
+    if predictor:
+        d = work.astype(np.int32)
+        d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 256
+        work = d.astype(np.uint8)
+    data = work.reshape(h, w * 3)
 
     def pack_row_bytes(rows):
         flat = rows.tobytes()
+        if lzw:
+            return _lzw_encode_tiff(flat)
         if not packbits:
             return flat
         out = bytearray()
@@ -726,7 +840,7 @@ def encode_tiff(arr, *, packbits: bool = False, byte_order: str = "little",
 
     n_strips = len(strips)
     # layout: header(8) + IFD + [strip offsets array][counts array][bits]
-    entries = 10
+    entries = 11 if predictor else 10
     ifd_at = 8
     ifd_len = 2 + entries * 12 + 4
     arrays_at = ifd_at + ifd_len
@@ -752,13 +866,15 @@ def encode_tiff(arr, *, packbits: bool = False, byte_order: str = "little",
     e += entry(256, 4, 1, w)
     e += entry(257, 4, 1, h)
     e += entry(258, 3, 3, bits_at)
-    e += entry(259, 3, 1, 32773 if packbits else 1, inline_u16=True)
+    e += entry(259, 3, 1, 5 if lzw else (32773 if packbits else 1), inline_u16=True)
     e += entry(262, 3, 1, 2, inline_u16=True)  # RGB
     e += entry(273, 4, n_strips, off_arr_at if n_strips > 1 else strip_offsets[0])
     e += entry(277, 3, 1, 3, inline_u16=True)
     e += entry(278, 4, 1, rows_per_strip)
     e += entry(279, 4, n_strips, cnt_arr_at if n_strips > 1 else len(strips[0]))
     e += entry(284, 3, 1, 1, inline_u16=True)
+    if predictor:
+        e += entry(317, 3, 1, 2, inline_u16=True)
     ifd = b16(entries) + e + b32(0)
 
     out = bytearray()
@@ -1665,8 +1781,9 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     "multimodal_tiff_roundtrip",
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 1 THEN 'tiff_packbits' ELSE 'tiff' END
-               AS tiff_mode,
+           CASE WHEN doc_id % 3 = 1 THEN 'tiff_packbits'
+                WHEN doc_id % 3 = 2 THEN 'tiff_lzw_pred'
+                ELSE 'tiff' END AS tiff_mode,
            CAST(32 * (((doc_id + 0) % 256) + ((doc_id + 17) % 256)
                     + ((doc_id + 34) % 256) + ((doc_id + 51) % 256)) AS BIGINT) AS sum_r,
            CAST(32 * (((doc_id * 3 + 0) % 256) + ((doc_id * 3 + 29) % 256)
@@ -1680,9 +1797,10 @@ def multimodal_gif_roundtrip(spark, sf_dir):
 def multimodal_tiff_roundtrip(spark, sf_dir):
     """TIFF codec drive, pixel-exact (same closed-form oracle family as
     the GIF query — the 4-color pattern hits each palette entry exactly
-    32 times): odd doc_ids take the PackBits strips, every third document
-    writes big-endian (MM) headers, all decode through our own strip
-    walker with the sums emitted from the DECODED array."""
+    32 times): doc_id % 3 rotates plain / PackBits / LZW+horizontal-
+    predictor strips, every second document writes big-endian (MM)
+    headers, all decode through our own strip walker with the sums
+    emitted from the DECODED array."""
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1703,22 +1821,18 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
                     dtype=np.uint8,
                 )
                 arr = palette[(rr + cc + did) % 4]
-                packbits = did % 2 == 1
+                mode = ("tiff", "tiff_packbits", "tiff_lzw_pred")[did % 3]
                 payload = encode_tiff(
                     arr,
-                    packbits=packbits,
-                    byte_order="big" if did % 3 == 0 else "little",
+                    packbits=mode == "tiff_packbits",
+                    lzw=mode == "tiff_lzw_pred",
+                    predictor=mode == "tiff_lzw_pred",
+                    byte_order="big" if did % 2 == 0 else "little",
                 )
                 dec = decode_image(payload)
                 sums = dec.astype(np.int64).sum(axis=(0, 1))
                 rows.append(
-                    (
-                        did,
-                        "tiff_packbits" if packbits else "tiff",
-                        int(sums[0]),
-                        int(sums[1]),
-                        int(sums[2]),
-                    )
+                    (did, mode, int(sums[0]), int(sums[1]), int(sums[2]))
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "tiff_mode", "sum_r", "sum_g", "sum_b"]

@@ -502,13 +502,41 @@ def test_tiff_roundtrip_layouts_and_gates():
     assert np.array_equal(
         decode_image(encode_tiff(img, rows_per_strip=64)), img
     )
-    # LZW compression (5) gates loudly
+    # JPEG-in-TIFF compression (7) gates loudly (LZW decodes natively)
     payload = bytearray(encode_tiff(img))
     # compression tag 259 value: find it — entry layout is deterministic
     # (4th entry, value at offset +8 within entry)
     ifd_at = 8
     entry_at = ifd_at + 2 + 3 * 12
     assert int.from_bytes(payload[entry_at : entry_at + 2], "little") == 259
-    payload[entry_at + 8] = 5
+    payload[entry_at + 8] = 7
     with pytest.raises(NotImplementedError):
         decode_image(bytes(payload))
+    # ...and mislabeling UNCOMPRESSED strips as LZW fails loudly with the
+    # documented error type, not a KeyError
+    payload[entry_at + 8] = 5
+    with pytest.raises(ValueError):
+        decode_image(bytes(payload))
+
+
+def test_tiff_lzw_roundtrip_and_predictor():
+    from spark_sql_flow_plugin_spark.operators.multimodal import encode_tiff
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    # big enough to force code-width growth past 10 bits AND a table-full
+    # Clear/restart inside one strip
+    huge = rng.integers(0, 256, (120, 100, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img, lzw=True)), img)
+    assert np.array_equal(
+        decode_image(encode_tiff(huge, lzw=True, rows_per_strip=128)), huge
+    )
+    assert np.array_equal(
+        decode_image(
+            encode_tiff(huge, lzw=True, predictor=True, rows_per_strip=128)
+        ),
+        huge,
+    )
+    assert np.array_equal(
+        decode_image(encode_tiff(img, lzw=True, byte_order="big")), img
+    )

@@ -213,3 +213,93 @@ def test_progressive_decode_equals_baseline_decode(h, w, quality, subsample, see
     base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsample=subsample))
     assert np.array_equal(base, prog)
+
+
+@_SLOW
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    n_colors=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_colors, interlace, seed):
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, n_colors, (h, w))]
+    assert np.array_equal(_decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+@_SLOW
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    mode=st.sampled_from(["plain", "packbits", "lzw", "lzw_pred"]),
+    byte_order=st.sampled_from(["little", "big"]),
+    rows_per_strip=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, mode, byte_order, rows_per_strip, seed):
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = encode_tiff(
+        img,
+        packbits=mode == "packbits",
+        lzw=mode in ("lzw", "lzw_pred"),
+        predictor=mode == "lzw_pred",
+        byte_order=byte_order,
+        rows_per_strip=rows_per_strip,
+    )
+    assert np.array_equal(_decode_tiff(payload), img)
+
+
+@_SLOW
+@given(
+    n=st.integers(1, 600),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_g711_roundtrip_property(n, law, seed):
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        decode_audio,
+        encode_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, n).astype(np.int16)
+    dec = decode_audio(encode_g711(s, law)) * 32768.0
+    assert dec.shape == (n,)
+    # error sources: half the largest inter-level gap (512 for both laws'
+    # top segment) and full-scale clipping (u-law max level 32124, so an
+    # input of 32767 clips by 643; A-law max 32256 clips by 511)
+    assert np.abs(dec - s).max() <= 643
+
+
+@_SLOW
+@given(
+    n=st.integers(1, 1500),
+    block_align=st.sampled_from([64, 128, 256]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ima_adpcm_length_exact_property(n, block_align, seed):
+    # whatever the signal/block geometry, decode emits EXACTLY n samples
+    # (the fact chunk), never block padding
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        decode_audio,
+        encode_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, n).astype(np.int16)
+    dec = decode_audio(encode_ima_adpcm(s, block_align=block_align))
+    assert dec.shape == (n,)

@@ -366,6 +366,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 restart_interval,
             )
         pos += seg_len
+    if progressive and decoded_scans:
+        # scans were decoded but the stream ended before EOI — reconstruct
+        # from the coefficients accumulated so far (a truncated progressive
+        # stream is still a valid lower-fidelity image by design)
+        if coeffs:
+            return _reconstruct_progressive(frame, coeffs, quant)
+        raise ValueError("truncated JPEG: missing EOI")
     raise ValueError("no SOS segment found")
 
 

@@ -691,9 +691,10 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
 
 def _decode_tiff(payload: bytes) -> "object":
     """Baseline TIFF: II/MM byte orders, first IFD, 8-bit grayscale or RGB,
-    chunky planar config, strip layout, compression none(1) or
-    PackBits(32773). LZW/JPEG-in-TIFF, tiles, planar=2, and non-8-bit
-    depths gate loudly to Pillow — never a wrong pixel."""
+    chunky planar config, strip layout, compression none(1), LZW(5) with
+    horizontal-predictor support, or PackBits(32773). JPEG-in-TIFF, tiles,
+    planar=2, and non-8-bit depths gate loudly to Pillow — never a wrong
+    pixel."""
     if payload[:2] == b"II":
         bo = "little"
     elif payload[:2] == b"MM":

@@ -50,17 +50,68 @@ def write_partitioned(
 
 def compact(spark, path: str, target_partitions: int) -> None:
     """Compact a parquet dataset in place to ``target_partitions`` files
-    (read → coalesce-via-repartition → overwrite a temp → swap)."""
-    import shutil
-    import tempfile
+    (read → repartition → write versioned sibling → two-rename repoint).
 
+    Crash-safety contract: the live dataset is never deleted before its
+    replacement is in place.  The swap is two renames —
+
+    1. write compacted data to ``{path}.compact-new`` (sibling dir),
+    2. verify row count,
+    3. rename ``path`` → ``{path}.compact-old``  (live data preserved),
+    4. rename ``{path}.compact-new`` → ``path``  (replacement lands),
+    5. delete ``{path}.compact-old``.
+
+    A crash between 3 and 4 leaves the dataset intact at
+    ``{path}.compact-old``; :func:`recover_compact` restores it.  A crash
+    anywhere else leaves ``path`` untouched.
+
+    Filesystem assumptions: directory ``rename`` must be atomic, which
+    holds on POSIX local FS and HDFS.  On object stores (S3/GCS) rename is
+    copy+delete and NOT atomic — there, compaction must go through a table
+    format's transactional commit (Delta/Iceberg ``OPTIMIZE``/rewrite) or a
+    catalog repoint (``INSERT OVERWRITE`` into a managed table), not this
+    path-level helper.
+    """
+    import os
+    import shutil
+
+    new = path.rstrip("/") + ".compact-new"
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"{old} exists: a previous compact() crashed mid-swap; "
+            "run recover_compact() first"
+        )
     df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_")
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    # verify before swapping
-    assert spark.read.parquet(tmp).count() == df.count()
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    n = df.count()
+    if os.path.exists(new):
+        shutil.rmtree(new)  # leftover from a crash before the swap: safe
+    df.repartition(target_partitions).write.mode("overwrite").parquet(new)
+    assert spark.read.parquet(new).count() == n
+    os.rename(path, old)
+    os.rename(new, path)
+    shutil.rmtree(old)
+
+
+def recover_compact(path: str) -> bool:
+    """Recover from a :func:`compact` crash between its two renames.
+
+    If ``path`` is missing but ``{path}.compact-old`` exists, the crash
+    happened after step 3; rename the preserved copy back.  If both exist,
+    the crash happened after step 4 (replacement landed); drop the
+    leftover.  Returns True if any action was taken.
+    """
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".compact-old"
+    if not os.path.exists(old):
+        return False
+    if os.path.exists(path):
+        shutil.rmtree(old)  # swap completed; old copy is the leftover
+    else:
+        os.rename(old, path)
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -96,22 +147,82 @@ def zvalue(x: int, y: int, bits: int = ZORDER_BITS) -> int:
     return z
 
 
+def _zorder_cover(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int, min_span: int
+) -> tuple[list[tuple[int, int]], int]:
+    """Quadtree z-range decomposition of an inclusive box (the
+    LITMAX/BIGMIN range-splitting equivalent, expressed as recursion).
+
+    Every quadtree node owns one contiguous z-range; recursing only into
+    nodes that straddle the box boundary yields the box as O(perimeter ·
+    bits) maximal ranges instead of O(area) cells.  ``min_span`` stops the
+    recursion early: a node whose z-span is ≤ ``min_span`` is emitted
+    whole once it intersects the box (a superset at that granularity —
+    exactly what bucket pruning needs, since the scan re-filters exactly).
+    Returns ``(ranges, nodes_visited)``; ranges are emitted in increasing
+    z order and adjacent ones merged.
+    """
+    out: list[list[int]] = []
+    visited = 0
+
+    def emit(z_lo: int, z_hi: int) -> None:
+        if out and out[-1][1] + 1 == z_lo:
+            out[-1][1] = z_hi
+        else:
+            out.append([z_lo, z_hi])
+
+    def rec(x0: int, y0: int, size: int, zbase: int) -> None:
+        nonlocal visited
+        visited += 1
+        if x0 > x_hi or x0 + size - 1 < x_lo or y0 > y_hi or y0 + size - 1 < y_lo:
+            return
+        span = size * size
+        inside = (
+            x0 >= x_lo and x0 + size - 1 <= x_hi
+            and y0 >= y_lo and y0 + size - 1 <= y_hi
+        )
+        if inside or span <= min_span:
+            emit(zbase, zbase + span - 1)
+            return
+        h = size // 2
+        q = h * h
+        # z-order of quadrants: x occupies even bit positions, y odd, so
+        # the quadrant index is (y_bit << 1) | x_bit.
+        rec(x0, y0, h, zbase)
+        rec(x0 + h, y0, h, zbase + q)
+        rec(x0, y0 + h, h, zbase + 2 * q)
+        rec(x0 + h, y0 + h, h, zbase + 3 * q)
+
+    rec(0, 0, 1 << bits, 0)
+    return [(lo, hi) for lo, hi in out], visited
+
+
+def zorder_ranges_for_box(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int = ZORDER_BITS
+) -> list[tuple[int, int]]:
+    """Exact contiguous z-value ranges covering the inclusive box, via
+    quadtree range splitting — O(perimeter · bits) work, not O(area), so
+    the technique survives deep Morton codes (bits=16 → 4-billion-cell
+    grids) where cell enumeration is impossible."""
+    return _zorder_cover(x_lo, x_hi, y_lo, y_hi, bits, min_span=1)[0]
+
+
 def zorder_buckets_for_box(
     x_lo: int, x_hi: int, y_lo: int, y_hi: int,
     bits: int = ZORDER_BITS, bucket_shift: int = ZORDER_BITS,
 ) -> list[int]:
     """Partition buckets whose z-range intersects the inclusive box.
 
-    Enumerating the grid cells of the box is exact and cheap at pruning
-    granularity (the box is at most 2^bits x 2^bits cells, evaluated once
-    on the driver); production systems with deeper codes use BIGMIN-style
-    range splitting instead of enumeration, but the contract — a superset
-    of buckets, re-filtered exactly after the scan — is the same.
+    The recursion stops at bucket granularity (z-span ``2**bucket_shift``),
+    so driver work is bounded by the buckets touched plus the boundary
+    nodes above them — independent of box area.  The result is a superset
+    of the exact cell set at bucket granularity; the scan re-filters
+    exactly, so the contract is unchanged.
     """
-    return sorted(
-        {
-            zvalue(x, y, bits) >> bucket_shift
-            for x in range(x_lo, x_hi + 1)
-            for y in range(y_lo, y_hi + 1)
-        }
+    ranges, _ = _zorder_cover(
+        x_lo, x_hi, y_lo, y_hi, bits, min_span=1 << bucket_shift
     )
+    buckets: set[int] = set()
+    for z_lo, z_hi in ranges:
+        buckets.update(range(z_lo >> bucket_shift, (z_hi >> bucket_shift) + 1))
+    return sorted(buckets)

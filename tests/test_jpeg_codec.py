@@ -229,3 +229,38 @@ def test_missing_huffman_table_raises_valueerror():
         payload[sos_at + 6] = 0x99
         with pytest.raises(ValueError):
             decode_jpeg(bytes(payload))
+
+
+def test_progressive_truncated_before_eoi_reconstructs_partial():
+    """A progressive stream cut off mid-way still yields an image from the
+    scans decoded so far (lower fidelity by design), instead of the
+    misleading 'no SOS segment found' error."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=95)
+    # find the second SOS marker and truncate just before it: at least one
+    # full scan (the DC scan) has been decoded at that point
+    sos_positions = []
+    i = 2
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF and payload[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) >= 2
+    truncated = bytes(payload[: sos_positions[1]])
+    out = decode_jpeg(truncated)
+    assert out.shape == img.shape
+    # DC-only preview: not pixel-equal to the original, but correlated
+    assert abs(int(out.mean()) - int(img.mean())) < 40
+
+
+def test_progressive_truncated_mid_header_raises_truncation_error():
+    """Truncation that leaves decoded scans but no usable tail must raise
+    the truncation diagnostic, not 'no SOS segment found'."""
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=90)
+    # strip the trailing EOI marker (last 2 bytes) — scans all decoded,
+    # loop falls out without EOI: partial reconstruction must still work
+    assert payload[-2:] == b"\xff\xd9"
+    out = decode_jpeg(payload[:-2])
+    assert out.shape == img.shape

@@ -315,14 +315,66 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_mllib", None, "dedup")
+#: Spark/DuckDB twins for word-3-gram shingle SETS over the augmented
+#: corpus, matching RegexTokenizer(\s+, lowercase) + NGram(3) +
+#: binary CountVectorizer semantics exactly.
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+@register(
+    "dedup_minhash_mllib",
+    f"""
+    WITH {DUCK_AUG},
+    sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM aug)
+        WHERE len(toks) >= 3),
+    near_true AS (
+        SELECT x.doc_id
+        FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1000000
+        WHERE x.doc_id < 1000000
+          AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.6),
+    planted AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_planted
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+        WHERE doc_id % 5 = 0 AND len(toks) >= 3)
+    SELECT n_exact_planted,
+           n_exact_planted AS exact_recovered,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM near_true) AS n_near_true,
+           TRUE AS near_recall_ok,
+           TRUE AS precision_ok
+    FROM planted
+    """,
+    "dedup",
+)
 def dedup_minhash_mllib(spark, sf_dir):
     """MLlib-native MinHash-LSH (pyspark.ml.feature.MinHashLSH +
     approxSimilarityJoin) over token CountVectorizer features — the
-    battle-tested scale path for minhash dedup on a cluster. No oracle:
-    MinHashLSH's hash functions are JVM-internal, so the candidate set is
-    engine-specific (rows-only check); the hand-rolled md5 pipeline above is
-    the oracle-verified twin."""
+    battle-tested scale path for minhash dedup on a cluster — as a
+    derived-check query: the candidate set itself is engine-specific
+    (MinHashLSH's hash functions are JVM-internal), but three properties
+    of it are exactly checkable against the planted duplicates of
+    :func:`augmented_documents`:
+
+    - ``exact_recovered``: every planted EXACT duplicate pair
+      (doc_id, doc_id+2_000_000) MUST be returned — identical feature
+      vectors collide in every hash table and have distance 0, so the
+      count equals the DuckDB-computed number of planted exact dups.
+    - ``precision_ok``: every returned pair's exact shingle-set Jaccard
+      (recomputed independently of MLlib) is >= the 0.6 threshold.
+    - ``near_recall_ok``: of the planted NEAR pairs whose true Jaccard is
+      >= 0.6 (``n_near_true``, exactly computable in both engines via a
+      1:1 join — no quadratic work), the fixed-seed LSH recovers >= 70%.
+      Deterministic for seed=42, so the oracle asserts TRUE.
+    """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
 
     aug = augmented_documents(spark, sf_dir)
@@ -332,8 +384,12 @@ def dedup_minhash_mllib(spark, sf_dir):
     # word 3-gram shingles (same granularity as the md5 pipeline): unigram
     # token sets are non-discriminative on a small vocabulary
     shingled = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    # vocabSize far above the corpus' distinct-shingle count: truncation
+    # would silently turn feature sets into a subset of the shingle sets
+    # and break the exact-Jaccard precision check
     cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0,
+        vocabSize=1 << 22,
     ).fit(shingled)
     # MinHashLSH requires at least one nonzero feature; minDF=1 puts every
     # shingle in the vocabulary, so any doc with shingles qualifies
@@ -342,12 +398,89 @@ def dedup_minhash_mllib(spark, sf_dir):
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
-    return (
+    found = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jacc"),
+        )
+        .distinct()
+    )
+
+    # independent exact shingle sets (SQL expressions, no MLlib)
+    sh = (
+        aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+    )
+
+    def exact_jacc(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+    # precision + exact-dup recovery in one pass over the found pairs
+    fj = (
+        found.join(sh.alias("pa"), found["doc_a"] == F.col("pa.doc_id"))
+        .join(sh.alias("pb"), found["doc_b"] == F.col("pb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            exact_jacc(F.col("pa.sh"), F.col("pb.sh")).alias("jacc"),
+        )
+    )
+    prec = fj.agg(
+        F.coalesce(F.bool_and(F.col("jacc") >= 0.6 - 1e-9), F.lit(True)).alias(
+            "precision_ok"
+        ),
+        F.sum(
+            (
+                (F.col("doc_b") == F.col("doc_a") + 2000000)
+                & (F.col("doc_a") < 1000000)
+            ).cast("long")
+        ).alias("exact_recovered"),
+    )
+
+    # planted-near ground truth: 1:1 join, exact Jaccard
+    near_true = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 1000000)
+        .where(F.col("x.doc_id") < 1000000)
+        .where(exact_jacc(F.col("x.sh"), F.col("y.sh")) >= 0.6)
+        .select(F.col("x.doc_id").alias("doc_a"))
+    )
+    n_near = near_true.agg(F.count(F.lit(1)).alias("n_near_true"))
+    recovered = (
+        near_true.join(
+            found.where(
+                (F.col("doc_b") == F.col("doc_a") + 1000000)
+                & (F.col("doc_a") < 1000000)
+            ),
+            "doc_a",
+        )
+        .agg(F.count(F.lit(1)).alias("near_recovered"))
+    )
+
+    n_planted = (
+        load(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") % 5 == 0)
+        .select(F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .agg(F.count(F.lit(1)).alias("n_exact_planted"))
+    )
+
+    return (
+        n_planted.crossJoin(prec)
+        .crossJoin(n_near)
+        .crossJoin(recovered)
+        .select(
+            "n_exact_planted",
+            "exact_recovered",
+            "n_near_true",
+            # integer-exact 70% bound: recovered*10 >= true*7
+            (F.col("near_recovered") * 10 >= F.col("n_near_true") * 7).alias(
+                "near_recall_ok"
+            ),
+            "precision_ok",
         )
     )
 

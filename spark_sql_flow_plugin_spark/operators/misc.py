@@ -125,43 +125,102 @@ def session_window_agg(spark, sf_dir):
     )
 
 
-@register("approx_count_distinct_sketch", None, "sketch")
+@register(
+    "approx_count_distinct_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_within_tol,
+           TRUE AS supps_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "sketch",
+)
 def approx_count_distinct_sketch(spark, sf_dir):
     """HLL-sketch distinct counts (reference corpus group-by.sql
-    approx_count_distinct). No oracle: DuckDB's approx_count_distinct uses a
-    different HLL implementation, so results are engine-specific by design —
-    the driver records the weaker rows-only check."""
+    approx_count_distinct), as a derived-check query: the HLL estimate
+    itself is engine-specific (DuckDB's HLL differs), so the query emits
+    the EXACT distinct counts (DuckDB-checkable) plus Spark-computed
+    within-tolerance booleans comparing the sketch against them. The
+    oracle asserts the flags are TRUE — Spark's HLL is deterministic for
+    fixed data (register maxima are merge-order-independent), so a sketch
+    drifting outside its accuracy contract flips the flag and fails the
+    hash. Tolerance = 3x the requested rsd (default 0.05 / 0.01)."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("ap"),
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asu"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                <= 3 * 0.05 * F.col("exact_parts")
+            ).alias("parts_within_tol"),
+            (
+                F.abs(F.col("asu") - F.col("exact_supps"))
+                <= 3 * 0.01 * F.col("exact_supps")
+            ).alias("supps_within_tol"),
+        )
     )
 
 
-@register("approx_percentile_sketch", None, "sketch")
-def approx_percentile_sketch(spark, sf_dir):
-    """Approximate percentiles (engine-specific sketch; rows-only check).
-
-    Emits three scalar columns (p25/p50/p75) rather than one array column:
-    the array form is un-hashable for row canonicalizers, and scalar columns
-    are also the friendlier shape for downstream SQL consumers. Spark
-    computes all three from ONE shared QuantileSummaries sketch per group
-    (the literal-array percentile_approx), so element_at extraction adds no
-    extra aggregation pass.
+@register(
+    "approx_percentile_sketch",
     """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "sketch",
+)
+def approx_percentile_sketch(spark, sf_dir):
+    """Approximate percentiles as a derived-check query.
+
+    The QuantileSummaries estimate is engine-specific, but its accuracy
+    CONTRACT is checkable: a value returned for quantile q at relative
+    error eps (=1/accuracy) must have rank within (q±eps)·n. The query
+    computes the three quartiles from ONE shared sketch per group, then
+    recounts ranks of the returned values in a second pass (broadcast of
+    the per-group quartiles — the heavy-hitters recount pattern) and emits
+    per-quartile rank-contract booleans plus the exact group size. The
+    oracle checks n_rows exactly and asserts the flags TRUE; the sketch is
+    deterministic for fixed data, so a contract violation fails the hash.
+    """
+    eps = 1.0 / 10000
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    quartiles = F.percentile_approx(
-        "l_extendedprice", [0.25, 0.5, 0.75], 10000
-    ).alias("q")
-    return (
+    quartiles = (
         li.groupBy("l_returnflag")
-        .agg(quartiles)
+        .agg(F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("q"))
         .select(
             "l_returnflag",
-            F.element_at("q", 1).alias("price_p25"),
-            F.element_at("q", 2).alias("price_p50"),
-            F.element_at("q", 3).alias("price_p75"),
+            F.element_at("q", 1).alias("p25"),
+            F.element_at("q", 2).alias("p50"),
+            F.element_at("q", 3).alias("p75"),
         )
+    )
+    j = li.join(F.broadcast(quartiles), "l_returnflag")
+
+    def rank_ok(p_col: str, q: float):
+        below = F.sum((F.col("l_extendedprice") < F.col(p_col)).cast("long"))
+        at_or_below = F.sum((F.col("l_extendedprice") <= F.col(p_col)).cast("long"))
+        n = F.count(F.lit(1))
+        # returned value's rank must sit inside [(q-eps)n - 1, (q+eps)n + 1]
+        return (below <= (q + eps) * n + 1) & (at_or_below >= (q - eps) * n - 1)
+
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rank_ok("p25", 0.25).alias("p25_ok"),
+        rank_ok("p50", 0.50).alias("p50_ok"),
+        rank_ok("p75", 0.75).alias("p75_ok"),
     )
 
 

@@ -1,0 +1,782 @@
+"""Executable TPC-DS slice with bit-exact DuckDB oracles (VERDICT r5 #1).
+
+The reference's main test corpus is 103 TPC-DS queries
+(``TPCDSFlowTestSuite.scala:22-36``, SQL texts under
+``tpcds-flow-tests/inputs/*.sql``); this repo already lineage-checks all
+103 (``tests/test_tpcds_lineage.py``) but until round 6 executed none
+against data. This module closes that gap for ten representative queries
+spanning the star-schema shapes TPC-H lacks: date-dim stars (q3),
+correlated dim subqueries (q6), demographic stars (q7), WITH-heavy
+year-over-year self-joins (q11), inventory date-window pivots (q21),
+group-count bucket joins (q34), cumulative-window FULL OUTER comparisons
+(q51), weekly pivot self-joins across years (q59), multi-channel ROLLUP
+rollups (q77), and multi-scalar-subquery cross joins (q88).
+
+Data: rather than shipping a second dataset, the 17 TPC-DS tables these
+queries touch are DERIVED deterministically from the driver's TPC-H-ish
+parquet via a SQL "shim" layer of CTEs (store/catalog/web sales =
+lineitem x orders sliced by ``l_linenumber % 3``; date_dim = the date
+domain of orders+shipments; item/customer/dims = pure functions of the
+base keys). The same SQL text runs on Spark and DuckDB modulo a tiny
+dialect table, so the oracle is bit-exact by construction and row volume
+scales with the driver's SF.
+
+Documented adaptations from the reference texts (the shape is preserved;
+constants and money types are retuned to the derived data):
+
+- money columns are exact integer CENTS (``*_cents`` BIGINT) — cross-
+  engine float SUM order-dependence is the one thing that cannot be made
+  bit-exact, integer sums can (``floor(price * 100)`` on the identical
+  IEEE double is unambiguous); averages/ratios are emitted as single
+  IEEE divisions of those exact sums.
+- the TPC-DS ``customer`` table is named ``customer_dim`` (the CTE would
+  otherwise shadow the TPC-H ``customer`` view it derives from).
+- filter constants (years, price bands, county/store names, count
+  buckets) target the derived data's domains so every query returns rows
+  at sf0.01+.
+
+Scale posture: the shim is pure CTE SQL — Catalyst inlines it, pushes
+the date/dim predicates into the parquet scans, and broadcasts the
+derived dims (they come from the kB-sized part/supplier/customer
+tables); DuckDB materializes the fact CTEs once per query
+(``AS MATERIALIZED``) to dodge exponential CTE re-inlining.
+"""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..sources.tables import register_views
+
+# ---------------------------------------------------------------------------
+# dialect table
+# ---------------------------------------------------------------------------
+
+_DIALECT = {
+    "spark": {
+        "MAT": "",
+        "VSTR": "STRING",
+        # epoch days of a timestamp/date expression (BIGINT in both engines)
+        "D_ORDER": "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)",
+        "D_SHIP": "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)",
+        "DDATE_DAYS": "CAST(datediff(d_date, DATE '1970-01-01') AS BIGINT)",
+        # day-of-week normalized to 0=Sunday
+        "DOW": "(dayofweek(d_date) - 1)",
+    },
+    "duck": {
+        "MAT": "MATERIALIZED",
+        "VSTR": "VARCHAR",
+        "D_ORDER": "CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)",
+        "D_SHIP": "CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT)",
+        "DDATE_DAYS": "CAST((d_date - DATE '1970-01-01') AS BIGINT)",
+        "DOW": "dayofweek(d_date)",
+    },
+}
+
+# exact-cents money expressions (identical IEEE ops in both engines)
+_PRICE = "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+_LIST = "CAST(floor(l_extendedprice * 110) AS BIGINT)"
+_SALESP = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+_COUPON = "CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)"
+_PROFIT = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
+    " - floor(l_extendedprice * 90) AS BIGINT)"
+)
+_TIME_SK = "CAST((o_orderkey * 7919 + l_linenumber * 677) % 86400 AS BIGINT)"
+
+_LI_ORD = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+
+
+def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
+    """One channel's sales fact CTE body (store=0, catalog=1, web=2)."""
+    p = prefix
+    return f"""(
+  SELECT {{D_ORDER}} AS {p}_sold_date_sk,
+         {_TIME_SK} AS {p}_sold_time_sk,
+         l_partkey AS {p}_item_sk,
+         o_custkey AS {cust},
+         1 + o_custkey % 100 AS {p}_cdemo_sk,
+         1 + (o_custkey + l_partkey) % 50 AS {p}_hdemo_sk,
+         1 + l_partkey % 30 AS {p}_promo_sk,
+         {loc},
+         o_orderkey AS {ordno},
+         CAST(l_quantity AS INT) AS {p}_quantity,
+         {_PRICE} AS {p}_ext_sales_price_cents,
+         {_LIST} AS {p}_list_price_cents,
+         {_SALESP} AS {p}_sales_price_cents,
+         {_COUPON} AS {p}_coupon_amt_cents,
+         {_SALESP} AS {p}_net_paid_cents,
+         {_PROFIT} AS {p}_net_profit_cents
+  FROM {_LI_ORD}
+  WHERE l_linenumber % 3 = {channel})"""
+
+
+def _returns(prefix: str, channel: int, loc: str, amt: str) -> str:
+    p = prefix
+    return f"""(
+  SELECT {{D_SHIP}} + 14 AS {p}_returned_date_sk,
+         l_partkey AS {p}_item_sk,
+         o_custkey AS {p}_customer_sk,
+         {loc},
+         o_orderkey AS {p}_order_number,
+         CAST(l_quantity AS INT) AS {p}_return_quantity,
+         {_SALESP} AS {amt},
+         CAST(floor(l_extendedprice * 10) AS BIGINT) AS {p}_net_loss_cents
+  FROM {_LI_ORD}
+  WHERE l_linenumber % 3 = {channel} AND l_returnflag = 'R')"""
+
+
+#: shim table name -> CTE body template (dialect placeholders unexpanded)
+_SHIM: dict[str, str] = {
+    "date_dim": """(
+  SELECT d_date_sk, d_date,
+         year(d_date) AS d_year,
+         month(d_date) AS d_moy,
+         day(d_date) AS d_dom,
+         year(d_date) * 12 + (month(d_date) - 1) AS d_month_seq,
+         CAST(floor(d_date_sk / 7.0) AS BIGINT) AS d_week_seq,
+         CASE {DOW} WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+              WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
+              WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+              ELSE 'Saturday' END AS d_day_name
+  FROM (SELECT DISTINCT {DDATE_DAYS} AS d_date_sk, d_date
+        FROM (SELECT CAST(o_orderdate AS DATE) AS d_date FROM orders
+              UNION
+              SELECT CAST(l_shipdate AS DATE) AS d_date FROM lineitem
+              UNION
+              SELECT CAST(l_shipdate AS DATE) + 14 AS d_date FROM lineitem
+             ) raw_dates) days)""",
+    "store_sales": _sales("ss", 0, "ss_customer_sk",
+                          "1 + l_suppkey % 8 AS ss_store_sk",
+                          "ss_ticket_number"),
+    "catalog_sales": _sales("cs", 1, "cs_bill_customer_sk",
+                            "1 + l_suppkey % 4 AS cs_call_center_sk",
+                            "cs_order_number"),
+    "web_sales": _sales("ws", 2, "ws_bill_customer_sk",
+                        "1 + l_suppkey % 10 AS ws_web_page_sk",
+                        "ws_order_number"),
+    "store_returns": _returns("sr", 0, "1 + l_suppkey % 8 AS sr_store_sk",
+                              "sr_return_amt_cents"),
+    "catalog_returns": _returns("cr", 1,
+                                "1 + l_suppkey % 4 AS cr_call_center_sk",
+                                "cr_return_amount_cents"),
+    "web_returns": _returns("wr", 2, "1 + l_suppkey % 10 AS wr_web_page_sk",
+                            "wr_return_amt_cents"),
+    "item": """(
+  SELECT p_partkey AS i_item_sk,
+         concat('ITEM', lpad(CAST(p_partkey AS {VSTR}), 8, '0')) AS i_item_id,
+         p_name AS i_item_desc,
+         p_brand AS i_brand,
+         CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+         p_type AS i_category,
+         concat('class_', CAST(p_size % 5 AS {VSTR})) AS i_class,
+         1 + p_partkey % 50 AS i_manufact_id,
+         1 + p_partkey % 20 AS i_manager_id,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS i_current_price_cents
+  FROM part)""",
+    "customer_dim": """(
+  SELECT c_custkey AS c_customer_sk,
+         c_name AS c_customer_id,
+         1 + c_custkey % 100 AS c_current_cdemo_sk,
+         1 + c_custkey % 50 AS c_current_hdemo_sk,
+         c_custkey AS c_current_addr_sk,
+         'Customer' AS c_first_name,
+         substr(c_name, 10) AS c_last_name,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
+             AS c_preferred_cust_flag,
+         concat('country_', CAST(c_nationkey AS {VSTR})) AS c_birth_country
+  FROM customer)""",
+    "customer_address": """(
+  SELECT c_custkey AS ca_address_sk,
+         concat('S', lpad(CAST(c_nationkey AS {VSTR}), 2, '0')) AS ca_state,
+         concat('county_', CAST(c_nationkey % 8 AS {VSTR})) AS ca_county,
+         concat('city_', CAST(c_custkey % 40 AS {VSTR})) AS ca_city
+  FROM customer)""",
+    "customer_demographics": """(
+  SELECT cd_demo_sk,
+         CASE WHEN cd_demo_sk % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         CASE cd_demo_sk % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D'
+              WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+         CASE cd_demo_sk % 4 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+              WHEN 2 THEN 'College' ELSE 'Advanced Degree' END
+             AS cd_education_status,
+         500 * (1 + cd_demo_sk % 20) AS cd_purchase_estimate,
+         cd_demo_sk % 7 AS cd_dep_count
+  FROM (SELECT DISTINCT 1 + c_custkey % 100 AS cd_demo_sk FROM customer) d)""",
+    "household_demographics": """(
+  SELECT hd_demo_sk,
+         CASE hd_demo_sk % 6 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
+              WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
+              WHEN 4 THEN '101-500' ELSE 'Unknown' END AS hd_buy_potential,
+         hd_demo_sk % 10 AS hd_dep_count,
+         hd_demo_sk % 5 AS hd_vehicle_count
+  FROM (SELECT DISTINCT 1 + c_custkey % 50 AS hd_demo_sk FROM customer) h)""",
+    "store": """(
+  SELECT s_store_sk,
+         concat('STORE', lpad(CAST(s_store_sk AS {VSTR}), 4, '0')) AS s_store_id,
+         concat('store_', CAST(s_store_sk AS {VSTR})) AS s_store_name,
+         concat('county_', CAST(s_store_sk % 4 AS {VSTR})) AS s_county,
+         concat('S', lpad(CAST(s_store_sk % 5 AS {VSTR}), 2, '0')) AS s_state,
+         100 + CAST(s_store_sk AS INT) * 25 AS s_number_employees
+  FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
+    "call_center": """(
+  SELECT cc_call_center_sk,
+         concat('cc_', CAST(cc_call_center_sk AS {VSTR})) AS cc_name
+  FROM (SELECT DISTINCT 1 + s_suppkey % 4 AS cc_call_center_sk
+        FROM supplier) c)""",
+    "web_page": """(
+  SELECT wp_web_page_sk,
+         concat('page_', CAST(wp_web_page_sk AS {VSTR})) AS wp_url
+  FROM (SELECT DISTINCT 1 + s_suppkey % 10 AS wp_web_page_sk
+        FROM supplier) w)""",
+    "promotion": """(
+  SELECT p_promo_sk,
+         concat('promo_', CAST(p_promo_sk AS {VSTR})) AS p_promo_name,
+         CASE WHEN p_promo_sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+         CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
+         CASE WHEN p_promo_sk % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
+  FROM (SELECT DISTINCT 1 + p_partkey % 30 AS p_promo_sk FROM part) p)""",
+    "warehouse": """(
+  SELECT w_warehouse_sk,
+         concat('warehouse_', CAST(w_warehouse_sk AS {VSTR}))
+             AS w_warehouse_name,
+         1000 * CAST(w_warehouse_sk AS INT) AS w_warehouse_sq_ft
+  FROM (SELECT DISTINCT 1 + s_suppkey % 5 AS w_warehouse_sk
+        FROM supplier) w)""",
+    "inventory": """(
+  SELECT {D_SHIP} AS inv_date_sk,
+         l_partkey AS inv_item_sk,
+         1 + l_suppkey % 5 AS inv_warehouse_sk,
+         CAST(l_quantity AS INT) * 10 AS inv_quantity_on_hand
+  FROM lineitem)""",
+    "time_dim": f"""(
+  SELECT t_time_sk,
+         CAST(floor(t_time_sk / 3600.0) AS INT) AS t_hour,
+         CAST(floor((t_time_sk % 3600) / 60.0) AS INT) AS t_minute
+  FROM (SELECT DISTINCT {_TIME_SK} AS t_time_sk FROM {_LI_ORD}) t)""",
+}
+
+#: base TPC-H views each shim table reads
+_BASE = ("lineitem", "orders", "part", "customer", "supplier")
+
+
+def _with_clause(tables: list[str], engine: str, extra: str = "") -> str:
+    """WITH clause containing the given shim tables (dialect-expanded),
+    plus optional query-local CTEs appended verbatim (already expanded)."""
+    d = _DIALECT[engine]
+    parts = [
+        f"{t} AS {d['MAT']} {_SHIM[t].format(**d)}" for t in tables
+    ]
+    if extra:
+        parts.append(extra.format(**d))
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+def _tpcds(name: str, tables: list[str], body: str, doc: str, extra: str = ""):
+    """Register a TPC-DS query: same SQL text on Spark (newSession +
+    TPC-H temp views) and DuckDB (driver-registered views)."""
+    oracle = _with_clause(tables, "duck", extra) + body
+
+    def builder(spark, sf_dir):
+        s = spark.newSession()  # isolated temp-view catalog (engine-traps)
+        register_views(s, sf_dir, *_BASE)
+        return s.sql(_with_clause(tables, "spark", extra) + body)
+
+    builder.__name__ = name
+    builder.__doc__ = doc
+    register(name, oracle, "tpcds")(builder)
+
+
+# ---------------------------------------------------------------------------
+# q3 — date-dim star: brand sales in November for one manufacturer
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q3",
+    ["date_dim", "store_sales", "item"],
+    """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS sum_agg_cents
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id = 28
+  AND dt.d_moy = 11
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, sum_agg_cents DESC, brand_id
+LIMIT 100
+""",
+    "TPC-DS q3 (reference tpcds-flow-tests/inputs/q3.sql): date-dim star "
+    "over the derived store_sales fact. LIMIT-safe: the sort key "
+    "(year, sum, brand_id) is unique per group.",
+)
+
+# ---------------------------------------------------------------------------
+# q6 — correlated dim subquery + scalar month lookup
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q6",
+    ["customer_address", "customer_dim", "store_sales", "date_dim", "item"],
+    """
+SELECT a.ca_state AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer_address a, customer_dim c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+      (SELECT DISTINCT d_month_seq FROM date_dim
+       WHERE d_year = 1998 AND d_moy = 1)
+  AND CAST(i.i_current_price_cents AS DOUBLE) > 1.04 *
+      (SELECT CAST(SUM(j.i_current_price_cents) AS DOUBLE) / COUNT(*)
+       FROM item j WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 2
+ORDER BY cnt, state
+LIMIT 100
+""",
+    "TPC-DS q6 (reference inputs/q6.sql): customers-by-state whose bought "
+    "items price above 1.2x their category average in one month. The "
+    "correlated average is written as exact-sum/count (registry "
+    "convention); HAVING threshold retuned (10 -> 2) for corpus size and "
+    "the price multiplier 1.2 -> 1.04 because the derived price band "
+    "(900..999.90) is far narrower than real TPC-DS prices — 1.2x its "
+    "mean exceeds its maximum, which would make the query structurally "
+    "empty. <= 25 states, so the LIMIT never truncates.",
+)
+
+# ---------------------------------------------------------------------------
+# q7 — 5-way demographic star with promotion channel filter
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q7",
+    ["store_sales", "customer_demographics", "date_dim", "item", "promotion"],
+    """
+SELECT i_item_id,
+       CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*) AS agg1,
+       CAST(SUM(ss_list_price_cents) AS DOUBLE) / COUNT(*) AS agg2,
+       CAST(SUM(ss_coupon_amt_cents) AS DOUBLE) / COUNT(*) AS agg3,
+       CAST(SUM(ss_sales_price_cents) AS DOUBLE) / COUNT(*) AS agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 1998
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+""",
+    "TPC-DS q7 (reference inputs/q7.sql): 5-way star over store_sales "
+    "with demographic + promotion-channel filters. Averages emitted as "
+    "exact-cents-sum / count (single IEEE division, bit-exact both "
+    "engines). Sort key i_item_id is the group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q11 — WITH-heavy year-over-year growth comparison (4 self-joins)
+# ---------------------------------------------------------------------------
+
+_Q11_YT = """year_total AS {MAT} (
+  SELECT c_customer_id AS customer_id,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         d_year AS dyear,
+         CAST(SUM(ss_list_price_cents - ss_coupon_amt_cents) AS BIGINT)
+             AS year_total_cents,
+         's' AS sale_type
+  FROM customer_dim, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_preferred_cust_flag, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         d_year AS dyear,
+         CAST(SUM(ws_list_price_cents - ws_coupon_amt_cents) AS BIGINT)
+             AS year_total_cents,
+         'w' AS sale_type
+  FROM customer_dim, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_preferred_cust_flag, d_year)"""
+
+_tpcds(
+    "tpcds_q11",
+    ["customer_dim", "store_sales", "web_sales", "date_dim"],
+    """
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1998
+  AND t_s_secyear.dyear = 1999
+  AND t_w_firstyear.dyear = 1998
+  AND t_w_secyear.dyear = 1999
+  AND t_s_firstyear.year_total_cents > 0
+  AND t_w_firstyear.year_total_cents > 0
+  AND CAST(t_w_secyear.year_total_cents AS DOUBLE)
+      / t_w_firstyear.year_total_cents
+      > CAST(t_s_secyear.year_total_cents AS DOUBLE)
+        / t_s_firstyear.year_total_cents
+ORDER BY t_s_secyear.customer_id
+LIMIT 100
+""",
+    "TPC-DS q11 (reference inputs/q11.sql): customers whose web-channel "
+    "spend grew faster than store-channel spend 1998 -> 1999. The "
+    "year_total CTE is referenced four times (MATERIALIZED on DuckDB — "
+    "the exponential-inlining trap). Growth ratios are single IEEE "
+    "divisions of exact cents sums. customer_id is unique: LIMIT-safe.",
+    extra=_Q11_YT,
+)
+
+# ---------------------------------------------------------------------------
+# q21 — inventory quantity pivot around a date
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q21",
+    ["inventory", "warehouse", "item", "date_dim"],
+    """
+SELECT *
+FROM (SELECT w_warehouse_name, i_item_id,
+             CAST(SUM(CASE WHEN d_date < DATE '1999-03-11'
+                           THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                 AS inv_before,
+             CAST(SUM(CASE WHEN d_date >= DATE '1999-03-11'
+                           THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                 AS inv_after
+      FROM inventory, warehouse, item, date_dim
+      WHERE i_current_price_cents BETWEEN 90000 AND 93000
+        AND i_item_sk = inv_item_sk
+        AND inv_warehouse_sk = w_warehouse_sk
+        AND inv_date_sk = d_date_sk
+        AND d_date BETWEEN DATE '1999-02-09' AND DATE '1999-04-10'
+      GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0
+            THEN CAST(inv_after AS DOUBLE) / inv_before
+            ELSE NULL END) BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100
+""",
+    "TPC-DS q21 (reference inputs/q21.sql): warehouse inventory balance "
+    "in a +-30-day window around a pivot date. The +-30-day interval "
+    "arithmetic is pre-folded into literals (cross-engine INTERVAL "
+    "syntax differs); price band retuned to the derived cents domain. "
+    "(warehouse, item) group key is the sort key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q34 — ticket line-count buckets joined back to customers
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q34",
+    ["store_sales", "date_dim", "store", "household_demographics",
+     "customer_dim"],
+    """
+SELECT c_last_name, c_first_name, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3
+             OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                  THEN CAST(household_demographics.hd_dep_count AS DOUBLE)
+                       / household_demographics.hd_vehicle_count
+                  ELSE NULL END) > 1.2
+        AND date_dim.d_year IN (1998, 1999, 2000)
+        AND store.s_county IN ('county_1', 'county_2')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer_dim
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 2 AND 5
+""",
+    "TPC-DS q34 (reference inputs/q34.sql): store tickets with 2-5 lines "
+    "bought by high-buy-potential households early/late in the month, "
+    "joined back to customer names. County names and the count bucket "
+    "(15-20 -> 2-5) retuned to the derived data (orders average ~1.3 "
+    "store-channel lines). No LIMIT: hash is order-insensitive.",
+)
+
+# ---------------------------------------------------------------------------
+# q51 — cumulative-window FULL OUTER comparison of web vs store
+# ---------------------------------------------------------------------------
+
+_Q51_CTES = """web_v1 AS {MAT} (
+  SELECT ws_item_sk AS item_sk, d_date,
+         SUM(SUM(ws_sales_price_cents))
+             OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 23976 AND 23987
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS {MAT} (
+  SELECT ss_item_sk AS item_sk, d_date,
+         SUM(SUM(ss_sales_price_cents))
+             OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 23976 AND 23987
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)"""
+
+_tpcds(
+    "tpcds_q51",
+    ["web_sales", "store_sales", "date_dim"],
+    """
+SELECT item_sk, d_date,
+       CAST(web_sales AS BIGINT) AS web_sales,
+       CAST(store_sales AS BIGINT) AS store_sales,
+       CAST(web_cumulative AS BIGINT) AS web_cumulative,
+       CAST(store_cumulative AS BIGINT) AS store_cumulative
+FROM (SELECT item_sk, d_date, web_sales, store_sales,
+             MAX(web_sales)
+                 OVER (PARTITION BY item_sk ORDER BY d_date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS web_cumulative,
+             MAX(store_sales)
+                 OVER (PARTITION BY item_sk ORDER BY d_date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS store_cumulative
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END AS item_sk,
+                   CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                        ELSE store.d_date END AS d_date,
+                   web.cume_sales AS web_sales,
+                   store.cume_sales AS store_sales
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+                 ON web.item_sk = store.item_sk
+                AND web.d_date = store.d_date) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+""",
+    "TPC-DS q51 (reference inputs/q51.sql): per-item cumulative web vs "
+    "store sales (1998), FULL OUTER joined and compared with running-max "
+    "windows. DuckDB window sums widen to HUGEINT — every output is "
+    "CAST back to BIGINT. (item, date) sort key unique: LIMIT-safe.",
+    extra=_Q51_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q59 — weekly sales pivot, 52-week self-join across years
+# ---------------------------------------------------------------------------
+
+_Q59_WSS = """wss AS {MAT} (
+  SELECT d_week_seq, ss_store_sk,
+         SUM(CASE WHEN d_day_name = 'Sunday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS sun_sales,
+         SUM(CASE WHEN d_day_name = 'Monday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS mon_sales,
+         SUM(CASE WHEN d_day_name = 'Tuesday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS tue_sales,
+         SUM(CASE WHEN d_day_name = 'Wednesday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS wed_sales,
+         SUM(CASE WHEN d_day_name = 'Thursday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS thu_sales,
+         SUM(CASE WHEN d_day_name = 'Friday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS fri_sales,
+         SUM(CASE WHEN d_day_name = 'Saturday'
+                  THEN ss_sales_price_cents ELSE NULL END) AS sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)"""
+
+_tpcds(
+    "tpcds_q59",
+    ["store_sales", "date_dim", "store"],
+    """
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       CAST(sun_sales1 AS DOUBLE) / sun_sales2 AS sun_ratio,
+       CAST(mon_sales1 AS DOUBLE) / mon_sales2 AS mon_ratio,
+       CAST(tue_sales1 AS DOUBLE) / tue_sales2 AS tue_ratio,
+       CAST(wed_sales1 AS DOUBLE) / wed_sales2 AS wed_ratio,
+       CAST(thu_sales1 AS DOUBLE) / thu_sales2 AS thu_ratio,
+       CAST(fri_sales1 AS DOUBLE) / fri_sales2 AS fri_ratio,
+       CAST(sat_sales1 AS DOUBLE) / sat_sales2 AS sat_ratio
+FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1,
+             sun_sales AS sun_sales1, mon_sales AS mon_sales1,
+             tue_sales AS tue_sales1, wed_sales AS wed_sales1,
+             thu_sales AS thu_sales1, fri_sales AS fri_sales1,
+             sat_sales AS sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 23976 AND 23987) y,
+     (SELECT s_store_id AS s_store_id2, wss.d_week_seq AS d_week_seq2,
+             sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+             tue_sales AS tue_sales2, wed_sales AS wed_sales2,
+             thu_sales AS thu_sales2, fri_sales AS fri_sales2,
+             sat_sales AS sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 23988 AND 23999) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 52
+GROUP BY s_store_name1, s_store_id1, d_week_seq1,
+         sun_sales1, sun_sales2, mon_sales1, mon_sales2,
+         tue_sales1, tue_sales2, wed_sales1, wed_sales2,
+         thu_sales1, thu_sales2, fri_sales1, fri_sales2,
+         sat_sales1, sat_sales2
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100
+""",
+    "TPC-DS q59 (reference inputs/q59.sql): weekly day-of-week sales "
+    "pivot per store, self-joined 52 weeks apart (1998 vs 1999) emitting "
+    "year-over-year ratios. The wss/date_dim join fans out per-day "
+    "within each week, so the reference's implicit duplicate semantics "
+    "are normalized with GROUP BY (same ratio rows, one per week). "
+    "Cents sums keep the ratios bit-exact. Sort key unique: LIMIT-safe.",
+    extra=_Q59_WSS,
+)
+
+# ---------------------------------------------------------------------------
+# q77 — multi-channel sales/returns ROLLUP
+# ---------------------------------------------------------------------------
+
+_Q77_CTES = """ss AS {MAT} (
+  SELECT s_store_sk,
+         SUM(ss_ext_sales_price_cents) AS sales,
+         SUM(ss_net_profit_cents) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS {MAT} (
+  SELECT sr_store_sk AS s_store_sk,
+         SUM(sr_return_amt_cents) AS returns,
+         SUM(sr_net_loss_cents) AS profit_loss
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'
+  GROUP BY sr_store_sk),
+cs AS {MAT} (
+  SELECT cs_call_center_sk,
+         SUM(cs_ext_sales_price_cents) AS sales,
+         SUM(cs_net_profit_cents) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'
+  GROUP BY cs_call_center_sk),
+cr AS {MAT} (
+  SELECT SUM(cr_return_amount_cents) AS returns,
+         SUM(cr_net_loss_cents) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'),
+ws AS {MAT} (
+  SELECT wp_web_page_sk,
+         SUM(ws_ext_sales_price_cents) AS sales,
+         SUM(ws_net_profit_cents) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wr AS {MAT} (
+  SELECT wr_web_page_sk AS wp_web_page_sk,
+         SUM(wr_return_amt_cents) AS returns,
+         SUM(wr_net_loss_cents) AS profit_loss
+  FROM web_returns, date_dim
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1999-08-03' AND DATE '1999-09-02'
+  GROUP BY wr_web_page_sk)"""
+
+_tpcds(
+    "tpcds_q77",
+    ["store_sales", "store_returns", "catalog_sales", "catalog_returns",
+     "web_sales", "web_returns", "date_dim", "store", "web_page"],
+    """
+SELECT channel, id,
+       CAST(SUM(sales) AS BIGINT) AS sales,
+       CAST(SUM(returns) AS BIGINT) AS returns,
+       CAST(SUM(profit) AS BIGINT) AS profit
+FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id,
+             sales, COALESCE(returns, 0) AS returns,
+             profit - COALESCE(profit_loss, 0) AS profit
+      FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+      UNION ALL
+      SELECT 'catalog channel' AS channel, cs_call_center_sk AS id,
+             sales, returns, profit - profit_loss AS profit
+      FROM cs, cr
+      UNION ALL
+      SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id,
+             sales, COALESCE(returns, 0) AS returns,
+             profit - COALESCE(profit_loss, 0) AS profit
+      FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) foo
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id, returns
+LIMIT 100
+""",
+    "TPC-DS q77 (reference inputs/q77.sql): 30-day sales/returns/profit "
+    "per channel with a two-level ROLLUP across store, catalog, and web. "
+    "All money in exact cents; every SUM CAST back to BIGINT (DuckDB "
+    "HUGEINT widening). <= ~26 result rows, so the LIMIT never bites "
+    "despite cross-engine NULLS-ordering differences.",
+    extra=_Q77_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q88 — eight half-hour time-band counts, cross-joined scalars
+# ---------------------------------------------------------------------------
+
+
+def _q88_band(alias: str, hour: int, half: str) -> str:
+    cmp = "t_minute >= 30" if half == "late" else "t_minute < 30"
+    return f"""(SELECT CAST(COUNT(*) AS BIGINT) AS {alias}
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = {hour} AND {cmp}
+    AND ((household_demographics.hd_dep_count = 4
+          AND household_demographics.hd_vehicle_count <= 6)
+      OR (household_demographics.hd_dep_count = 2
+          AND household_demographics.hd_vehicle_count <= 4)
+      OR (household_demographics.hd_dep_count = 0
+          AND household_demographics.hd_vehicle_count <= 2))
+    AND store.s_store_name = 'store_1') {alias}_t"""
+
+
+_Q88_BODY = "SELECT * FROM\n" + ",\n".join(
+    _q88_band(alias, hour, half)
+    for alias, hour, half in [
+        ("h8_30_to_9", 8, "late"), ("h9_to_9_30", 9, "early"),
+        ("h9_30_to_10", 9, "late"), ("h10_to_10_30", 10, "early"),
+        ("h10_30_to_11", 10, "late"), ("h11_to_11_30", 11, "early"),
+        ("h11_30_to_12", 11, "late"), ("h12_to_12_30", 12, "early"),
+    ]
+)
+
+_tpcds(
+    "tpcds_q88",
+    ["store_sales", "household_demographics", "time_dim", "store"],
+    _Q88_BODY + "\n",
+    "TPC-DS q88 (reference inputs/q88.sql): store traffic counts for "
+    "eight half-hour bands (8:30-12:30) for small households at one "
+    "store, as eight cross-joined single-row subqueries. Store name "
+    "retuned ('ese' -> 'store_1'); the dep/vehicle predicate triplet is "
+    "kept verbatim. One deterministic row of eight BIGINT counts.",
+)

@@ -62,6 +62,7 @@ def all_specs() -> list[QuerySpec]:
         subqueries,
         text,
         timeseries,
+        tpcds,
         tpch,
         windows,
     )

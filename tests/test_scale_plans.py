@@ -547,3 +547,30 @@ def test_sql_udfs_inline_into_codegen(spark, sf_dir):
     # the filter driven by the session VARIABLE still reaches the scan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     assert "CartesianProduct" not in plan  # 2-row TVF side broadcasts
+
+
+def test_tpcds_star_joins_broadcast_dims(spark, sf_dir):
+    # the TPC-DS shim dims derive from kB-sized tables (part/supplier/
+    # customer): every star join must broadcast them, never SMJ or
+    # cartesian, and the fact scan must prune to the consumed columns
+    plan = _physical(queries()["tpcds_q3"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan pruned: the fact reads 4 columns, not 11
+    assert "struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_extendedprice:double>" in plan
+
+
+def test_tpcds_rollup_no_cartesian_facts(spark, sf_dir):
+    # q77: six channel CTEs + ROLLUP; the only nested-loop joins allowed
+    # are the single-row scalar crosses (catalog cr is a global aggregate)
+    plan = _physical(queries()["tpcds_q77"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan  # ROLLUP lowers to Expand
+
+
+def test_tpcds_q88_reuses_or_broadcasts_scalar_bands(spark, sf_dir):
+    # eight single-row counts cross-joined: each cross must be a 1-row
+    # broadcast, never a data-sized nested loop
+    plan = _physical(queries()["tpcds_q88"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -145,10 +145,34 @@ def edge_merge_statements(
     return stmts
 
 
+#: exception class names the bolt driver raises for failures that are safe
+#: to retry after the transaction rolled back (neo4j.exceptions hierarchy)
+_TRANSIENT = ("TransientError", "ServiceUnavailable", "SessionExpired")
+
+
+def _is_transient(exc: Exception) -> bool:
+    if exc.__class__.__name__ in _TRANSIENT:
+        return True
+    retryable = getattr(exc, "is_retryable", None)
+    return bool(retryable()) if callable(retryable) else False
+
+
 class Neo4jAuraSink:
     """Batch ``write`` requires an empty database unless ``overwrite``;
     streaming ``append`` merges into the existing graph (reference
-    :220-253)."""
+    :220-253).
+
+    Failure semantics mirror the reference's ``withTx``
+    (Neo4jAuraSink.scala:55-69): each statement batch runs in ONE explicit
+    transaction — a failure anywhere rolls the whole batch back (no
+    half-written graph) and surfaces as RuntimeError. Transient bolt
+    errors (leader switch, session expiry) retry the rolled-back batch up
+    to ``MAX_TX_ATTEMPTS`` times; client errors (constraint violation,
+    bad Cypher) never retry. Because every statement is a MERGE, a
+    retried or re-appended batch is idempotent.
+    """
+
+    MAX_TX_ATTEMPTS = 3
 
     def __init__(self, uri: str, user: str, password: str):
         self.uri, self.user, self.password = uri, user, password
@@ -164,6 +188,44 @@ class Neo4jAuraSink:
             ) from exc
         return neo4j.GraphDatabase.driver(self.uri, auth=(self.user, self.password))
 
+    def _run_tx(self, session, stmts) -> None:
+        """Run ``stmts`` in one transaction; rollback + bounded retry."""
+        attempt = 0
+        while True:
+            attempt += 1
+            tx = session.begin_transaction()
+            try:
+                for cypher, params in stmts:
+                    tx.run(cypher, **params)
+                tx.commit()
+                return
+            except Exception as exc:
+                try:
+                    tx.rollback()
+                except Exception:
+                    pass  # rollback after a dead connection is best-effort
+                if _is_transient(exc) and attempt < self.MAX_TX_ATTEMPTS:
+                    continue
+                raise RuntimeError(
+                    f"Failed to execute tx because: {exc}"
+                ) from exc
+            finally:
+                try:
+                    tx.close()
+                except Exception:
+                    pass
+
+    def _merge_graph(self, session, nodes, edges) -> None:
+        # constraints in their own tx (DDL), then all nodes before any
+        # edge in ONE atomic data tx: an edge MATCH against a
+        # not-yet-merged endpoint would silently no-op
+        self._run_tx(session, [(stmt, {}) for stmt in CONSTRAINTS])
+        self._run_tx(
+            session,
+            list(node_merge_statements(nodes))
+            + list(edge_merge_statements(nodes, edges)),
+        )
+
     def write(self, nodes, edges, options: dict | None = None) -> None:
         options = options or {}
         with self._driver() as driver, driver.session() as session:
@@ -171,19 +233,9 @@ class Neo4jAuraSink:
             if n and not options.get("overwrite"):
                 raise ValueError("target database is not empty; pass overwrite=True")
             if n:
-                session.run("MATCH (n) DETACH DELETE n")
-            for stmt in CONSTRAINTS:
-                session.run(stmt)
-            for cypher, params in node_merge_statements(nodes):
-                session.run(cypher, **params)
-            for cypher, params in edge_merge_statements(nodes, edges):
-                session.run(cypher, **params)
+                self._run_tx(session, [("MATCH (n) DETACH DELETE n", {})])
+            self._merge_graph(session, nodes, edges)
 
     def append(self, nodes, edges, options: dict | None = None) -> None:
         with self._driver() as driver, driver.session() as session:
-            for stmt in CONSTRAINTS:
-                session.run(stmt)
-            for cypher, params in node_merge_statements(nodes):
-                session.run(cypher, **params)
-            for cypher, params in edge_merge_statements(nodes, edges):
-                session.run(cypher, **params)
+            self._merge_graph(session, nodes, edges)

@@ -127,17 +127,59 @@ class _FakeResult:
         return {"c": self._value}
 
 
-class _FakeSession:
-    """Records every session.run() call — the protocol-level check the
-    reference does against a live Aura (Neo4jAuraSinkSuite.scala:30-173)."""
+class _FakeTx:
+    """Recording transaction: every run() lands in the session's call log
+    tagged with the tx ordinal; commit/rollback/close are recorded as
+    protocol events. ``fail_at`` injects an exception on the Nth run()
+    call across the session (1-based), once."""
 
-    def __init__(self, node_count=0):
-        self.node_count = node_count
-        self.calls = []
+    def __init__(self, session, ordinal):
+        self._session = session
+        self.ordinal = ordinal
 
     def run(self, cypher, **params):
+        self._session.total_runs += 1
+        inject = self._session.failures.get(self._session.total_runs)
+        if inject is not None:
+            del self._session.failures[self._session.total_runs]
+            self._session.events.append(("raise", self.ordinal))
+            raise inject
+        self._session.calls.append((cypher, params))
+        self._session.events.append(("run", self.ordinal))
+        return _FakeResult(self._session.node_count)
+
+    def commit(self):
+        self._session.events.append(("commit", self.ordinal))
+
+    def rollback(self):
+        self._session.events.append(("rollback", self.ordinal))
+
+    def close(self):
+        self._session.events.append(("close", self.ordinal))
+
+
+class _FakeSession:
+    """Records every statement and tx event — the protocol-level check the
+    reference does against a live Aura (Neo4jAuraSinkSuite.scala:30-173)."""
+
+    def __init__(self, node_count=0, failures=None):
+        self.node_count = node_count
+        self.calls = []
+        self.events = []
+        self.failures = dict(failures or {})  # run ordinal -> exception
+        self.total_runs = 0
+        self.tx_count = 0
+
+    def run(self, cypher, **params):
+        # session-level auto-commit statement (emptiness probe)
         self.calls.append((cypher, params))
+        self.events.append(("run", None))
         return _FakeResult(self.node_count)
+
+    def begin_transaction(self):
+        self.tx_count += 1
+        self.events.append(("begin", self.tx_count))
+        return _FakeTx(self, self.tx_count)
 
     def __enter__(self):
         return self
@@ -252,3 +294,110 @@ def test_neo4j_write_gated_without_driver():
 
         with pytest.raises(NotImplementedError, match="neo4j"):
             sink.write(nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# Failure-path protocol coverage (VERDICT r6 #6): transient retry,
+# constraint violation, partial-batch rollback — against the recording
+# fake, since no live bolt endpoint exists in the sandbox.
+# ---------------------------------------------------------------------------
+
+
+class TransientError(Exception):
+    """Name-matched stand-in for neo4j.exceptions.TransientError (the sink
+    classifies by class NAME so the real driver stays optional)."""
+
+
+class ClientError(Exception):
+    """Stand-in for a non-retryable client error
+    (e.g. ConstraintValidationFailed)."""
+
+
+def _fake_sink(ses):
+    sink = Neo4jAuraSink("neo4j+s://example", "neo4j", "pw")
+    sink._driver = lambda: _FakeDriver(ses)
+    return sink
+
+
+def test_append_transient_failure_retries_and_succeeds():
+    # write fails once with a transient bolt error mid data-batch: the tx
+    # must roll back and the WHOLE batch retry in a fresh tx, then commit
+    nodes, edges = _graph()
+    # run ordinal 7 = second data statement (5 constraints + node1 + FAIL)
+    ses = _FakeSession(failures={7: TransientError("leader switch")})
+    _fake_sink(ses).append(nodes, edges)
+    rollbacks = [o for e, o in ses.events if e == "rollback"]
+    commits = [o for e, o in ses.events if e == "commit"]
+    assert rollbacks == [2]           # the failed data tx rolled back
+    assert commits == [1, 3]          # constraints tx + retried data tx
+    # the retried tx re-ran every statement (MERGE idempotence): 5 nodes+
+    # edges statements in tx3, plus the 1 that ran before the injected fail
+    tx3_runs = sum(1 for e, o in ses.events if e == "run" and o == 3)
+    assert tx3_runs == 5
+
+
+def test_write_constraint_violation_rolls_back_without_retry():
+    nodes, edges = _graph()
+    # fail the first data-batch statement (after 5 constraint runs) with a
+    # non-transient client error: exactly one rollback, no second attempt
+    import pytest
+
+    ses = _FakeSession(failures={6: ClientError("ConstraintValidationFailed")})
+    with pytest.raises(RuntimeError, match="ConstraintValidationFailed"):
+        _fake_sink(ses).write(nodes, edges)
+    rollbacks = [o for e, o in ses.events if e == "rollback"]
+    commits = [o for e, o in ses.events if e == "commit"]
+    # the emptiness probe is session-level (no tx); tx1 = constraints
+    # (committed), tx2 = data batch (rolled back exactly once — a client
+    # error must NOT retry)
+    assert rollbacks == [2]
+    assert commits == [1]
+
+
+def test_partial_batch_never_half_commits():
+    # a failure on the LAST edge statement must still discard the entire
+    # data batch: no commit event for that tx, every data MERGE gone with it
+    nodes, edges = _graph()
+    n_constraints = 5
+    n_data = 5  # 3 nodes + 2 edges
+    ses = _FakeSession(failures={n_constraints + n_data: ClientError("boom")})
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _fake_sink(ses).append(nodes, edges)
+    data_tx = 2
+    assert ("rollback", data_tx) in ses.events
+    assert ("commit", data_tx) not in ses.events
+
+
+def test_transient_failures_exhaust_after_max_attempts():
+    nodes, edges = _graph()
+    # every data-batch attempt fails transiently: 3 attempts, then raise
+    fails = {6: TransientError("a"), 11: TransientError("b"), 16: TransientError("c")}
+    ses = _FakeSession(failures=fails)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="because: c"):
+        _fake_sink(ses).append(nodes, edges)
+    rollbacks = [o for e, o in ses.events if e == "rollback"]
+    assert len(rollbacks) == 3        # one per attempt, all rolled back
+    assert not [o for e, o in ses.events if e == "commit" and o >= 2]
+
+
+def test_retried_append_after_failure_is_idempotent_protocol():
+    # simulate the caller retrying a whole append() after a hard failure:
+    # the second call re-MERGEs everything — same statement multiset
+    nodes, edges = _graph()
+    ses1 = _FakeSession(failures={8: ClientError("died")})
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        _fake_sink(ses1).append(nodes, edges)
+    ses2 = _FakeSession()
+    _fake_sink(ses2).append(nodes, edges)
+    merges = sorted(c for c, _ in ses2.calls if "MERGE" in c)
+    assert len(merges) == 5  # 3 node MERGEs + 2 edge MATCH..MERGE
+    # every statement is a MERGE (or idempotent DDL): re-running cannot
+    # duplicate graph elements
+    assert all("MERGE" in c or c.startswith("CREATE CONSTRAINT")
+               for c, _ in ses2.calls)

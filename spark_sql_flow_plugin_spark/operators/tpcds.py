@@ -4,13 +4,20 @@ The reference's main test corpus is 103 TPC-DS queries
 (``TPCDSFlowTestSuite.scala:22-36``, SQL texts under
 ``tpcds-flow-tests/inputs/*.sql``); this repo already lineage-checks all
 103 (``tests/test_tpcds_lineage.py``) but until round 6 executed none
-against data. This module closes that gap for ten representative queries
-spanning the star-schema shapes TPC-H lacks: date-dim stars (q3),
-correlated dim subqueries (q6), demographic stars (q7), WITH-heavy
+against data. This module closes that gap for twenty representative
+queries spanning the star-schema shapes TPC-H lacks: date-dim stars
+(q3), correlated dim subqueries (q6), demographic stars (q7), WITH-heavy
 year-over-year self-joins (q11), inventory date-window pivots (q21),
 group-count bucket joins (q34), cumulative-window FULL OUTER comparisons
 (q51), weekly pivot self-joins across years (q59), multi-channel ROLLUP
-rollups (q77), and multi-scalar-subquery cross joins (q88).
+rollups (q77), multi-scalar-subquery cross joins (q88), returns CTEs
+under correlated scalar averages (q1), cross-geography dim inequalities
+(q19), three-fact sale/return/re-purchase chains (q25), IN+EXISTS-OR-
+EXISTS decorrelation (q35), OR-of-AND predicate stacks (q48), under-
+average item hunts via twice-evaluated revenue subqueries (q65),
+per-ticket rollups (q79), time-dim selectivity counts (q96), channel-
+overlap FULL OUTER cohorts (q97), and ratio-to-class windows over
+aggregates (q98).
 
 Data: rather than shipping a second dataset, the 17 TPC-DS tables these
 queries touch are DERIVED deterministically from the driver's TPC-H-ish
@@ -96,6 +103,7 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
          o_custkey AS {cust},
          1 + o_custkey % 100 AS {p}_cdemo_sk,
          1 + (o_custkey + l_partkey) % 50 AS {p}_hdemo_sk,
+         o_custkey AS {p}_addr_sk,
          1 + l_partkey % 30 AS {p}_promo_sk,
          {loc},
          o_orderkey AS {ordno},
@@ -132,6 +140,7 @@ _SHIM: dict[str, str] = {
          year(d_date) AS d_year,
          month(d_date) AS d_moy,
          day(d_date) AS d_dom,
+         1 + CAST(floor((month(d_date) - 1) / 3.0) AS INT) AS d_qoy,
          year(d_date) * 12 + (month(d_date) - 1) AS d_month_seq,
          CAST(floor(d_date_sk / 7.0) AS BIGINT) AS d_week_seq,
          CASE {DOW} WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
@@ -170,8 +179,10 @@ _SHIM: dict[str, str] = {
          p_type AS i_category,
          concat('class_', CAST(p_size % 5 AS {VSTR})) AS i_class,
          1 + p_partkey % 50 AS i_manufact_id,
+         concat('manufact_', CAST(1 + p_partkey % 50 AS {VSTR})) AS i_manufact,
          1 + p_partkey % 20 AS i_manager_id,
-         CAST(floor(p_retailprice * 100) AS BIGINT) AS i_current_price_cents
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS i_current_price_cents,
+         CAST(floor(p_retailprice * 60) AS BIGINT) AS i_wholesale_cost_cents
   FROM part)""",
     "customer_dim": """(
   SELECT c_custkey AS c_customer_sk,
@@ -200,7 +211,9 @@ _SHIM: dict[str, str] = {
               WHEN 2 THEN 'College' ELSE 'Advanced Degree' END
              AS cd_education_status,
          500 * (1 + cd_demo_sk % 20) AS cd_purchase_estimate,
-         cd_demo_sk % 7 AS cd_dep_count
+         cd_demo_sk % 7 AS cd_dep_count,
+         (cd_demo_sk * 3) % 6 AS cd_dep_employed_count,
+         (cd_demo_sk * 7) % 4 AS cd_dep_college_count
   FROM (SELECT DISTINCT 1 + c_custkey % 100 AS cd_demo_sk FROM customer) d)""",
     "household_demographics": """(
   SELECT hd_demo_sk,
@@ -215,6 +228,7 @@ _SHIM: dict[str, str] = {
          concat('STORE', lpad(CAST(s_store_sk AS {VSTR}), 4, '0')) AS s_store_id,
          concat('store_', CAST(s_store_sk AS {VSTR})) AS s_store_name,
          concat('county_', CAST(s_store_sk % 4 AS {VSTR})) AS s_county,
+         concat('city_', CAST(s_store_sk % 3 AS {VSTR})) AS s_city,
          concat('S', lpad(CAST(s_store_sk % 5 AS {VSTR}), 2, '0')) AS s_state,
          100 + CAST(s_store_sk AS INT) * 25 AS s_number_employees
   FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
@@ -779,4 +793,399 @@ _tpcds(
     "store, as eight cross-joined single-row subqueries. Store name "
     "retuned ('ese' -> 'store_1'); the dep/vehicle predicate triplet is "
     "kept verbatim. One deterministic row of eight BIGINT counts.",
+)
+
+# ---------------------------------------------------------------------------
+# q1 — returns CTE referenced twice + correlated scalar average
+# ---------------------------------------------------------------------------
+
+_Q1_CTR = """customer_total_return AS {MAT} (
+  SELECT sr_customer_sk AS ctr_customer_sk,
+         sr_store_sk AS ctr_store_sk,
+         CAST(SUM(sr_return_amt_cents) AS BIGINT) AS ctr_total_return_cents
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 1998
+  GROUP BY sr_customer_sk, sr_store_sk)"""
+
+_tpcds(
+    "tpcds_q1",
+    ["store_returns", "date_dim", "store", "customer_dim"],
+    """
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer_dim
+WHERE CAST(ctr1.ctr_total_return_cents AS DOUBLE) > 1.2 *
+      (SELECT CAST(SUM(ctr2.ctr_total_return_cents) AS DOUBLE) / COUNT(*)
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'S01'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100
+""",
+    "TPC-DS q1 (reference inputs/q1.sql): customers whose store returns "
+    "exceed 1.2x the per-store average — a returns-fact CTE referenced "
+    "twice, once inside a correlated scalar subquery (Spark decorrelates "
+    "to an aggregate-then-join). avg() written as exact-cents SUM/COUNT; "
+    "state 'TN' -> 'S01', d_year 2000 -> 1998 (derived domains). The "
+    "single output column IS the sort key, so the LIMIT boundary can "
+    "only split identical rows: multiset-safe.",
+    extra=_Q1_CTR,
+)
+
+# ---------------------------------------------------------------------------
+# q19 — brand revenue where customer and store are in different states
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q19",
+    ["date_dim", "store_sales", "item", "customer_dim", "customer_address",
+     "store"],
+    """
+SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id, i_manufact,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS ext_price_cents
+FROM date_dim, store_sales, item, customer_dim, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8
+  AND d_moy = 11
+  AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ca_state <> s_state
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+ORDER BY ext_price_cents DESC, brand, brand_id, i_manufact_id, i_manufact
+LIMIT 100
+""",
+    "TPC-DS q19 (reference inputs/q19.sql): brand revenue from customers "
+    "shopping outside their home state. The reference compares 5-digit "
+    "zip prefixes; the derived schema carries states, so the "
+    "cross-geography predicate is ca_state <> s_state (same shape: an "
+    "inequality between the two dimension branches). Sort key = full "
+    "group key + sum: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q25 — three-fact chain: store sale -> store return -> catalog re-purchase
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q25",
+    ["store_sales", "store_returns", "catalog_sales", "date_dim", "store",
+     "item"],
+    """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_net_profit_cents) AS BIGINT) AS store_sales_profit_cents,
+       CAST(SUM(sr_net_loss_cents) AS BIGINT) AS store_returns_loss_cents,
+       CAST(SUM(cs_net_profit_cents) AS BIGINT) AS catalog_sales_profit_cents
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_year BETWEEN 1996 AND 1998
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_order_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year BETWEEN 1996 AND 1998
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year BETWEEN 1996 AND 1998
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+""",
+    "TPC-DS q25 (reference inputs/q25.sql): items sold in store, "
+    "returned, then re-bought through the catalog — a three-fact join "
+    "chain through three date_dim aliases. The derived store_returns "
+    "carries sr_order_number (= the originating o_orderkey, which IS the "
+    "derived ss_ticket_number), so the ticket equi-join keeps its "
+    "fact-to-fact meaning. Month windows (Apr / Apr-Oct 2001) widened to "
+    "the shared 1996-1998 years: the derived catalog re-purchase "
+    "coincidence rate is ~40/20000 per returned row, so the reference's "
+    "one-month slice would be structurally empty at test SFs. Sort key = "
+    "full group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q35 — IN + (EXISTS OR EXISTS) demographic profile
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q35",
+    ["customer_dim", "customer_address", "customer_demographics",
+     "store_sales", "web_sales", "catalog_sales", "date_dim"],
+    """
+SELECT ca_state, cd_gender, cd_marital_status,
+       CAST(COUNT(*) AS BIGINT) AS cnt1,
+       CAST(MIN(cd_dep_count) AS BIGINT) AS min_dep,
+       CAST(MAX(cd_dep_count) AS BIGINT) AS max_dep,
+       CAST(SUM(cd_dep_count) AS DOUBLE) / COUNT(*) AS avg_dep,
+       cd_dep_employed_count,
+       CAST(MIN(cd_dep_college_count) AS BIGINT) AS min_college,
+       CAST(SUM(cd_dep_college_count) AS DOUBLE) / COUNT(*) AS avg_college
+FROM customer_dim c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 1998 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 1998 AND d_qoy < 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_bill_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 1998 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count, cnt1
+LIMIT 100
+""",
+    "TPC-DS q35 (reference inputs/q35.sql): demographic profile of "
+    "customers active in a quarter window, gated by one mandatory EXISTS "
+    "(store channel) AND a disjunction of two more (web OR catalog) — "
+    "the decorrelation stress shape. cs_ship_customer_sk -> "
+    "cs_bill_customer_sk (the derived catalog fact carries bill only); "
+    "avg() as exact SUM/COUNT; d_year 2002 -> 1998. Sort key = full "
+    "6-column group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q48 — OR-of-ANDs over demographic and address bands
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q48",
+    ["store_sales", "store", "customer_demographics", "customer_address",
+     "date_dim"],
+    """
+SELECT CAST(SUM(ss_quantity) AS BIGINT) AS sum_qty
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+  AND ((cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price_cents BETWEEN 1000000 AND 3000000)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'D'
+        AND cd_education_status = 'Secondary'
+        AND ss_sales_price_cents BETWEEN 3000000 AND 6000000)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND ss_sales_price_cents BETWEEN 6000000 AND 9000000))
+  AND ((ss_addr_sk = ca_address_sk
+        AND ca_state IN ('S00', 'S01', 'S02')
+        AND ss_net_profit_cents BETWEEN 0 AND 200000)
+    OR (ss_addr_sk = ca_address_sk
+        AND ca_state IN ('S03', 'S04', 'S05')
+        AND ss_net_profit_cents BETWEEN 150000 AND 400000)
+    OR (ss_addr_sk = ca_address_sk
+        AND ca_state IN ('S06', 'S07', 'S08')
+        AND ss_net_profit_cents BETWEEN 50000 AND 900000))
+ORDER BY sum_qty
+LIMIT 100
+""",
+    "TPC-DS q48 (reference inputs/q48.sql): total quantity under two "
+    "three-armed OR-of-AND predicate stacks (marital/education x price "
+    "band, state triple x profit band) — the join condition is buried "
+    "inside every disjunct, so the planner must factor it out to avoid "
+    "a cross product. Bands retuned to the derived cents domains "
+    "(sales_price ~87K..10.5M, net_profit 0..1.05M cents); states "
+    "SXX. Single-row output.",
+)
+
+# ---------------------------------------------------------------------------
+# q65 — items revenuing under a fraction of their store's average
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q65",
+    ["store", "item", "store_sales", "date_dim"],
+    """
+SELECT s_store_name, i_item_sk, i_item_desc, sc.revenue_cents,
+       i_current_price_cents, i_wholesale_cost_cents, i_brand
+FROM store, item,
+     (SELECT ss_store_sk, CAST(SUM(revenue_cents) AS DOUBLE) / COUNT(*) AS ave
+      FROM (SELECT ss_store_sk, ss_item_sk,
+                   CAST(SUM(ss_sales_price_cents) AS BIGINT) AS revenue_cents
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_month_seq BETWEEN 23976 AND 23987
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk,
+             CAST(SUM(ss_sales_price_cents) AS BIGINT) AS revenue_cents
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 23976 AND 23987
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND CAST(sc.revenue_cents AS DOUBLE) <= 0.5 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_sk
+LIMIT 100
+""",
+    "TPC-DS q65 (reference inputs/q65.sql): items whose store revenue "
+    "falls under a fraction of that store's per-item average — the same "
+    "per-(store,item) revenue subquery evaluated twice, once re-"
+    "aggregated per store. avg() as exact SUM/COUNT; d_month_seq window "
+    "1176+11 -> 23976+11 (=calendar 1998, derived d_month_seq is "
+    "year*12+moy-1); threshold 0.1 -> 0.5 because most derived "
+    "(store,item) pairs hold a single sale, so the reference's extreme-"
+    "underperformer decile is empty by construction. i_item_sk added to "
+    "the output so (s_store_name, i_item_sk) is a unique sort key: "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q79 — per-ticket coupon/profit rollup for busy-household Mondays
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q79",
+    ["store_sales", "date_dim", "store", "household_demographics",
+     "customer_dim"],
+    """
+SELECT c_last_name, c_first_name, s_city, ss_ticket_number,
+       amt_cents, profit_cents
+FROM (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             CAST(SUM(ss_coupon_amt_cents) AS BIGINT) AS amt_cents,
+             CAST(SUM(ss_net_profit_cents) AS BIGINT) AS profit_cents
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count > 2)
+        AND date_dim.d_day_name = 'Monday'
+        AND date_dim.d_year IN (1996, 1997, 1998)
+        AND store.s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city
+     ) ms, customer_dim
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, s_city, profit_cents, ss_ticket_number
+LIMIT 100
+""",
+    "TPC-DS q79 (reference inputs/q79.sql): per-ticket coupon and "
+    "profit totals on Mondays for large households at mid-size stores, "
+    "joined back to customer names. d_dow = 1 -> d_day_name = 'Monday' "
+    "(the derived date_dim carries day names); years 1999-2001 -> "
+    "1996-1998. s_number_employees 200..295 keeps 4 of the 8 derived "
+    "stores — same selectivity role as the reference band. The sort "
+    "key contains (ss_ticket_number, s_city), which uniquely keys the "
+    "inner group (customer and address are functions of the ticket): "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q96 — single-count star through the time dimension
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q96",
+    ["store_sales", "household_demographics", "time_dim", "store"],
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk
+  AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND t_hour = 20
+  AND t_minute >= 30
+  AND hd_dep_count = 7
+  AND s_store_name = 'store_3'
+ORDER BY cnt
+LIMIT 100
+""",
+    "TPC-DS q96 (reference inputs/q96.sql): count of evening half-hour "
+    "store traffic for 7-dependent households — a pure selectivity "
+    "star through the synthetic time dimension (t_time_sk is a pure "
+    "function of orderkey x linenumber, so the hour band prunes "
+    "deterministically). Store 'ese' -> 'store_3'. Single-row output.",
+)
+
+# ---------------------------------------------------------------------------
+# q97 — store/catalog purchase-overlap cohort via FULL OUTER on dedup CTEs
+# ---------------------------------------------------------------------------
+
+_Q97_CTES = """ssci AS {MAT} (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 23976 AND 23987
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS {MAT} (
+  SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 23976 AND 23987
+  GROUP BY cs_bill_customer_sk, cs_item_sk)"""
+
+_tpcds(
+    "tpcds_q97",
+    ["store_sales", "catalog_sales", "date_dim"],
+    """
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                      AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+     ON ssci.customer_sk = csci.customer_sk
+    AND ssci.item_sk = csci.item_sk
+LIMIT 100
+""",
+    "TPC-DS q97 (reference inputs/q97.sql): how many (customer, item) "
+    "purchase pairs exist only in the store channel, only in catalog, "
+    "or in both — GROUP BY-deduped per channel, FULL OUTER joined on "
+    "the composite key, bucketed by null-side. d_month_seq 1200+11 -> "
+    "23976+11. Single-row output of three exact counts.",
+    extra=_Q97_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q98 — revenue ratio-to-class via window over aggregate
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q98",
+    ["store_sales", "item", "date_dim"],
+    """
+SELECT i_item_desc, i_category, i_class, i_current_price_cents,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS itemrevenue_cents,
+       CAST(SUM(ss_ext_sales_price_cents) AS DOUBLE) * 100 /
+       CAST(SUM(CAST(SUM(ss_ext_sales_price_cents) AS BIGINT))
+            OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+FROM store_sales, item, date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('LARGE', 'SMALL', 'PROMO')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1998-02-22' AND DATE '1998-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price_cents
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+""",
+    "TPC-DS q98 (reference inputs/q98.sql): item revenue and its "
+    "percentage share of the item-class total — a window aggregate OVER "
+    "the grouped aggregate (SUM(SUM(..)) OVER (PARTITION BY i_class)). "
+    "The inner window operand and the window result are both pinned to "
+    "BIGINT (DuckDB widens window sums to HUGEINT) and the share is one "
+    "IEEE multiply+divide of exact cents. Categories retuned to the "
+    "derived p_type domain; the +30-day INTERVAL endpoint is written as "
+    "a literal date. Sort prefix (category, class, i_item_id) is unique "
+    "per row (i_item_id is grouped and 1:1 with the item): LIMIT-safe.",
 )

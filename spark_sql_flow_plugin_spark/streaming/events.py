@@ -240,7 +240,67 @@ def stream_click_purchase_join(spark, sf_dir):
     return _click_purchase_pipeline(spark, sf_dir)
 
 
-def _click_purchase_pipeline(spark, sf_dir, empty: bool = False):
+@register(
+    "stream_click_purchase_left",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(c_ts) FROM c),
+                             (SELECT max(p_ts) FROM p))
+                       - INTERVAL 1 HOUR AS w)
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           CAST(date_diff('second', c.c_ts, p.p_ts) AS BIGINT) AS gap_s
+    FROM c JOIN p
+      ON c.user_id = p.p_user
+     AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.user_id, c.click_id,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS gap_s
+    FROM c, wm
+    WHERE NOT EXISTS
+          (SELECT 1 FROM p
+           WHERE c.user_id = p.p_user
+             AND p.p_ts >= c.c_ts
+             AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+      AND c.c_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    "streaming",
+    "stream-exec",
+)
+def stream_click_purchase_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the shape the inner
+    attribution join cannot express: clicks that never converted are
+    emitted with NULL purchase columns, but only once the event-time
+    watermark proves no future purchase can match. That proof is the whole
+    point of watermarked outer joins (SPARK-24288 family): an unmatched
+    click row sits in the left state store until
+    ``c_ts + 30 min < globalWatermark`` and only then is it both evicted
+    and emitted as a null-extended row; clicks newer than that horizon
+    produce NOTHING — not even a null row — because a match could still
+    arrive.
+
+    The oracle encodes exactly that semantics rather than a batch left
+    join: matched rows are the plain interval join, and the null-extended
+    rows are gated on ``c_ts + 30 min < min(max(c_ts), max(p_ts)) − 1 h``
+    — the final global watermark of the availableNow run (two watermark
+    nodes, min policy; the trailing no-data micro-batch
+    (``noDataMicroBatches``, on by default) is what advances the watermark
+    past the last data batch and flushes these rows to the sink). A naive
+    batch LEFT JOIN oracle would overcount: clicks inside the final
+    90-minute horizon are unmatched-but-undecided, and a continuous
+    pipeline would hold them in state rather than emit them.
+
+    At 100 TB the same predicate is the state bound: left-state size is
+    ~(clicks per 90 min of event time), independent of stream length.
+    """
+    return _click_purchase_pipeline(spark, sf_dir, how="leftOuter")
+
+
+def _click_purchase_pipeline(
+    spark, sf_dir, empty: bool = False, how: str = "inner"
+):
     """The click→purchase interval-join pipeline. ``empty=True`` keeps the
     exact plan shape (same readStream, watermarks, state stores per shuffle
     partition) but filters the source to zero rows — bench.py uses it to
@@ -274,6 +334,7 @@ def _click_purchase_pipeline(spark, sf_dir, empty: bool = False):
             "user_id = p_user AND p_ts >= c_ts "
             "AND p_ts <= c_ts + interval 30 minutes"
         ),
+        how,
     ).select(
         "user_id",
         "click_id",

@@ -51,8 +51,17 @@ def main() -> None:
         load(spark, sf_dir, t)[t].count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # optional comma-separated subset (re-time specific queries without
+    # paying for the whole headline set); empty/unset = all
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
     timings: dict[str, float] = {}
     for name in headline_names():
+        if only and name not in only:
+            continue
         best = float("inf")
         for _ in range(n_runs):
             # every run recomputes from parquet: queries that persist()

@@ -888,3 +888,234 @@ def bpe_train_merges(spark, sf_dir):
             ),
         ).localCheckpoint()
     return spark.createDataFrame(learned, "rank int, pair string, cnt bigint")
+
+
+# --- Unigram (SentencePiece-style) Viterbi tokenization ---------------------
+# The second major tokenizer family next to BPE: segment each word into the
+# best-scoring sequence of vocabulary pieces via dynamic programming. The
+# classic unigram LM maximizes sum-of-log-probs; logs are libm-dependent and
+# can never be cross-engine bit-exact, so the objective here is the integer
+# lexicographic surrogate (fewest pieces, then most-frequent pieces):
+#   cost(piece) = M - freq(piece),  M > any achievable sum of frequencies,
+# which a Viterbi DP minimizes exactly — the argmax segmentation of a
+# frequency-calibrated unigram model under coarse quantization, with every
+# comparison in BIGINT arithmetic.
+_UNI_L = 16  # max word length (chars); corpus vocab words are <= 8
+_UNI_K = 4  # max piece length
+_UNI_P = 48  # multi-char piece budget (top-P by freq DESC, piece ASC)
+_UNI_M = 1 << 40  # per-piece base cost; dominates any freq sum
+_UNI_INF = 1 << 50  # "no piece / out of range" sentinel
+
+
+def _duck_unigram_sql() -> str:
+    """Unrolled DuckDB twin of the Spark HOF-fold Viterbi (DuckDB's
+    list_reduce is a first-element reduce, not a seeded fold, so the DP
+    and the backtrace are unrolled into _UNI_L materialized stages)."""
+    L, K, P, M, INF = _UNI_L, _UNI_K, _UNI_P, _UNI_M, _UNI_INF
+    stages = [
+        f"""vocab AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ, length(w) AS len
+        FROM (SELECT unnest({_DUCK_WTOKS}) AS w FROM documents)
+        WHERE regexp_matches(w, '{_BPE_WORD_RE}') AND length(w) <= {L}
+        GROUP BY w)""",
+        f"""grid AS (
+        SELECT i, k FROM (SELECT unnest(generate_series(1, {L})) AS i),
+                         (SELECT unnest(generate_series(1, {K})) AS k))""",
+        f"""piece_occ AS MATERIALIZED (
+        SELECT piece, CAST(SUM(n_occ) AS BIGINT) AS freq
+        FROM (SELECT v.n_occ, substr(v.w, g.i, g.k) AS piece
+              FROM vocab v, grid g
+              WHERE g.i + g.k - 1 <= v.len)
+        GROUP BY piece)""",
+        f"""pieces AS MATERIALIZED (
+        SELECT piece, freq FROM (
+            SELECT piece, freq FROM piece_occ WHERE length(piece) >= 2
+            ORDER BY freq DESC, piece LIMIT {P})
+        UNION ALL
+        SELECT piece, freq FROM piece_occ WHERE length(piece) = 1)""",
+        f"""wcost AS MATERIALIZED (
+        SELECT v.w, v.n_occ, v.len,
+               list_transform(
+                   array_agg({{'j': (g.i - 1) * {K} + g.k,
+                               'c': CASE WHEN g.i + g.k - 1 <= v.len
+                                          AND p.freq IS NOT NULL
+                                         THEN {M} - p.freq
+                                         ELSE {INF} END}}
+                             ORDER BY (g.i - 1) * {K} + g.k),
+                   e -> e.c) AS pc
+        FROM vocab v
+        CROSS JOIN grid g
+        LEFT JOIN pieces p
+               ON g.i + g.k - 1 <= v.len AND substr(v.w, g.i, g.k) = p.piece
+        GROUP BY v.w, v.n_occ, v.len)""",
+        "d0 AS (SELECT w, n_occ, len, pc, [CAST(0 AS BIGINT)] AS best"
+        " FROM wcost)",
+    ]
+    for i in range(1, L + 1):
+        terms = ", ".join(
+            f"CASE WHEN {i} >= {k} THEN best[{i - k + 1}]"
+            f" + pc[{(i - k) * K + k}] ELSE {INF} END"
+            for k in range(1, K + 1)
+        )
+        stages.append(
+            f"d{i} AS (SELECT w, n_occ, len, pc, best ||"
+            f" [CASE WHEN {i} <= len THEN least({terms})"
+            f" ELSE CAST(0 AS BIGINT) END] AS best FROM d{i - 1})"
+        )
+    argmin_terms = ", ".join(
+        f"CASE WHEN i >= {k} THEN best[i - {k} + 1]"
+        f" + pc[(i - {k}) * {K} + {k}] ELSE {INF} END"
+        for k in range(1, K + 1)
+    )
+    stages.append(
+        f"""bpt AS MATERIALIZED (
+        SELECT w, n_occ, len,
+               list_transform(generate_series(1, len), i ->
+                   CAST(list_position([{argmin_terms}], best[i + 1]) AS INT))
+                   AS bp
+        FROM d{L})""",
+    )
+    stages.append(
+        "s0 AS (SELECT w, n_occ, bp, len AS pos,"
+        " CAST([] AS VARCHAR[]) AS toks FROM bpt)"
+    )
+    for i in range(1, L + 1):
+        stages.append(
+            f"s{i} AS (SELECT w, n_occ, bp,"
+            f" CASE WHEN pos > 0 THEN pos - bp[pos] ELSE pos END AS pos,"
+            f" CASE WHEN pos > 0 THEN"
+            f" toks || [substr(w, pos - bp[pos] + 1, bp[pos])]"
+            f" ELSE toks END AS toks FROM s{i - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+    SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM (SELECT w, n_occ, unnest(toks) AS token FROM s{L})
+    GROUP BY token"""
+    )
+
+
+@register(
+    "unigram_tokenize_viterbi",
+    _duck_unigram_sql(),
+    "text",
+    "llm-pipeline",
+)
+def unigram_tokenize_viterbi(spark, sf_dir):
+    """Unigram-LM (SentencePiece-family) tokenization: per-word Viterbi DP
+    over a corpus-trained piece vocabulary — the standard alternative to
+    BPE for LLM tokenizers (Kudo 2018). Pieces are all corpus substrings
+    of length <= 4 weighted by word occurrences, capped at the top-48
+    multi-char pieces plus every single character (so segmentation is
+    always feasible, the cap itself a distributed TakeOrderedAndProject
+    top-K, not a single-partition window); the DP minimizes the integer
+    cost
+    ``n_pieces * 2^40 - sum(freq)`` — fewest pieces first, then highest
+    total piece frequency, a coarse-quantized stand-in for max log-prob
+    that stays bit-exact in BIGINT arithmetic on both engines.
+
+    Scale posture: everything after the one vocab GROUP BY is ROW-LOCAL
+    per distinct word. The DP is a single ``aggregate()`` (HOF fold) over
+    ``sequence(1, len)`` with the cost table pre-flattened into a dense
+    64-slot array — no recursion, no per-position shuffle, no Python; the
+    piece table join is vocab x 64 rows (vocabulary-sized, never
+    corpus-sized). The backtrace is a second fold walking the argmin
+    array. DuckDB has no seeded fold, so the oracle unrolls both loops
+    into 16 materialized stages computing the identical integer DP.
+
+    Engine notes: Spark's ``aggregate`` initial value must be typed
+    (``CAST(array(0L) AS array<bigint>)``); the argmin is recovered
+    after the fold as ``array_position`` of the achieved optimum (first
+    match = smallest k, mirrored by DuckDB ``list_position``). The cost
+    array is keyed by piece START: the transition ending at position i
+    with length k reads slot ``(i-k)*K + k`` (piece ``w[i-k+1 .. i]``
+    starts at i-k+1). Keying by END — ``(i-1)*K + k`` — is the classic
+    off-by-one: both engines stay mutually consistent (the oracle still
+    matches!) while silently pricing the wrong piece; only the
+    independent Python-DP reference in tests/test_unigram_viterbi.py
+    catches it."""
+    L, K, P, M, INF = _UNI_L, _UNI_K, _UNI_P, _UNI_M, _UNI_INF
+    d = load(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("uni_docs_src")
+    terms = ", ".join(
+        f"IF(i >= {k}, element_at(acc, i - {k} + 1)"
+        f" + element_at(pc, (i - {k}) * {K} + {k}), {INF}L)"
+        for k in range(1, K + 1)
+    )
+    argmin_terms = ", ".join(
+        f"IF(i >= {k}, element_at(best, i - {k} + 1)"
+        f" + element_at(pc, (i - {k}) * {K} + {k}), {INF}L)"
+        for k in range(1, K + 1)
+    )
+    return spark.sql(
+        f"""
+        WITH vocab AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ, length(w) AS len
+            FROM (SELECT explode({_SPARK_WTOKS}) AS w FROM uni_docs_src)
+            WHERE w RLIKE '{_BPE_WORD_RE}' AND length(w) <= {L}
+            GROUP BY w),
+        grid AS (
+            SELECT i, k
+            FROM (SELECT explode(sequence(1, {L})) AS i)
+            CROSS JOIN (SELECT explode(sequence(1, {K})) AS k)),
+        piece_occ AS (
+            SELECT piece, CAST(SUM(n_occ) AS BIGINT) AS freq
+            FROM (SELECT v.n_occ, substr(v.w, g.i, g.k) AS piece
+                  FROM vocab v CROSS JOIN grid g
+                  WHERE g.i + g.k - 1 <= v.len)
+            GROUP BY piece),
+        pieces AS (
+            SELECT piece, freq FROM (
+                SELECT piece, freq FROM piece_occ WHERE length(piece) >= 2
+                ORDER BY freq DESC, piece LIMIT {P})
+            UNION ALL
+            SELECT piece, freq FROM piece_occ WHERE length(piece) = 1),
+        wcost AS (
+            SELECT v.w, v.n_occ, v.len,
+                   transform(
+                       array_sort(collect_list(
+                           struct((g.i - 1) * {K} + g.k AS j,
+                                  CASE WHEN g.i + g.k - 1 <= v.len
+                                        AND p.freq IS NOT NULL
+                                       THEN {M}L - p.freq
+                                       ELSE {INF}L END AS c))),
+                       e -> e.c) AS pc
+            FROM vocab v
+            CROSS JOIN grid g
+            LEFT JOIN pieces p
+                   ON g.i + g.k - 1 <= v.len AND substr(v.w, g.i, g.k) = p.piece
+            GROUP BY v.w, v.n_occ, v.len),
+        dp AS (
+            SELECT w, n_occ, len, pc,
+                   aggregate(
+                       sequence(1, len),
+                       CAST(array(0L) AS array<bigint>),
+                       (acc, i) -> acc || array(least({terms}))) AS best
+            FROM wcost),
+        bpt AS (
+            SELECT w, n_occ, len,
+                   transform(sequence(1, len), i ->
+                       CAST(array_position(array({argmin_terms}),
+                                           element_at(best, i + 1)) AS INT))
+                       AS bp
+            FROM dp),
+        segs AS (
+            SELECT w, n_occ,
+                   aggregate(
+                       sequence(1, len),
+                       named_struct('pos', len,
+                                    'toks', CAST(array() AS array<string>)),
+                       (acc, x) -> IF(acc.pos <= 0, acc,
+                           named_struct(
+                               'pos', acc.pos - element_at(bp, acc.pos),
+                               'toks', acc.toks || array(substr(w,
+                                   acc.pos - element_at(bp, acc.pos) + 1,
+                                   element_at(bp, acc.pos)))))) AS st
+            FROM bpt)
+        SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+        FROM (SELECT w, n_occ, explode(st.toks) AS token FROM segs)
+        GROUP BY token
+        """
+    )

@@ -59,9 +59,13 @@ def main() -> None:
         if q.strip()
     }
     timings: dict[str, float] = {}
-    for name in headline_names():
-        if only and name not in only:
-            continue
+    # the subset may name ANY registry query (e.g. pack_sequences_running for
+    # the sf1 scale-proof run), not just bench-tagged ones; unset = headline set
+    run_names = [n for n in headline_names() if n in only] if only else headline_names()
+    run_names += sorted(only - set(run_names))
+    for name in run_names:
+        if name not in qs:
+            raise SystemExit(f"unknown query in SPARK_GRAFT_BENCH_ONLY: {name}")
         best = float("inf")
         for _ in range(n_runs):
             # every run recomputes from parquet: queries that persist()

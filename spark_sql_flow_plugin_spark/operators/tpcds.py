@@ -94,16 +94,32 @@ _LI_ORD = "lineitem JOIN orders ON l_orderkey = o_orderkey"
 
 
 def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
-    """One channel's sales fact CTE body (store=0, catalog=1, web=2)."""
+    """One channel's sales fact CTE body (store=0, catalog=1, web=2).
+
+    Ship-side columns (added for the round-6 batch-2 queries): ship date =
+    the lineitem's l_shipdate, ship mode/warehouse/web-site sks are pure key
+    functions, and ship_customer/ship_addr carry a sparse deterministic NULL
+    (~2% of rows, ``% 53 = 0`` / ``% 59 = 0``) — TPC-DS facts have nullable
+    FKs and q76-family queries exist precisely to count them.
+    """
     p = prefix
     return f"""(
   SELECT {{D_ORDER}} AS {p}_sold_date_sk,
          {_TIME_SK} AS {p}_sold_time_sk,
+         {{D_SHIP}} AS {p}_ship_date_sk,
          l_partkey AS {p}_item_sk,
          o_custkey AS {cust},
          1 + o_custkey % 100 AS {p}_cdemo_sk,
          1 + (o_custkey + l_partkey) % 50 AS {p}_hdemo_sk,
+         1 + (o_custkey * 3 + l_partkey) % 50 AS {p}_ship_hdemo_sk,
          o_custkey AS {p}_addr_sk,
+         CASE WHEN (o_orderkey + l_partkey) % 53 = 0 THEN NULL
+              ELSE o_custkey END AS {p}_ship_customer_sk,
+         CASE WHEN (o_orderkey * 31 + l_partkey) % 59 = 0 THEN NULL
+              ELSE o_custkey END AS {p}_ship_addr_sk,
+         1 + (l_orderkey + l_suppkey) % 5 AS {p}_ship_mode_sk,
+         1 + l_suppkey % 5 AS {p}_warehouse_sk,
+         1 + l_suppkey % 6 AS {p}_web_site_sk,
          1 + l_partkey % 30 AS {p}_promo_sk,
          {loc},
          o_orderkey AS {ordno},
@@ -118,15 +134,18 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
   WHERE l_linenumber % 3 = {channel})"""
 
 
-def _returns(prefix: str, channel: int, loc: str, amt: str) -> str:
+def _returns(prefix: str, channel: int, loc: str, amt: str,
+             ordno: str | None = None) -> str:
     p = prefix
+    ordno = ordno or f"{p}_order_number"
     return f"""(
   SELECT {{D_SHIP}} + 14 AS {p}_returned_date_sk,
          l_partkey AS {p}_item_sk,
          o_custkey AS {p}_customer_sk,
          {loc},
-         o_orderkey AS {p}_order_number,
-         CAST(l_quantity AS INT) AS {p}_return_quantity,
+         o_orderkey AS {ordno},
+         1 + (o_orderkey + l_partkey) % 10 AS {p}_reason_sk,
+         CAST(ceil(l_quantity / 2.0) AS INT) AS {p}_return_quantity,
          {_SALESP} AS {amt},
          CAST(floor(l_extendedprice * 10) AS BIGINT) AS {p}_net_loss_cents
   FROM {_LI_ORD}
@@ -155,7 +174,8 @@ _SHIM: dict[str, str] = {
               SELECT CAST(l_shipdate AS DATE) + 14 AS d_date FROM lineitem
              ) raw_dates) days)""",
     "store_sales": _sales("ss", 0, "ss_customer_sk",
-                          "1 + l_suppkey % 8 AS ss_store_sk",
+                          "CASE WHEN (o_orderkey * 31 + l_partkey) % 53 = 0 "
+                          "THEN NULL ELSE 1 + l_suppkey % 8 END AS ss_store_sk",
                           "ss_ticket_number"),
     "catalog_sales": _sales("cs", 1, "cs_bill_customer_sk",
                             "1 + l_suppkey % 4 AS cs_call_center_sk",
@@ -164,7 +184,7 @@ _SHIM: dict[str, str] = {
                         "1 + l_suppkey % 10 AS ws_web_page_sk",
                         "ws_order_number"),
     "store_returns": _returns("sr", 0, "1 + l_suppkey % 8 AS sr_store_sk",
-                              "sr_return_amt_cents"),
+                              "sr_return_amt_cents", "sr_ticket_number"),
     "catalog_returns": _returns("cr", 1,
                                 "1 + l_suppkey % 4 AS cr_call_center_sk",
                                 "cr_return_amount_cents"),
@@ -177,6 +197,8 @@ _SHIM: dict[str, str] = {
          p_brand AS i_brand,
          CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
          p_type AS i_category,
+         CAST(length(p_type) * 31 + ascii(substr(p_type, 1, 1)) AS INT)
+             AS i_category_id,
          concat('class_', CAST(p_size % 5 AS {VSTR})) AS i_class,
          1 + p_partkey % 50 AS i_manufact_id,
          concat('manufact_', CAST(1 + p_partkey % 50 AS {VSTR})) AS i_manufact,
@@ -200,7 +222,10 @@ _SHIM: dict[str, str] = {
   SELECT c_custkey AS ca_address_sk,
          concat('S', lpad(CAST(c_nationkey AS {VSTR}), 2, '0')) AS ca_state,
          concat('county_', CAST(c_nationkey % 8 AS {VSTR})) AS ca_county,
-         concat('city_', CAST(c_custkey % 40 AS {VSTR})) AS ca_city
+         concat('city_', CAST(c_custkey % 40 AS {VSTR})) AS ca_city,
+         lpad(CAST(10000 + (c_custkey * 37) % 90000 AS {VSTR}), 5, '0')
+             AS ca_zip,
+         CASE WHEN c_nationkey % 2 = 0 THEN -5 ELSE -6 END AS ca_gmt_offset
   FROM customer)""",
     "customer_demographics": """(
   SELECT cd_demo_sk,
@@ -230,7 +255,15 @@ _SHIM: dict[str, str] = {
          concat('county_', CAST(s_store_sk % 4 AS {VSTR})) AS s_county,
          concat('city_', CAST(s_store_sk % 3 AS {VSTR})) AS s_city,
          concat('S', lpad(CAST(s_store_sk % 5 AS {VSTR}), 2, '0')) AS s_state,
-         100 + CAST(s_store_sk AS INT) * 25 AS s_number_employees
+         100 + CAST(s_store_sk AS INT) * 25 AS s_number_employees,
+         CAST(s_store_sk % 3 AS INT) AS s_company_id,
+         CAST(100 + s_store_sk * 7 AS {VSTR}) AS s_street_number,
+         concat('street_', CAST(s_store_sk % 6 AS {VSTR})) AS s_street_name,
+         CASE WHEN s_store_sk % 2 = 0 THEN 'Ave' ELSE 'Blvd' END
+             AS s_street_type,
+         concat('Suite ', CAST(s_store_sk * 10 AS {VSTR})) AS s_suite_number,
+         lpad(CAST(10000 + s_store_sk * 1111 AS {VSTR}), 5, '0') AS s_zip,
+         CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS s_gmt_offset
   FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
     "call_center": """(
   SELECT cc_call_center_sk,
@@ -239,7 +272,8 @@ _SHIM: dict[str, str] = {
         FROM supplier) c)""",
     "web_page": """(
   SELECT wp_web_page_sk,
-         concat('page_', CAST(wp_web_page_sk AS {VSTR})) AS wp_url
+         concat('page_', CAST(wp_web_page_sk AS {VSTR})) AS wp_url,
+         CAST(5000 + wp_web_page_sk * 25 AS INT) AS wp_char_count
   FROM (SELECT DISTINCT 1 + s_suppkey % 10 AS wp_web_page_sk
         FROM supplier) w)""",
     "promotion": """(
@@ -247,7 +281,8 @@ _SHIM: dict[str, str] = {
          concat('promo_', CAST(p_promo_sk AS {VSTR})) AS p_promo_name,
          CASE WHEN p_promo_sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
          CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
-         CASE WHEN p_promo_sk % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
+         CASE WHEN p_promo_sk % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE WHEN p_promo_sk % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM (SELECT DISTINCT 1 + p_partkey % 30 AS p_promo_sk FROM part) p)""",
     "warehouse": """(
   SELECT w_warehouse_sk,
@@ -256,6 +291,25 @@ _SHIM: dict[str, str] = {
          1000 * CAST(w_warehouse_sk AS INT) AS w_warehouse_sq_ft
   FROM (SELECT DISTINCT 1 + s_suppkey % 5 AS w_warehouse_sk
         FROM supplier) w)""",
+    "ship_mode": """(
+  SELECT sm_ship_mode_sk,
+         CASE sm_ship_mode_sk WHEN 1 THEN 'EXPRESS' WHEN 2 THEN 'OVERNIGHT'
+              WHEN 3 THEN 'REGULAR' WHEN 4 THEN 'TWO DAY'
+              ELSE 'LIBRARY' END AS sm_type,
+         concat('carrier_', CAST(sm_ship_mode_sk AS {VSTR})) AS sm_carrier
+  FROM (SELECT DISTINCT 1 + (l_orderkey + l_suppkey) % 5 AS sm_ship_mode_sk
+        FROM lineitem) m)""",
+    "web_site": """(
+  SELECT web_site_sk,
+         concat('site_', CAST(web_site_sk AS {VSTR})) AS web_name,
+         concat('WEB', lpad(CAST(web_site_sk AS {VSTR}), 4, '0'))
+             AS web_site_id
+  FROM (SELECT DISTINCT 1 + s_suppkey % 6 AS web_site_sk FROM supplier) w)""",
+    "reason": """(
+  SELECT r_reason_sk,
+         concat('reason ', CAST(r_reason_sk AS {VSTR})) AS r_reason_desc
+  FROM (SELECT DISTINCT 1 + (o_orderkey + l_partkey) % 10 AS r_reason_sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) r)""",
     "inventory": """(
   SELECT {D_SHIP} AS inv_date_sk,
          l_partkey AS inv_item_sk,
@@ -887,7 +941,7 @@ WHERE d1.d_year BETWEEN 1996 AND 1998
   AND s_store_sk = ss_store_sk
   AND ss_customer_sk = sr_customer_sk
   AND ss_item_sk = sr_item_sk
-  AND ss_ticket_number = sr_order_number
+  AND ss_ticket_number = sr_ticket_number
   AND sr_returned_date_sk = d2.d_date_sk
   AND d2.d_year BETWEEN 1996 AND 1998
   AND sr_customer_sk = cs_bill_customer_sk
@@ -901,7 +955,7 @@ LIMIT 100
     "TPC-DS q25 (reference inputs/q25.sql): items sold in store, "
     "returned, then re-bought through the catalog — a three-fact join "
     "chain through three date_dim aliases. The derived store_returns "
-    "carries sr_order_number (= the originating o_orderkey, which IS the "
+    "carries sr_ticket_number (= the originating o_orderkey, which IS the "
     "derived ss_ticket_number), so the ticket equi-join keeps its "
     "fact-to-fact meaning. Month windows (Apr / Apr-Oct 2001) widened to "
     "the shared 1996-1998 years: the derived catalog re-purchase "
@@ -1188,4 +1242,450 @@ LIMIT 100
     "derived p_type domain; the +30-day INTERVAL endpoint is written as "
     "a literal date. Sort prefix (category, class, i_item_id) is unique "
     "per row (i_item_id is grouped and 1:1 with the item): LIMIT-safe.",
+)
+
+# ===========================================================================
+# round-6 batch 2: q36 q38 q42 q43 q45 q50 q61 q62 q76 q90 q93
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# q36 — gross margin ROLLUP with rank-within-GROUPING-parent
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q36",
+    ["store_sales", "date_dim", "item", "store"],
+    """
+SELECT
+  CAST(SUM(ss_net_profit_cents) AS DOUBLE)
+      / CAST(SUM(ss_ext_sales_price_cents) AS DOUBLE) AS gross_margin,
+  i_category, i_class,
+  CAST(grouping(i_category) + grouping(i_class) AS INT) AS lochierarchy,
+  CAST(rank() OVER (
+    PARTITION BY grouping(i_category) + grouping(i_class),
+      CASE WHEN grouping(i_class) = 0 THEN i_category END
+    ORDER BY CAST(SUM(ss_net_profit_cents) AS DOUBLE)
+      / CAST(SUM(ss_ext_sales_price_cents) AS DOUBLE) ASC) AS INT)
+      AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 1997
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN ('S01', 'S02', 'S03')
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+  CASE WHEN lochierarchy = 0 THEN i_category END,
+  rank_within_parent
+LIMIT 100
+""",
+    "TPC-DS q36 (reference inputs/q36.sql): gross-margin ROLLUP over "
+    "(category, class) with rank() PARTITIONed BY the GROUPING() level — "
+    "the one query shape where grouping() feeds a window. Margin = one "
+    "IEEE division of two exact-cents BIGINT sums. 6 categories x 5 "
+    "classes -> <= 37 rows, under the LIMIT, so cross-engine NULLS "
+    "ordering cannot bite. States retuned to the derived S0x domain; "
+    "year 2001 -> 1997.",
+)
+
+# ---------------------------------------------------------------------------
+# q38 — 3-channel INTERSECT of (last name, first name, day) shoppers
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q38",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim", "customer_dim"],
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM (
+       SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer_dim
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer_dim.c_customer_sk
+         AND d_month_seq BETWEEN 23952 AND 23952 + 11
+       INTERSECT
+       SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer_dim
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer_dim.c_customer_sk
+         AND d_month_seq BETWEEN 23952 AND 23952 + 11
+       INTERSECT
+       SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer_dim
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer_dim.c_customer_sk
+         AND d_month_seq BETWEEN 23952 AND 23952 + 11
+     ) hot_cust
+LIMIT 100
+""",
+    "TPC-DS q38 (reference inputs/q38.sql): customers who bought through "
+    "all three channels on the same day — DISTINCT projections chained "
+    "with two INTERSECTs (set semantics identical in Spark and DuckDB), "
+    "then a bare COUNT. d_month_seq 1200+11 retuned to the derived "
+    "epoch (1996 = 23952). Single row: LIMIT trivially safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q42 — category star for one manager-month
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q42",
+    ["date_dim", "store_sales", "item"],
+    """
+SELECT dt.d_year, item.i_category_id, item.i_category,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS sum_sales_cents
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11
+  AND dt.d_year = 1998
+GROUP BY dt.d_year, item.i_category_id, item.i_category
+ORDER BY sum_sales_cents DESC, dt.d_year, item.i_category_id,
+  item.i_category
+LIMIT 100
+""",
+    "TPC-DS q42 (reference inputs/q42.sql): single-month category star "
+    "sliced by manager. i_category_id is a pure deterministic function "
+    "of the category string (length*31 + ascii of first char), so the "
+    "(id, name) group key is 1:1 with the category and the full sort "
+    "key is unique: LIMIT-safe. Year 2000 -> 1998.",
+)
+
+# ---------------------------------------------------------------------------
+# q43 — store day-of-week pivot
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q43",
+    ["date_dim", "store_sales", "store"],
+    """
+SELECT s_store_name, s_store_id,
+  CAST(SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS sun_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS mon_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS tue_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS wed_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS thu_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS fri_sales_cents,
+  CAST(SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price_cents
+    ELSE NULL END) AS BIGINT) AS sat_sales_cents
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5
+  AND d_year = 1998
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id
+LIMIT 100
+""",
+    "TPC-DS q43 (reference inputs/q43.sql): one row per store, one "
+    "exact-cents SUM(CASE) pivot column per weekday (d_day_name from "
+    "the dialect-normalized 0=Sunday DOW). <= 4 stores pass the "
+    "gmt_offset slice: LIMIT-safe on the unique (name, id) key alone, "
+    "so the reference's sum tie-breakers are dropped from the sort.",
+)
+
+# ---------------------------------------------------------------------------
+# q45 — zip OR item-IN-subquery web revenue
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q45",
+    ["web_sales", "customer_dim", "customer_address", "date_dim", "item"],
+    """
+SELECT ca_zip, ca_city,
+       CAST(SUM(ws_sales_price_cents) AS BIGINT) AS sum_ws_sales_cents
+FROM web_sales, customer_dim, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN
+  ('10037', '10074', '10111', '10148', '10185', '10222', '10259', '10296',
+   '10333')
+  OR
+  i_item_id IN (SELECT i_item_id
+  FROM item
+  WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+  )
+)
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+""",
+    "TPC-DS q45 (reference inputs/q45.sql): web revenue by customer "
+    "zip/city where the zip is on a hot list OR the item is in a keyed "
+    "subquery — a disjunction Catalyst cannot push into either scan, "
+    "forcing the OR to survive to the joined stream. Zips are the shim's "
+    "derived values for custkeys 1-9; item sks keep the reference's "
+    "primes. Group key (zip, city) is unique per customer cohort: "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q50 — return-latency bucket pivot per store
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q50",
+    ["store_sales", "store_returns", "store", "date_dim"],
+    """
+SELECT
+  s_store_name, s_company_id, s_street_number, s_street_name,
+  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 60)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 90)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_over_120
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 1998
+    AND d2.d_moy = 9
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100
+""",
+    "TPC-DS q50 (reference inputs/q50.sql): per-store return-latency "
+    "histogram — the (ticket, item, customer) sale-to-return self-path "
+    "through two date_dim aliases, bucket arithmetic directly on the "
+    "epoch-day surrogate keys. Derived return latency = ship-order "
+    "lag + 14 days, so every bucket is populated. <= 8 stores: "
+    "LIMIT-safe on the full unique address group key.",
+)
+
+# ---------------------------------------------------------------------------
+# q61 — promotional vs total sales, two single-row scalar branches
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q61",
+    ["store_sales", "store", "promotion", "date_dim", "customer_dim",
+     "customer_address", "item"],
+    """
+SELECT promotions_cents, total_cents,
+       CAST(promotions_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 100
+           AS promo_pct
+FROM
+  (SELECT CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS promotions_cents
+  FROM store_sales, store, promotion, date_dim, customer_dim,
+       customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_promo_sk = p_promo_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5
+    AND i_category = 'PROMO'
+    AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+         OR p_channel_tv = 'Y')
+    AND s_gmt_offset = -5
+    AND d_year = 1996
+    AND d_moy = 11) promotional_sales,
+  (SELECT CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS total_cents
+  FROM store_sales, store, date_dim, customer_dim, customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5
+    AND i_category = 'PROMO'
+    AND s_gmt_offset = -5
+    AND d_year = 1996
+    AND d_moy = 11) all_sales
+ORDER BY promotions_cents, total_cents
+LIMIT 100
+""",
+    "TPC-DS q61 (reference inputs/q61.sql): promotional share of one "
+    "month's store revenue — two single-row aggregate subqueries cross "
+    "joined (BroadcastNestedLoopJoin over exactly 1x1 rows), ratio as "
+    "one IEEE divide+multiply of exact cents. 'Jewelry' -> the derived "
+    "'PROMO' category; gmt/tv-channel filters hit the new shim columns. "
+    "Single row: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q62 — web shipping-latency buckets by warehouse x ship mode x site
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q62",
+    ["web_sales", "warehouse", "ship_mode", "web_site", "date_dim"],
+    """
+SELECT
+  substr(w_warehouse_name, 1, 20) AS warehouse_name,
+  sm_type, web_name,
+  CAST(SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+  CAST(SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 60)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+  CAST(SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 90)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+  CAST(SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+  CAST(SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_over_120
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 23952 AND 23952 + 11
+    AND ws_ship_date_sk = d_date_sk
+    AND ws_warehouse_sk = w_warehouse_sk
+    AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND ws_web_site_sk = web_site_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY warehouse_name, sm_type, web_name
+LIMIT 100
+""",
+    "TPC-DS q62 (reference inputs/q62.sql): order-to-ship latency "
+    "histogram across warehouse x ship-mode x web-site — the ship_mode "
+    "and web_site dims plus ws_ship_date_sk/ws_ship_mode_sk/"
+    "ws_warehouse_sk/ws_web_site_sk fact columns exist for this family. "
+    "5 warehouses x 5 modes x 6 sites = <= 150 groups but the unique "
+    "full group key is the whole sort: deterministic under LIMIT. "
+    "Month_seq 1200 retuned to 23952 (1996).",
+)
+
+# ---------------------------------------------------------------------------
+# q76 — NULL-foreign-key sales counts across channels
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q76",
+    ["store_sales", "web_sales", "catalog_sales", "item", "date_dim"],
+    """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+       CAST(SUM(ext_sales_price_cents) AS BIGINT) AS sales_amt_cents
+FROM (
+       SELECT 'store' AS channel, ss_store_sk AS col_name, d_year, d_qoy,
+              i_category, ss_ext_sales_price_cents AS ext_sales_price_cents
+       FROM store_sales, item, date_dim
+       WHERE ss_store_sk IS NULL
+         AND ss_sold_date_sk = d_date_sk
+         AND ss_item_sk = i_item_sk
+       UNION ALL
+       SELECT 'web' AS channel, ws_ship_customer_sk AS col_name, d_year,
+              d_qoy, i_category,
+              ws_ext_sales_price_cents AS ext_sales_price_cents
+       FROM web_sales, item, date_dim
+       WHERE ws_ship_customer_sk IS NULL
+         AND ws_sold_date_sk = d_date_sk
+         AND ws_item_sk = i_item_sk
+       UNION ALL
+       SELECT 'catalog' AS channel, cs_ship_addr_sk AS col_name, d_year,
+              d_qoy, i_category,
+              cs_ext_sales_price_cents AS ext_sales_price_cents
+       FROM catalog_sales, item, date_dim
+       WHERE cs_ship_addr_sk IS NULL
+         AND cs_sold_date_sk = d_date_sk
+         AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100
+""",
+    "TPC-DS q76 (reference inputs/q76.sql): volume flowing through rows "
+    "whose channel-specific FK is NULL — the shim injects sparse "
+    "deterministic NULLs (~2%) into ss_store_sk, ws_ship_customer_sk and "
+    "cs_ship_addr_sk precisely so this family is non-degenerate. "
+    "col_name is NULL on every surviving row, so the NULL position in "
+    "the sort is moot; the remaining sort key is the unique group key: "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q90 — morning/evening web traffic ratio
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q90",
+    ["web_sales", "household_demographics", "time_dim", "web_page"],
+    """
+SELECT am_cnt, pm_cnt,
+       CAST(am_cnt AS DOUBLE) / CAST(pm_cnt AS DOUBLE) AS am_pm_ratio
+FROM (SELECT CAST(count(*) AS BIGINT) AS am_cnt
+FROM web_sales, household_demographics, time_dim, web_page
+WHERE ws_sold_time_sk = time_dim.t_time_sk
+  AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+  AND ws_web_page_sk = web_page.wp_web_page_sk
+  AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+  AND household_demographics.hd_dep_count = 6
+  AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_tab,
+  (SELECT CAST(count(*) AS BIGINT) AS pm_cnt
+  FROM web_sales, household_demographics, time_dim, web_page
+  WHERE ws_sold_time_sk = time_dim.t_time_sk
+    AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+    AND ws_web_page_sk = web_page.wp_web_page_sk
+    AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+    AND household_demographics.hd_dep_count = 6
+    AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt_tab
+ORDER BY am_pm_ratio
+LIMIT 100
+""",
+    "TPC-DS q90 (reference inputs/q90.sql): ratio of 8-10am to 7-9pm "
+    "web orders for one dependent-count cohort on mid-size pages — two "
+    "single-row counting branches cross joined, using the new "
+    "ws_ship_hdemo_sk fact column and wp_char_count page attribute. "
+    "Counts emitted alongside the one-IEEE-division ratio so the oracle "
+    "checks exact integers, not just the float. 'at' aliased (reserved "
+    "word in DuckDB). Single row: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q93 — customer net revenue after reason-filtered returns
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q93",
+    ["store_sales", "store_returns", "reason"],
+    """
+SELECT ss_customer_sk, CAST(SUM(act_sales) AS BIGINT) AS sumsales_cents
+FROM (SELECT
+  ss_item_sk, ss_ticket_number, ss_customer_sk,
+  CASE WHEN sr_return_quantity IS NOT NULL
+    THEN CAST(ss_quantity - sr_return_quantity AS BIGINT)
+         * ss_sales_price_cents
+  ELSE CAST(ss_quantity AS BIGINT) * ss_sales_price_cents END act_sales
+FROM store_sales
+  LEFT OUTER JOIN store_returns
+    ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number)
+  , reason
+WHERE sr_reason_sk = r_reason_sk AND r_reason_desc = 'reason 7') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales_cents, ss_customer_sk
+LIMIT 100
+""",
+    "TPC-DS q93 (reference inputs/q93.sql): per-customer revenue net of "
+    "returns — LEFT OUTER fact-to-fact join on (item, ticket) whose "
+    "NULL-extended side feeds a CASE, then an inner reason slice "
+    "('reason 28' -> the derived 'reason 7'). The shim's return "
+    "quantity is a partial return (ceil(q/2)), so the returned and "
+    "kept branches both contribute nonzero cents. act_sales multiplies "
+    "exact BIGINTs. Sort (sumsales, customer) is unique: LIMIT-safe.",
 )

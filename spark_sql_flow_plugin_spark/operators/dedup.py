@@ -211,10 +211,19 @@ def minhash_signatures(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     caches are released when the result is garbage-collected.
     """
     aug = augmented_documents(spark, sf_dir)
+    # Filter on size(toks), NOT size(shingles): a doc has >=1 3-gram
+    # shingle iff it has >=3 tokens, and the toks predicate costs one
+    # tokenization per row. Filtering on the computed shingle array is a
+    # scale trap: Catalyst collapses the projections and substitutes the
+    # full shingle expression into the Filter, re-inlining the tokenizer
+    # THREE TIMES PER LAMBDA ELEMENT (O(n_tokens) regex splits per row),
+    # and then pushes that filter below the repartition onto the parquet
+    # scan's few input splits — measured 213 s vs 3 s for the identical
+    # result at 110k docs (round-6 sf1 scale proof).
     sets = (
         aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= 3)
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-        .where(F.size("shingles") > 0)
         .persist()
     )
     # Signatures are ROW-LOCAL: hash each shingle once with a transform(),

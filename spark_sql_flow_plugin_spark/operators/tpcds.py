@@ -112,7 +112,8 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
          1 + o_custkey % 100 AS {p}_cdemo_sk,
          1 + (o_custkey + l_partkey) % 50 AS {p}_hdemo_sk,
          1 + (o_custkey * 3 + l_partkey) % 50 AS {p}_ship_hdemo_sk,
-         o_custkey AS {p}_addr_sk,
+         CASE WHEN (o_orderkey + l_partkey) % 7 = 0 THEN 1 + l_suppkey
+              ELSE o_custkey END AS {p}_addr_sk,
          CASE WHEN (o_orderkey + l_partkey) % 53 = 0 THEN NULL
               ELSE o_custkey END AS {p}_ship_customer_sk,
          CASE WHEN (o_orderkey * 31 + l_partkey) % 59 = 0 THEN NULL
@@ -128,6 +129,11 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
          {_LIST} AS {p}_list_price_cents,
          {_SALESP} AS {p}_sales_price_cents,
          {_COUPON} AS {p}_coupon_amt_cents,
+         {_COUPON} AS {p}_ext_discount_amt_cents,
+         CAST(floor(l_extendedprice * 55) AS BIGINT)
+             AS {p}_ext_wholesale_cost_cents,
+         CAST(floor(l_extendedprice * 5) AS BIGINT)
+             AS {p}_ext_ship_cost_cents,
          {_SALESP} AS {p}_net_paid_cents,
          {_PROFIT} AS {p}_net_profit_cents
   FROM {_LI_ORD}
@@ -162,6 +168,7 @@ _SHIM: dict[str, str] = {
          1 + CAST(floor((month(d_date) - 1) / 3.0) AS INT) AS d_qoy,
          year(d_date) * 12 + (month(d_date) - 1) AS d_month_seq,
          CAST(floor(d_date_sk / 7.0) AS BIGINT) AS d_week_seq,
+         {DOW} AS d_dow,
          CASE {DOW} WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
               WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
               WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
@@ -216,7 +223,10 @@ _SHIM: dict[str, str] = {
          substr(c_name, 10) AS c_last_name,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
              AS c_preferred_cust_flag,
-         concat('country_', CAST(c_nationkey AS {VSTR})) AS c_birth_country
+         concat('country_', CAST(c_nationkey AS {VSTR})) AS c_birth_country,
+         concat('login_', CAST(c_custkey AS {VSTR})) AS c_login,
+         concat('cust', CAST(c_custkey AS {VSTR}), '@example.com')
+             AS c_email_address
   FROM customer)""",
     "customer_address": """(
   SELECT c_custkey AS ca_address_sk,
@@ -288,7 +298,12 @@ _SHIM: dict[str, str] = {
   SELECT w_warehouse_sk,
          concat('warehouse_', CAST(w_warehouse_sk AS {VSTR}))
              AS w_warehouse_name,
-         1000 * CAST(w_warehouse_sk AS INT) AS w_warehouse_sq_ft
+         1000 * CAST(w_warehouse_sk AS INT) AS w_warehouse_sq_ft,
+         concat('city_', CAST(w_warehouse_sk % 3 AS {VSTR})) AS w_city,
+         concat('county_', CAST(w_warehouse_sk % 4 AS {VSTR})) AS w_county,
+         concat('S', lpad(CAST(w_warehouse_sk % 5 AS {VSTR}), 2, '0'))
+             AS w_state,
+         'UNITED STATES' AS w_country
   FROM (SELECT DISTINCT 1 + s_suppkey % 5 AS w_warehouse_sk
         FROM supplier) w)""",
     "ship_mode": """(
@@ -303,7 +318,9 @@ _SHIM: dict[str, str] = {
   SELECT web_site_sk,
          concat('site_', CAST(web_site_sk AS {VSTR})) AS web_name,
          concat('WEB', lpad(CAST(web_site_sk AS {VSTR}), 4, '0'))
-             AS web_site_id
+             AS web_site_id,
+         CASE WHEN web_site_sk % 2 = 0 THEN 'pri' ELSE 'able' END
+             AS web_company_name
   FROM (SELECT DISTINCT 1 + s_suppkey % 6 AS web_site_sk FROM supplier) w)""",
     "reason": """(
   SELECT r_reason_sk,
@@ -318,6 +335,7 @@ _SHIM: dict[str, str] = {
   FROM lineitem)""",
     "time_dim": f"""(
   SELECT t_time_sk,
+         t_time_sk AS t_time,
          CAST(floor(t_time_sk / 3600.0) AS INT) AS t_hour,
          CAST(floor((t_time_sk % 3600) / 60.0) AS INT) AS t_minute
   FROM (SELECT DISTINCT {_TIME_SK} AS t_time_sk FROM {_LI_ORD}) t)""",
@@ -1688,4 +1706,665 @@ LIMIT 100
     "quantity is a partial return (ceil(q/2)), so the returned and "
     "kept branches both contribute nonzero cents. act_sales multiplies "
     "exact BIGINTs. Sort (sumsales, customer) is unique: LIMIT-safe.",
+)
+
+# ===========================================================================
+# round-6 batch 3: q4 q31 q33 q46 q49 q58 q60 q66 q83 q94
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# q4 — 3-channel year_total CTE, six-instance self-join
+# ---------------------------------------------------------------------------
+
+_Q4_YT = """year_total AS {MAT} (
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name,
+         c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country,
+         c_login customer_login, c_email_address customer_email_address,
+         d_year dyear,
+         CAST(SUM(ss_list_price_cents - ss_ext_wholesale_cost_cents
+                  - ss_ext_discount_amt_cents + ss_ext_sales_price_cents)
+              AS DOUBLE) / 2 year_total,
+         's' sale_type
+  FROM customer_dim, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+    c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name,
+         c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country,
+         c_login customer_login, c_email_address customer_email_address,
+         d_year dyear,
+         CAST(SUM(cs_list_price_cents - cs_ext_wholesale_cost_cents
+                  - cs_ext_discount_amt_cents + cs_ext_sales_price_cents)
+              AS DOUBLE) / 2 year_total,
+         'c' sale_type
+  FROM customer_dim, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+    c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name,
+         c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country,
+         c_login customer_login, c_email_address customer_email_address,
+         d_year dyear,
+         CAST(SUM(ws_list_price_cents - ws_ext_wholesale_cost_cents
+                  - ws_ext_discount_amt_cents + ws_ext_sales_price_cents)
+              AS DOUBLE) / 2 year_total,
+         'w' sale_type
+  FROM customer_dim, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+    c_birth_country, c_login, c_email_address, d_year)"""
+
+_tpcds(
+    "tpcds_q4",
+    ["customer_dim", "store_sales", "catalog_sales", "web_sales",
+     "date_dim"],
+    """
+SELECT
+  t_s_secyear.customer_id,
+  t_s_secyear.customer_first_name,
+  t_s_secyear.customer_last_name,
+  t_s_secyear.customer_preferred_cust_flag,
+  t_s_secyear.customer_birth_country,
+  t_s_secyear.customer_login,
+  t_s_secyear.customer_email_address
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+  year_total t_c_firstyear, year_total t_c_secyear,
+  year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.dyear = 1996 + 1
+  AND t_c_firstyear.dyear = 1996
+  AND t_c_secyear.dyear = 1996 + 1
+  AND t_w_firstyear.dyear = 1996
+  AND t_w_secyear.dyear = 1996 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+  THEN t_c_secyear.year_total / t_c_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_s_firstyear.year_total > 0
+  THEN t_s_secyear.year_total / t_s_firstyear.year_total
+    ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+  THEN t_c_secyear.year_total / t_c_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_w_firstyear.year_total > 0
+  THEN t_w_secyear.year_total / t_w_firstyear.year_total
+    ELSE NULL END
+ORDER BY
+  t_s_secyear.customer_id,
+  t_s_secyear.customer_first_name,
+  t_s_secyear.customer_last_name,
+  t_s_secyear.customer_preferred_cust_flag,
+  t_s_secyear.customer_birth_country,
+  t_s_secyear.customer_login,
+  t_s_secyear.customer_email_address
+LIMIT 100
+""",
+    "TPC-DS q4 (reference inputs/q4.sql): customers whose catalog "
+    "year-over-year growth beats both store and web growth — the "
+    "3-channel year_total CTE instantiated six times. year_total keeps "
+    "the reference's half-margin formula over exact cents with one IEEE "
+    "/2; growth comparisons divide two such doubles (deterministic both "
+    "engines). ext_list_price -> the shim's list_price_cents; years "
+    "2001/2 -> 1996/7. One row per customer_id, which leads the sort: "
+    "LIMIT-safe.",
+    extra=_Q4_YT,
+)
+
+# ---------------------------------------------------------------------------
+# q31 — county-level quarterly web-vs-store growth
+# ---------------------------------------------------------------------------
+
+_Q31_CTES = """ss AS {MAT} (
+  SELECT ca_county, d_qoy, d_year,
+         CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+ws AS {MAT} (
+  SELECT ca_county, d_qoy, d_year,
+         CAST(SUM(ws_ext_sales_price_cents) AS BIGINT) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)"""
+
+_tpcds(
+    "tpcds_q31",
+    ["store_sales", "web_sales", "date_dim", "customer_address"],
+    """
+SELECT
+  ss1.ca_county,
+  ss1.d_year,
+  CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales web_q1_q2_increase,
+  CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales store_q1_q2_increase,
+  CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales web_q2_q3_increase,
+  CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales store_q2_q3_increase
+FROM
+  ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE
+  ss1.d_qoy = 1
+    AND ss1.d_year = 1997
+    AND ss1.ca_county = ss2.ca_county
+    AND ss2.d_qoy = 2
+    AND ss2.d_year = 1997
+    AND ss2.ca_county = ss3.ca_county
+    AND ss3.d_qoy = 3
+    AND ss3.d_year = 1997
+    AND ss1.ca_county = ws1.ca_county
+    AND ws1.d_qoy = 1
+    AND ws1.d_year = 1997
+    AND ws1.ca_county = ws2.ca_county
+    AND ws2.d_qoy = 2
+    AND ws2.d_year = 1997
+    AND ws1.ca_county = ws3.ca_county
+    AND ws3.d_qoy = 3
+    AND ws3.d_year = 1997
+    AND CASE WHEN ws1.web_sales > 0
+    THEN CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales
+        ELSE NULL END
+    > CASE WHEN ss1.store_sales > 0
+    THEN CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales
+      ELSE NULL END
+    AND CASE WHEN ws2.web_sales > 0
+    THEN CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales
+        ELSE NULL END
+    > CASE WHEN ss2.store_sales > 0
+    THEN CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales
+      ELSE NULL END
+ORDER BY ss1.ca_county
+""",
+    "TPC-DS q31 (reference inputs/q31.sql): counties where web revenue "
+    "grew faster than store revenue across Q1->Q2 AND Q2->Q3 — two "
+    "channel CTEs each instantiated three times (six join legs). Growth "
+    "ratios are single IEEE divisions of exact-cents BIGINTs. The "
+    "reference's ws_bill_addr_sk -> the shim's ws_addr_sk. 8 derived "
+    "counties, no LIMIT in the reference text: order cosmetic.",
+    extra=_Q31_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q33 — manufacturer revenue across all three channels, IN-subquery gate
+# ---------------------------------------------------------------------------
+
+
+def _q33_branch(fact: str, p: str, cust_addr: str) -> str:
+    return f"""(
+    SELECT i_manufact_id,
+           SUM({p}_ext_sales_price_cents) total_sales
+    FROM {fact}, date_dim, customer_address, item
+    WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                            WHERE i_category IN ('ECONOMY'))
+      AND {p}_item_sk = i_item_sk
+      AND {p}_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND {cust_addr} = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_manufact_id)"""
+
+
+_Q33_CTES = (
+    "ss AS {MAT} " + _q33_branch("store_sales", "ss", "ss_addr_sk")
+    + ",\ncs AS {MAT} " + _q33_branch("catalog_sales", "cs", "cs_addr_sk")
+    + ",\nws AS {MAT} " + _q33_branch("web_sales", "ws", "ws_addr_sk")
+)
+
+_tpcds(
+    "tpcds_q33",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim",
+     "customer_address", "item"],
+    """
+SELECT i_manufact_id, CAST(SUM(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales
+LIMIT 100
+""",
+    "TPC-DS q33 (reference inputs/q33.sql): one month's revenue per "
+    "manufacturer summed across all three channels, manufacturers gated "
+    "by an uncorrelated IN subquery over one category ('Electronics' -> "
+    "the derived 'ECONOMY'). Inner CTE sums stay unwrapped (DuckDB "
+    "HUGEINT never reaches the result); only the outer SUM is CAST to "
+    "BIGINT. <= 50 manufacturers < LIMIT, so the revenue-only sort "
+    "cannot truncate ambiguously.",
+    extra=_Q33_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q46 — weekend ticket totals where bought city differs from home city
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q46",
+    ["store_sales", "date_dim", "store", "household_demographics",
+     "customer_address", "customer_dim"],
+    """
+SELECT
+  c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+  amt_cents, profit_cents
+FROM
+  (SELECT
+    ss_ticket_number, ss_customer_sk, ca_city bought_city,
+    CAST(SUM(ss_coupon_amt_cents) AS BIGINT) amt_cents,
+    CAST(SUM(ss_net_profit_cents) AS BIGINT) profit_cents
+  FROM store_sales, date_dim, store, household_demographics,
+       customer_address
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+    AND (household_demographics.hd_dep_count = 4 OR
+    household_demographics.hd_vehicle_count = 3)
+    AND date_dim.d_dow IN (6, 0)
+    AND date_dim.d_year IN (1996, 1996 + 1, 1996 + 2)
+    AND store.s_city IN ('city_0', 'city_1')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer_dim, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer_dim.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city,
+  ss_ticket_number
+LIMIT 100
+""",
+    "TPC-DS q46 (reference inputs/q46.sql): weekend store tickets for "
+    "high-dependent/vehicle households, re-joined to the customer's "
+    "current address and kept only when the purchase city differs. "
+    "d_dow is the dialect-normalized 0=Sunday weekday. The shim's "
+    "ss_addr_sk is the customer's home address except for a "
+    "deterministic ~14% 'bought elsewhere' remap (mod-7 onto the supplier "
+    "key range), so the <> filter is non-degenerate. One dn row per "
+    "ticket and the ticket ends the sort: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q49 — worst return ratios per channel, dual rank windows
+# ---------------------------------------------------------------------------
+
+
+def _q49_branch(tag: str, sales: str, sp: str, rets: str, rp: str,
+                sale_ord: str, ret_ord: str, amt: str) -> str:
+    return f"""SELECT
+  '{tag}' AS channel, {tag}_t.item, {tag}_t.return_ratio,
+  {tag}_t.return_rank, {tag}_t.currency_rank
+FROM (
+       SELECT item, return_ratio, currency_ratio,
+         CAST(rank() OVER (ORDER BY return_ratio) AS INT) AS return_rank,
+         CAST(rank() OVER (ORDER BY currency_ratio) AS INT) AS currency_rank
+       FROM
+         (SELECT
+           s.{sp}_item_sk AS item,
+           CAST(SUM(COALESCE(r.{rp}_return_quantity, 0)) AS DOUBLE) /
+             CAST(SUM(COALESCE(s.{sp}_quantity, 0)) AS DOUBLE)
+             AS return_ratio,
+           CAST(SUM(COALESCE(r.{amt}, 0)) AS DOUBLE) /
+             CAST(SUM(COALESCE(s.{sp}_net_paid_cents, 0)) AS DOUBLE)
+             AS currency_ratio
+         FROM
+           {sales} s LEFT OUTER JOIN {rets} r
+             ON (s.{sale_ord} = r.{ret_ord} AND
+                 s.{sp}_item_sk = r.{rp}_item_sk)
+           , date_dim
+         WHERE
+           r.{amt} > 10000
+             AND s.{sp}_net_profit_cents > 100
+             AND s.{sp}_net_paid_cents > 0
+             AND s.{sp}_quantity > 0
+             AND {sp}_sold_date_sk = d_date_sk
+             AND d_year = 1997
+             AND d_moy = 12
+         GROUP BY s.{sp}_item_sk
+         ) in_{tag}
+     ) {tag}_t
+WHERE ({tag}_t.return_rank <= 10 OR {tag}_t.currency_rank <= 10)"""
+
+
+_Q49_BODY = (
+    _q49_branch("web", "web_sales", "ws", "web_returns", "wr",
+                "ws_order_number", "wr_order_number",
+                "wr_return_amt_cents")
+    + "\nUNION\n"
+    + _q49_branch("catalog", "catalog_sales", "cs", "catalog_returns", "cr",
+                  "cs_order_number", "cr_order_number",
+                  "cr_return_amount_cents")
+    + "\nUNION\n"
+    + _q49_branch("store", "store_sales", "ss", "store_returns", "sr",
+                  "ss_ticket_number", "sr_ticket_number",
+                  "sr_return_amt_cents")
+    + "\nORDER BY 1, 4, 5, 2\nLIMIT 100"
+)
+
+_tpcds(
+    "tpcds_q49",
+    ["web_sales", "web_returns", "catalog_sales", "catalog_returns",
+     "store_sales", "store_returns", "date_dim"],
+    _Q49_BODY,
+    "TPC-DS q49 (reference inputs/q49.sql): per-channel worst return "
+    "ratios — LEFT OUTER sale-to-return joins whose WHERE on the "
+    "return amount makes them effectively inner (reference semantics "
+    "preserved verbatim), two rank() windows per channel, keep rank<=10 "
+    "on either, then UNION DISTINCT the three channels. Ratios are "
+    "IEEE divisions of exact integers so the rank inputs are bit-equal "
+    "across engines. DECIMAL(15,4) -> DOUBLE; $-thresholds in cents. "
+    "The result can exceed the LIMIT (rank<=10 under heavy ties), so "
+    "the item id is appended to the reference's (channel, rank, rank) "
+    "sort to make truncation deterministic.",
+)
+
+# ---------------------------------------------------------------------------
+# q58 — items with balanced revenue across all three channels in one week
+# ---------------------------------------------------------------------------
+
+
+def _q58_items(cte: str, fact: str, p: str, rev: str) -> str:
+    return f"""{cte} AS {{MAT}} (
+  SELECT i_item_id item_id, SUM({p}_ext_sales_price_cents) {rev}
+  FROM {fact}, item, date_dim
+  WHERE {p}_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_year = 1996))
+    AND {p}_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)"""
+
+
+_Q58_CTES = ",\n".join([
+    _q58_items("ss_items", "store_sales", "ss", "ss_item_rev"),
+    _q58_items("cs_items", "catalog_sales", "cs", "cs_item_rev"),
+    _q58_items("ws_items", "web_sales", "ws", "ws_item_rev"),
+])
+
+_tpcds(
+    "tpcds_q58",
+    ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
+    """
+SELECT
+  ss_items.item_id,
+  CAST(ss_item_rev AS BIGINT) AS ss_item_rev,
+  CAST(ss_item_rev AS DOUBLE) / (ss_item_rev + cs_item_rev + ws_item_rev)
+    / 3 * 100 ss_dev,
+  CAST(cs_item_rev AS BIGINT) AS cs_item_rev,
+  CAST(cs_item_rev AS DOUBLE) / (ss_item_rev + cs_item_rev + ws_item_rev)
+    / 3 * 100 cs_dev,
+  CAST(ws_item_rev AS BIGINT) AS ws_item_rev,
+  CAST(ws_item_rev AS DOUBLE) / (ss_item_rev + cs_item_rev + ws_item_rev)
+    / 3 * 100 ws_dev,
+  CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE) / 3 average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id, 2
+LIMIT 100
+""",
+    "TPC-DS q58 (reference inputs/q58.sql): items whose one-week revenue "
+    "is within 10% across every channel pair. The reference anchors one "
+    "week via a nested scalar-date subquery — at test SFs no item sells "
+    "through all three channels in any single week, so the cohort is "
+    "widened to the weeks of 1996 (same doubly nested week_seq shape as "
+    "q83; the scalar-anchor shape stays covered by q6). The 0.9/1.1 "
+    "band compares BIGINT cents against an IEEE product (identical "
+    "coercion both engines); dev percentages are single IEEE division "
+    "chains. 5 qualifying items at sf0.01, 0 at sf0.001 (both engines "
+    "agree). item_id leads the sort and is the join key: LIMIT-safe.",
+    extra=_Q58_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q60 — category item revenue across channels, IN-subquery on item_id
+# ---------------------------------------------------------------------------
+
+
+def _q60_branch(fact: str, p: str) -> str:
+    return f"""(
+    SELECT i_item_id, SUM({p}_ext_sales_price_cents) total_sales
+    FROM {fact}, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_category IN ('STANDARD'))
+      AND {p}_item_sk = i_item_sk
+      AND {p}_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 9
+      AND {p}_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id)"""
+
+
+_Q60_CTES = (
+    "ss AS {MAT} " + _q60_branch("store_sales", "ss")
+    + ",\ncs AS {MAT} " + _q60_branch("catalog_sales", "cs")
+    + ",\nws AS {MAT} " + _q60_branch("web_sales", "ws")
+)
+
+_tpcds(
+    "tpcds_q60",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim",
+     "customer_address", "item"],
+    """
+SELECT i_item_id, CAST(SUM(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+""",
+    "TPC-DS q60 (reference inputs/q60.sql): September revenue per item "
+    "across the three channels for one category cohort ('Music' -> the "
+    "derived 'STANDARD'), the item cohort applied through an "
+    "uncorrelated IN subquery on i_item_id (q33's sibling keyed by id "
+    "string instead of manufacturer). i_item_id is unique in the sort: "
+    "LIMIT-safe.",
+    extra=_Q60_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q66 — warehouse 12-month sales/net pivot, web + catalog union
+# ---------------------------------------------------------------------------
+
+
+def _q66_branch(fact: str, p: str, sales_col: str, net_col: str) -> str:
+    mon = lambda m, col, alias: (  # noqa: E731
+        f"SUM(CASE WHEN d_moy = {m} THEN {col} ELSE 0 END) AS {alias}"
+    )
+    months = ["jan", "feb", "mar", "apr", "may", "jun",
+              "jul", "aug", "sep", "oct", "nov", "dec"]
+    sales = ",\n         ".join(
+        mon(i + 1, f"{sales_col} * {p}_quantity", f"{m}_sales")
+        for i, m in enumerate(months))
+    nets = ",\n         ".join(
+        mon(i + 1, f"{net_col} * {p}_quantity", f"{m}_net")
+        for i, m in enumerate(months))
+    return f"""(SELECT
+         w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country,
+         concat('carrier_1', ',', 'carrier_2') AS ship_carriers,
+         d_year AS year_,
+         {sales},
+         {nets}
+       FROM {fact}, warehouse, date_dim, time_dim, ship_mode
+       WHERE {p}_warehouse_sk = w_warehouse_sk
+         AND {p}_sold_date_sk = d_date_sk
+         AND {p}_sold_time_sk = t_time_sk
+         AND {p}_ship_mode_sk = sm_ship_mode_sk
+         AND d_year = 1998
+         AND t_time BETWEEN 30838 AND 30838 + 28800
+         AND sm_carrier IN ('carrier_1', 'carrier_2')
+       GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+         w_state, w_country, d_year)"""
+
+
+_Q66_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+               "jul", "aug", "sep", "oct", "nov", "dec"]
+_Q66_OUTER = ",\n  ".join(
+    [f"CAST(SUM({m}_sales) AS BIGINT) AS {m}_sales" for m in _Q66_MONTHS]
+    + [f"SUM(CAST({m}_sales AS DOUBLE) / w_warehouse_sq_ft)"
+       f" AS {m}_sales_per_sq_foot" for m in _Q66_MONTHS]
+    + [f"CAST(SUM({m}_net) AS BIGINT) AS {m}_net" for m in _Q66_MONTHS]
+)
+
+_tpcds(
+    "tpcds_q66",
+    ["web_sales", "catalog_sales", "warehouse", "date_dim", "time_dim",
+     "ship_mode"],
+    f"""
+SELECT
+  w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+  w_country, ship_carriers, year_,
+  {_Q66_OUTER}
+FROM (
+       {_q66_branch("web_sales", "ws", "ws_ext_sales_price_cents",
+                    "ws_net_paid_cents")}
+       UNION ALL
+       {_q66_branch("catalog_sales", "cs", "cs_sales_price_cents",
+                    "cs_net_paid_cents")}
+     ) x
+GROUP BY
+  w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+  w_country, ship_carriers, year_
+ORDER BY w_warehouse_name
+LIMIT 100
+""",
+    "TPC-DS q66 (reference inputs/q66.sql): the 72-column warehouse "
+    "pivot — 12 monthly sales, 12 sales-per-sq-ft, 12 net columns over "
+    "a web+catalog UNION ALL, each branch sliced by an 8-hour "
+    "sold-time band and a two-carrier ship-mode list. Quantities "
+    "multiply exact cents (BIGINT); per-sq-ft sums divide AFTER the "
+    "inner aggregate and the outer SUM has at most 2 operands per "
+    "group (one per branch), so the double addition is order-proof. "
+    "cs_net_paid_inc_tax -> cs_net_paid_cents; DHL/BARIAN -> the "
+    "derived carrier_1/2. <= 5 warehouses: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q83 — return quantities balanced across channels for 3 anchor weeks
+# ---------------------------------------------------------------------------
+
+
+def _q83_items(cte: str, fact: str, p: str, qty: str) -> str:
+    return f"""{cte} AS {{MAT}} (
+  SELECT i_item_id item_id, CAST(SUM({p}_return_quantity) AS BIGINT) {qty}
+  FROM {fact}, item, date_dim
+  WHERE {p}_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN
+                     (SELECT d_week_seq FROM date_dim
+                      WHERE d_year = 1996))
+    AND {p}_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)"""
+
+
+_Q83_CTES = ",\n".join([
+    _q83_items("sr_items", "store_returns", "sr", "sr_item_qty"),
+    _q83_items("cr_items", "catalog_returns", "cr", "cr_item_qty"),
+    _q83_items("wr_items", "web_returns", "wr", "wr_item_qty"),
+])
+
+_tpcds(
+    "tpcds_q83",
+    ["store_returns", "catalog_returns", "web_returns", "item",
+     "date_dim"],
+    """
+SELECT
+  sr_items.item_id,
+  sr_item_qty,
+  CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty)
+    / 3.0 * 100 sr_dev,
+  cr_item_qty,
+  CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty)
+    / 3.0 * 100 cr_dev,
+  wr_item_qty,
+  CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty)
+    / 3.0 * 100 wr_dev,
+  CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3.0 average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100
+""",
+    "TPC-DS q83 (reference inputs/q83.sql): per-item return quantities "
+    "across the three return facts for an anchor-week cohort, resolved "
+    "through a doubly nested d_week_seq IN subquery. The reference's 3 "
+    "anchor dates select 3 weeks — structurally empty even at sf0.01 "
+    "(an item must be returned through ALL three channels inside them), "
+    "so the cohort is widened to the weeks of 1996 (11 qualifying items "
+    "at sf0.001, 129 at sf0.01) while keeping the nested-IN shape. The "
+    "return date_sks are ship+14, whose dates the date_dim shim "
+    "includes by construction. item_id is the join key and leads the "
+    "sort: LIMIT-safe.",
+    extra=_Q83_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q94 — web orders shipped from multiple warehouses, never returned
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q94",
+    ["web_sales", "web_returns", "date_dim", "customer_address",
+     "web_site"],
+    """
+SELECT
+  CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+  CAST(SUM(ws_ext_ship_cost_cents) AS BIGINT) AS total_shipping_cost_cents,
+  CAST(SUM(ws_net_profit_cents) AS BIGINT) AS total_net_profit_cents
+FROM
+  web_sales ws1, date_dim, customer_address, web_site
+WHERE
+  d_date BETWEEN DATE '1996-02-01' AND DATE '1996-04-01'
+    AND ws1.ws_ship_date_sk = d_date_sk
+    AND ws1.ws_ship_addr_sk = ca_address_sk
+    AND ca_state = 'S05'
+    AND ws1.ws_web_site_sk = web_site_sk
+    AND web_company_name = 'pri'
+    AND EXISTS(SELECT *
+               FROM web_sales ws2
+               WHERE ws1.ws_order_number = ws2.ws_order_number
+                 AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    AND NOT EXISTS(SELECT *
+                   FROM web_returns wr1
+                   WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY order_count
+LIMIT 100
+""",
+    "TPC-DS q94 (reference inputs/q94.sql): two-month web shipping "
+    "stats over orders that shipped from at least two warehouses "
+    "(correlated EXISTS with an inequality on the warehouse key) and "
+    "were never returned (NOT EXISTS anti-join on the order number). "
+    "ws_ship_addr_sk carries the shim's sparse NULLs — NULL addresses "
+    "drop at the ca join in both engines. 60-day INTERVAL endpoint "
+    "written as a literal date; 'IL' -> derived state 'S05'. Single "
+    "row: LIMIT-safe.",
 )

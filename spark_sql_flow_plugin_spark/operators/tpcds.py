@@ -112,8 +112,10 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
          1 + o_custkey % 100 AS {p}_cdemo_sk,
          1 + (o_custkey + l_partkey) % 50 AS {p}_hdemo_sk,
          1 + (o_custkey * 3 + l_partkey) % 50 AS {p}_ship_hdemo_sk,
-         CASE WHEN (o_orderkey + l_partkey) % 7 = 0 THEN 1 + l_suppkey
+         CASE WHEN (o_orderkey * 17 + l_partkey) % 47 = 0 THEN NULL
+              WHEN (o_orderkey + l_partkey) % 7 = 0 THEN 1 + l_suppkey
               ELSE o_custkey END AS {p}_addr_sk,
+         1 + l_partkey % 20 AS {p}_catalog_page_sk,
          CASE WHEN (o_orderkey + l_partkey) % 53 = 0 THEN NULL
               ELSE o_custkey END AS {p}_ship_customer_sk,
          CASE WHEN (o_orderkey * 31 + l_partkey) % 59 = 0 THEN NULL
@@ -149,6 +151,7 @@ def _returns(prefix: str, channel: int, loc: str, amt: str,
          l_partkey AS {p}_item_sk,
          o_custkey AS {p}_customer_sk,
          {loc},
+         1 + l_partkey % 20 AS {p}_catalog_page_sk,
          o_orderkey AS {ordno},
          1 + (o_orderkey + l_partkey) % 10 AS {p}_reason_sk,
          CAST(ceil(l_quantity / 2.0) AS INT) AS {p}_return_quantity,
@@ -201,6 +204,7 @@ _SHIM: dict[str, str] = {
   SELECT p_partkey AS i_item_sk,
          concat('ITEM', lpad(CAST(p_partkey AS {VSTR}), 8, '0')) AS i_item_id,
          p_name AS i_item_desc,
+         p_name AS i_product_name,
          p_brand AS i_brand,
          CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
          p_type AS i_category,
@@ -262,6 +266,8 @@ _SHIM: dict[str, str] = {
   SELECT s_store_sk,
          concat('STORE', lpad(CAST(s_store_sk AS {VSTR}), 4, '0')) AS s_store_id,
          concat('store_', CAST(s_store_sk AS {VSTR})) AS s_store_name,
+         concat('company_', CAST(s_store_sk % 3 AS {VSTR}))
+             AS s_company_name,
          concat('county_', CAST(s_store_sk % 4 AS {VSTR})) AS s_county,
          concat('city_', CAST(s_store_sk % 3 AS {VSTR})) AS s_city,
          concat('S', lpad(CAST(s_store_sk % 5 AS {VSTR}), 2, '0')) AS s_state,
@@ -277,9 +283,17 @@ _SHIM: dict[str, str] = {
   FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
     "call_center": """(
   SELECT cc_call_center_sk,
-         concat('cc_', CAST(cc_call_center_sk AS {VSTR})) AS cc_name
+         concat('cc_', CAST(cc_call_center_sk AS {VSTR})) AS cc_name,
+         concat('county_', CAST(cc_call_center_sk % 4 AS {VSTR}))
+             AS cc_county
   FROM (SELECT DISTINCT 1 + s_suppkey % 4 AS cc_call_center_sk
         FROM supplier) c)""",
+    "catalog_page": """(
+  SELECT cp_catalog_page_sk,
+         concat('PAGE', lpad(CAST(cp_catalog_page_sk AS {VSTR}), 4, '0'))
+             AS cp_catalog_page_id
+  FROM (SELECT DISTINCT 1 + p_partkey % 20 AS cp_catalog_page_sk
+        FROM part) p)""",
     "web_page": """(
   SELECT wp_web_page_sk,
          concat('page_', CAST(wp_web_page_sk AS {VSTR})) AS wp_url,
@@ -2343,7 +2357,7 @@ SELECT
 FROM
   web_sales ws1, date_dim, customer_address, web_site
 WHERE
-  d_date BETWEEN DATE '1996-02-01' AND DATE '1996-04-01'
+  d_date BETWEEN DATE '1996-02-01' AND DATE '1996-07-30'
     AND ws1.ws_ship_date_sk = d_date_sk
     AND ws1.ws_ship_addr_sk = ca_address_sk
     AND ca_state = 'S05'
@@ -2364,7 +2378,769 @@ LIMIT 100
     "(correlated EXISTS with an inequality on the warehouse key) and "
     "were never returned (NOT EXISTS anti-join on the order number). "
     "ws_ship_addr_sk carries the shim's sparse NULLs — NULL addresses "
-    "drop at the ca join in both engines. 60-day INTERVAL endpoint "
+    "drop at the ca join in both engines. The 60-day window is widened "
+    "to 180 days (state x company x multi-warehouse attrition leaves "
+    "zero qualifying orders in any 60-day slice at sf0.01); endpoint "
     "written as a literal date; 'IL' -> derived state 'S05'. Single "
     "row: LIMIT-safe.",
+)
+
+# ===========================================================================
+# round-6 batch 4: q2 q5 q9 q16 q22 q23a q23b q32 q44 q47 q67 q70 q87 q92 q99
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# q2 — web+catalog weekday pivot, 53-week year-over-year ratio
+# ---------------------------------------------------------------------------
+
+_Q2_DAYS = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+_Q2_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday"]
+
+_Q2_CTES = ("""wscs AS {MAT} (
+  SELECT sold_date_sk, sales_price
+  FROM (SELECT ws_sold_date_sk sold_date_sk,
+               ws_ext_sales_price_cents sales_price
+        FROM web_sales) x
+  UNION ALL
+  (SELECT cs_sold_date_sk sold_date_sk,
+          cs_ext_sales_price_cents sales_price
+   FROM catalog_sales)),
+wswscs AS {MAT} (
+  SELECT d_week_seq,
+         """ + ",\n         ".join(
+    f"SUM(CASE WHEN (d_day_name = '{n}') THEN sales_price ELSE NULL END) "
+    f"{d}_sales" for d, n in zip(_Q2_DAYS, _Q2_NAMES))
+    + """
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)""")
+
+_tpcds(
+    "tpcds_q2",
+    ["web_sales", "catalog_sales", "date_dim"],
+    """
+SELECT
+  d_week_seq1,
+  """ + ",\n  ".join(
+        f"CAST({d}_sales1 AS DOUBLE) / {d}_sales2 AS {d}_ratio"
+        for d in _Q2_DAYS) + """
+FROM
+  (SELECT wswscs.d_week_seq d_week_seq1,
+          """ + ",\n          ".join(
+        f"{d}_sales {d}_sales1" for d in _Q2_DAYS) + """
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1996) y,
+  (SELECT wswscs.d_week_seq d_week_seq2,
+          """ + ",\n          ".join(
+        f"{d}_sales {d}_sales2" for d in _Q2_DAYS) + """
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1996 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+""",
+    "TPC-DS q2 (reference inputs/q2.sql): web+catalog weekday revenue "
+    "pivot per week, the two years' pivots self-joined at a 53-week "
+    "offset. Weekday sums are exact cents; ratios are single IEEE "
+    "divisions (the reference's round(x, 2) is dropped — cross-engine "
+    "half-tie rounding is the one non-reproducible step — and the raw "
+    "double is compared instead). d_week_seq joins the pivot back to "
+    "date_dim exactly as in the reference. ~52 rows keyed by "
+    "d_week_seq1: deterministic, no LIMIT in the reference.",
+    extra=_Q2_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q5 — sales+returns rollup across store/catalog-page/web-site id spaces
+# ---------------------------------------------------------------------------
+
+_Q5_DATES = "d_date BETWEEN DATE '1996-08-23' AND DATE '1996-09-06'"
+
+_Q5_CTES = f"""ssr AS {{MAT}} (
+  SELECT s_store_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM
+    (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+            ss_ext_sales_price_cents AS sales_price,
+            ss_net_profit_cents AS profit,
+            CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+     FROM store_sales
+     UNION ALL
+     SELECT sr_store_sk AS store_sk, sr_returned_date_sk AS date_sk,
+            CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+            sr_return_amt_cents AS return_amt,
+            sr_net_loss_cents AS net_loss
+     FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND {_Q5_DATES}
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+csr AS {{MAT}} (
+  SELECT cp_catalog_page_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM
+    (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+            cs_ext_sales_price_cents AS sales_price,
+            cs_net_profit_cents AS profit,
+            CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+     FROM catalog_sales
+     UNION ALL
+     SELECT cr_catalog_page_sk AS page_sk, cr_returned_date_sk AS date_sk,
+            CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+            cr_return_amount_cents AS return_amt,
+            cr_net_loss_cents AS net_loss
+     FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND {_Q5_DATES}
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+wsr AS {{MAT}} (
+  SELECT web_site_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM
+    (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+            ws_ext_sales_price_cents AS sales_price,
+            ws_net_profit_cents AS profit,
+            CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+     FROM web_sales
+     UNION ALL
+     SELECT ws_web_site_sk AS wsr_web_site_sk,
+            wr_returned_date_sk AS date_sk,
+            CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+            wr_return_amt_cents AS return_amt,
+            wr_net_loss_cents AS net_loss
+     FROM web_returns
+       LEFT OUTER JOIN web_sales ON
+         (wr_item_sk = ws_item_sk AND wr_order_number = ws_order_number)
+    ) salesreturns, date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND {_Q5_DATES}
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)"""
+
+_tpcds(
+    "tpcds_q5",
+    ["store_sales", "store_returns", "catalog_sales", "catalog_returns",
+     "web_sales", "web_returns", "date_dim", "store", "catalog_page",
+     "web_site"],
+    """
+SELECT channel, id,
+       CAST(SUM(sales) AS BIGINT) AS sales_cents,
+       CAST(SUM(returns_amt) AS BIGINT) AS returns_cents,
+       CAST(SUM(profit) AS BIGINT) AS profit_cents
+FROM
+  (SELECT 'store channel' AS channel, concat('store', s_store_id) AS id,
+          sales, returns_amt, (profit - profit_loss) AS profit
+   FROM ssr
+   UNION ALL
+   SELECT 'catalog channel' AS channel,
+          concat('catalog_page', cp_catalog_page_id) AS id,
+          sales, returns_amt, (profit - profit_loss) AS profit
+   FROM csr
+   UNION ALL
+   SELECT 'web channel' AS channel, concat('web_site', web_site_id) AS id,
+          sales, returns_amt, (profit - profit_loss) AS profit
+   FROM wsr
+  ) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+""",
+    "TPC-DS q5 (reference inputs/q5.sql): 14-day sales+returns per "
+    "channel over three different id spaces (store id, catalog page id, "
+    "web site id), each channel a sales/returns UNION ALL with "
+    "zero-filled counterpart columns, the web returns resolved to their "
+    "originating site through the sale they return. RETURNS keyword "
+    "alias -> returns_amt (identifier in both engines); DECIMAL(7,2) "
+    "zeros -> BIGINT cents. <= ~38 rollup rows < LIMIT, so cross-engine "
+    "NULLS ordering cannot bite.",
+    extra=_Q5_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q9 — five quantity-band scalar-subquery buckets from one reason row
+# ---------------------------------------------------------------------------
+
+
+def _q9_bucket(i: int, lo: int, hi: int, branch: str) -> str:
+    # threshold rigged per-bucket so both CASE branches are exercised at
+    # every SF: odd buckets always take THEN (count > 0), even buckets
+    # always ELSE (count never exceeds 10^15)
+    thresh = "0" if branch == "then" else "1000000000000000"
+    return f"""CASE WHEN (SELECT count(*) FROM store_sales
+  WHERE ss_quantity BETWEEN {lo} AND {hi}) > {thresh}
+    THEN (SELECT CAST(SUM(ss_ext_discount_amt_cents) AS DOUBLE) / COUNT(*)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN {lo} AND {hi})
+  ELSE (SELECT CAST(SUM(ss_net_paid_cents) AS DOUBLE) / COUNT(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN {lo} AND {hi}) END bucket{i}"""
+
+
+_tpcds(
+    "tpcds_q9",
+    ["store_sales", "reason"],
+    "SELECT\n  " + ",\n  ".join(
+        _q9_bucket(i, lo, hi, b)
+        for i, (lo, hi, b) in enumerate(
+            [(1, 20, "then"), (21, 40, "else"), (41, 60, "then"),
+             (61, 80, "else"), (81, 100, "then")], start=1)
+    ) + "\nFROM reason\nWHERE r_reason_sk = 1\n",
+    "TPC-DS q9 (reference inputs/q9.sql): five quantity-band buckets, "
+    "each a CASE over three scalar subqueries (count gate, discount "
+    "average, net-paid average) hung off a single reason row — 15 "
+    "scalar subqueries in one projection. avg() is expanded to exact "
+    "BIGINT SUM / COUNT with one IEEE division so the doubles are "
+    "bit-equal. The reference's row-count gates target SF100 "
+    "cardinalities; they are rigged per-bucket (0 / 10^15) so both "
+    "branches execute at every test SF. Single row.",
+)
+
+# ---------------------------------------------------------------------------
+# q16 — catalog orders shipped from multiple warehouses, never returned
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q16",
+    ["catalog_sales", "catalog_returns", "date_dim", "customer_address",
+     "call_center"],
+    """
+SELECT
+  CAST(count(DISTINCT cs_order_number) AS BIGINT) AS order_count,
+  CAST(SUM(cs_ext_ship_cost_cents) AS BIGINT) AS total_shipping_cost_cents,
+  CAST(SUM(cs_net_profit_cents) AS BIGINT) AS total_net_profit_cents
+FROM
+  catalog_sales cs1, date_dim, customer_address, call_center
+WHERE
+  d_date BETWEEN DATE '1996-02-01' AND DATE '1996-04-01'
+    AND cs1.cs_ship_date_sk = d_date_sk
+    AND cs1.cs_ship_addr_sk = ca_address_sk
+    AND ca_state = 'S03'
+    AND cs1.cs_call_center_sk = cc_call_center_sk
+    AND cc_county IN ('county_1', 'county_1', 'county_1', 'county_1',
+                      'county_1')
+    AND EXISTS(SELECT *
+               FROM catalog_sales cs2
+               WHERE cs1.cs_order_number = cs2.cs_order_number
+                 AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+    AND NOT EXISTS(SELECT *
+                   FROM catalog_returns cr1
+                   WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY order_count
+LIMIT 100
+""",
+    "TPC-DS q16 (reference inputs/q16.sql): q94's catalog twin — "
+    "multi-warehouse EXISTS, never-returned NOT EXISTS, 60-day ship "
+    "window, but sliced by call-center county (the repeated-literal IN "
+    "list kept verbatim). 'GA' -> derived 'S03'; Williamson County -> "
+    "county_1. Single row: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q22 — four-level product ROLLUP over a year of inventory
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q22",
+    ["inventory", "date_dim", "item", "warehouse"],
+    """
+SELECT
+  i_product_name, i_brand, i_class, i_category,
+  CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*) AS qoh
+FROM inventory, date_dim, item, warehouse
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND inv_warehouse_sk = w_warehouse_sk
+  AND d_month_seq BETWEEN 23952 AND 23952 + 11
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, COALESCE(i_product_name, ''), COALESCE(i_brand, ''),
+  COALESCE(i_class, ''), COALESCE(i_category, '')
+LIMIT 100
+""",
+    "TPC-DS q22 (reference inputs/q22.sql): average quantity-on-hand "
+    "over a 4-level product ROLLUP of a year of inventory. avg() is "
+    "exact SUM/COUNT in one IEEE division. The result far exceeds the "
+    "LIMIT and rollup rows carry NULL group keys, so every sort "
+    "tiebreaker is COALESCEd to '' — Spark (NULLS FIRST) and DuckDB "
+    "(NULLS LAST) would otherwise cut different rows. qoh leads the "
+    "sort as in the reference.",
+)
+
+# ---------------------------------------------------------------------------
+# q32 / q92 — excess-discount hunts via correlated 1.3*avg subqueries
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q32",
+    ["catalog_sales", "item", "date_dim"],
+    """
+SELECT CAST(1 AS INT) AS excess_discount_amount
+FROM
+  catalog_sales, item, date_dim
+WHERE
+  i_manufact_id = 19
+    AND i_item_sk = cs_item_sk
+    AND d_date BETWEEN DATE '1996-01-27' AND DATE '1996-04-26'
+    AND d_date_sk = cs_sold_date_sk
+    AND cs_ext_discount_amt_cents > (
+    SELECT 1.3 * (CAST(SUM(cs_ext_discount_amt_cents) AS DOUBLE)
+                  / COUNT(*))
+    FROM catalog_sales, date_dim
+    WHERE cs_item_sk = i_item_sk
+      AND d_date BETWEEN DATE '1996-01-27' AND DATE '1996-04-26'
+      AND d_date_sk = cs_sold_date_sk)
+LIMIT 100
+""",
+    "TPC-DS q32 (reference inputs/q32.sql): catalog rows whose discount "
+    "exceeds 1.3x the item's own 90-day average — a correlated scalar "
+    "aggregate under an inequality. avg -> exact SUM/COUNT + one IEEE "
+    "multiply. Every output row is the literal 1, so the LIMIT's choice "
+    "of rows is value-irrelevant. Manufacturer 977 -> 19 (derived "
+    "domain); 90-day INTERVAL endpoint as a literal.",
+)
+
+_tpcds(
+    "tpcds_q92",
+    ["web_sales", "item", "date_dim"],
+    """
+SELECT CAST(SUM(ws_ext_discount_amt_cents) AS BIGINT)
+    AS excess_discount_amount_cents
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 19
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '1996-01-27' AND DATE '1996-04-26'
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt_cents >
+  (
+    SELECT 1.3 * (CAST(SUM(ws_ext_discount_amt_cents) AS DOUBLE)
+                  / COUNT(*))
+    FROM web_sales, date_dim
+    WHERE ws_item_sk = i_item_sk
+      AND d_date BETWEEN DATE '1996-01-27' AND DATE '1996-04-26'
+      AND d_date_sk = ws_sold_date_sk
+  )
+ORDER BY excess_discount_amount_cents
+LIMIT 100
+""",
+    "TPC-DS q92 (reference inputs/q92.sql): q32's web twin that SUMs "
+    "the excess discounts instead of flagging rows — correlated "
+    "1.3*avg subquery feeding a single-row aggregate. Single row: "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q87 — EXCEPT chain: store shoppers minus catalog minus web
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q87",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim",
+     "customer_dim"],
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+FROM store_sales, date_dim, customer_dim
+WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  AND store_sales.ss_customer_sk = customer_dim.c_customer_sk
+  AND d_month_seq BETWEEN 23952 AND 23952 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM catalog_sales, date_dim, customer_dim
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer_dim.c_customer_sk
+        AND d_month_seq BETWEEN 23952 AND 23952 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM web_sales, date_dim, customer_dim
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer_dim.c_customer_sk
+        AND d_month_seq BETWEEN 23952 AND 23952 + 11)
+     ) cool_cust
+""",
+    "TPC-DS q87 (reference inputs/q87.sql): store-only shopper-days — "
+    "q38's EXCEPT-chain sibling (set difference twice, then a bare "
+    "count; both engines implement EXCEPT with DISTINCT semantics). "
+    "Single row, no LIMIT in the reference.",
+)
+
+# ---------------------------------------------------------------------------
+# q99 — catalog shipping-latency buckets by warehouse x mode x call center
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q99",
+    ["catalog_sales", "warehouse", "ship_mode", "call_center", "date_dim"],
+    """
+SELECT
+  substr(w_warehouse_name, 1, 20) AS warehouse_name,
+  sm_type, cc_name,
+  CAST(SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+  CAST(SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 60)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+  CAST(SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 90)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+  CAST(SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+  CAST(SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+    THEN 1 ELSE 0 END) AS BIGINT) AS days_over_120
+FROM
+  catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE
+  d_month_seq BETWEEN 23952 AND 23952 + 11
+    AND cs_ship_date_sk = d_date_sk
+    AND cs_warehouse_sk = w_warehouse_sk
+    AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND cs_call_center_sk = cc_call_center_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY warehouse_name, sm_type, cc_name
+LIMIT 100
+""",
+    "TPC-DS q99 (reference inputs/q99.sql): q62's catalog twin — "
+    "order-to-ship latency histogram by warehouse x ship mode x call "
+    "center. 5x5x4 = 100 possible groups with the full unique group "
+    "key as the sort: deterministic under LIMIT.",
+)
+
+# ---------------------------------------------------------------------------
+# q23a / q23b — frequent items x best customers cross-channel spend
+# ---------------------------------------------------------------------------
+
+_Q23_CTES = """frequent_ss_items AS {MAT} (
+  SELECT substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+         d_date solddate, count(*) cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_item_sk = i_item_sk
+    AND d_year IN (1996, 1996 + 1, 1996 + 2, 1996 + 3)
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
+  HAVING count(*) > 1),
+max_store_sales AS {MAT} (
+  SELECT max(csales) tpcds_cmax
+  FROM (SELECT c_customer_sk,
+               SUM(CAST(ss_quantity AS BIGINT) * ss_sales_price_cents)
+                   csales
+  FROM store_sales, customer_dim, date_dim
+  WHERE ss_customer_sk = c_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (1996, 1996 + 1, 1996 + 2, 1996 + 3)
+  GROUP BY c_customer_sk) x),
+best_ss_customer AS {MAT} (
+  SELECT c_customer_sk,
+         SUM(CAST(ss_quantity AS BIGINT) * ss_sales_price_cents) ssales
+  FROM store_sales, customer_dim
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING SUM(CAST(ss_quantity AS BIGINT) * ss_sales_price_cents)
+         > (50 / 100.0) * (SELECT * FROM max_store_sales))"""
+
+_tpcds(
+    "tpcds_q23a",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim", "item",
+     "customer_dim"],
+    """
+SELECT CAST(SUM(sales) AS BIGINT) AS total_sales_cents
+FROM ((SELECT CAST(cs_quantity AS BIGINT) * cs_list_price_cents sales
+FROM catalog_sales, date_dim
+WHERE d_year = 1996
+  AND d_moy = 2
+  AND cs_sold_date_sk = d_date_sk
+  AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+  AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer))
+      UNION ALL
+      (SELECT CAST(ws_quantity AS BIGINT) * ws_list_price_cents sales
+      FROM web_sales, date_dim
+      WHERE d_year = 1996
+        AND d_moy = 2
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer))) y
+LIMIT 100
+""",
+    "TPC-DS q23a (reference inputs/q23a.sql): catalog+web February spend "
+    "restricted to items sold multiple times on a single day over four "
+    "years (the reference's >4 gate admits zero item-days below sf1 — "
+    "retuned to >1, same shape) AND "
+    "customers whose lifetime store spend exceeds half the best "
+    "customer's — three stacked CTEs, a scalar SELECT * subquery in a "
+    "HAVING, and two IN-subquery gates per branch. quantity x "
+    "list-price in exact BIGINT cents; the 50/100.0 threshold is one "
+    "IEEE multiply. Single row.",
+    extra=_Q23_CTES,
+)
+
+_tpcds(
+    "tpcds_q23b",
+    ["store_sales", "catalog_sales", "web_sales", "date_dim", "item",
+     "customer_dim"],
+    """
+SELECT c_last_name, c_first_name, CAST(sales AS BIGINT) AS sales_cents
+FROM ((SELECT c_last_name, c_first_name,
+              SUM(CAST(cs_quantity AS BIGINT) * cs_list_price_cents) sales
+FROM catalog_sales, customer_dim, date_dim
+WHERE d_year = 1996
+  AND d_moy = 2
+  AND cs_sold_date_sk = d_date_sk
+  AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+  AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+  AND cs_bill_customer_sk = c_customer_sk
+GROUP BY c_last_name, c_first_name)
+      UNION ALL
+      (SELECT c_last_name, c_first_name,
+              SUM(CAST(ws_quantity AS BIGINT) * ws_list_price_cents) sales
+      FROM web_sales, customer_dim, date_dim
+      WHERE d_year = 1996
+        AND d_moy = 2
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)
+        AND ws_bill_customer_sk = c_customer_sk
+      GROUP BY c_last_name, c_first_name)) y
+ORDER BY c_last_name, c_first_name, sales_cents
+LIMIT 100
+""",
+    "TPC-DS q23b (reference inputs/q23b.sql): q23a broken out per "
+    "customer name — the same CTE stack, per-branch GROUP BY, UNION "
+    "ALL kept (a customer buying through both channels appears twice, "
+    "as in the reference). (last, first) is 1:1 with the customer "
+    "(derived from the unique c_name) and sales breaks the branch tie: "
+    "LIMIT-safe.",
+    extra=_Q23_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q44 — best/worst performing items by store, dual rank join
+# ---------------------------------------------------------------------------
+
+_Q44_AVG = ("CAST(SUM(ss_net_profit_cents) AS DOUBLE) / COUNT(*)")
+
+_tpcds(
+    "tpcds_q44",
+    ["store_sales", "item"],
+    f"""
+SELECT
+  asceding.rnk,
+  i1.i_product_name best_performing,
+  i2.i_product_name worst_performing
+FROM (SELECT *
+FROM (SELECT
+  item_sk,
+  CAST(rank() OVER (ORDER BY rank_col ASC) AS INT) rnk
+FROM (SELECT
+  ss_item_sk item_sk,
+  {_Q44_AVG} rank_col
+FROM store_sales ss1
+WHERE ss_store_sk = 4
+GROUP BY ss_item_sk
+HAVING {_Q44_AVG} > 0.9 * (SELECT {_Q44_AVG} rank_col
+FROM store_sales
+WHERE ss_store_sk = 4
+  AND ss_addr_sk IS NULL
+GROUP BY ss_store_sk)) V1) V11
+WHERE rnk < 11) asceding,
+  (SELECT *
+  FROM (SELECT
+    item_sk,
+    CAST(rank() OVER (ORDER BY rank_col DESC) AS INT) rnk
+  FROM (SELECT
+    ss_item_sk item_sk,
+    {_Q44_AVG} rank_col
+  FROM store_sales ss1
+  WHERE ss_store_sk = 4
+  GROUP BY ss_item_sk
+  HAVING {_Q44_AVG} > 0.9 * (SELECT {_Q44_AVG} rank_col
+  FROM store_sales
+  WHERE ss_store_sk = 4
+    AND ss_addr_sk IS NULL
+  GROUP BY ss_store_sk)) V2) V21
+  WHERE rnk < 11) descending,
+  item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+LIMIT 100
+""",
+    "TPC-DS q44 (reference inputs/q44.sql): rank items of one store by "
+    "average profit ascending AND descending, join the two rankings on "
+    "rank position. The correlated baseline is the store's average "
+    "profit over NULL-address rows — the shim injects sparse NULLs "
+    "into ss_addr_sk precisely so this scalar subquery is non-empty. "
+    "avg() -> exact SUM/COUNT. Equal rank_col values share a rank and "
+    "fan out in the join identically in both engines (order-insensitive "
+    "compare). <= ~10 ranks: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q47 — monthly brand-store deviation with manual lag/lead self-joins
+# ---------------------------------------------------------------------------
+
+_Q47_V1 = """v1 AS {MAT} (
+  SELECT
+    i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+    CAST(SUM(ss_sales_price_cents) AS BIGINT) sum_sales,
+    avg(SUM(ss_sales_price_cents))
+    OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name,
+          d_year) avg_monthly_sales,
+    CAST(rank() OVER (PARTITION BY i_category, i_brand, s_store_name,
+                      s_company_name
+                      ORDER BY d_year, d_moy) AS INT) rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND
+    ss_sold_date_sk = d_date_sk AND
+    ss_store_sk = s_store_sk AND
+    (
+      d_year = 1997 OR
+        (d_year = 1997 - 1 AND d_moy = 12) OR
+        (d_year = 1997 + 1 AND d_moy = 1)
+    )
+  GROUP BY i_category, i_brand, s_store_name, s_company_name,
+    d_year, d_moy),
+v2 AS {MAT} (
+    SELECT
+      v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+      v1.d_year, v1.d_moy,
+      CAST(v1.avg_monthly_sales AS DOUBLE) avg_monthly_sales,
+      v1.sum_sales,
+      v1_lag.sum_sales psum,
+      v1_lead.sum_sales nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.i_category = v1_lag.i_category AND
+      v1.i_category = v1_lead.i_category AND
+      v1.i_brand = v1_lag.i_brand AND
+      v1.i_brand = v1_lead.i_brand AND
+      v1.s_store_name = v1_lag.s_store_name AND
+      v1.s_store_name = v1_lead.s_store_name AND
+      v1.s_company_name = v1_lag.s_company_name AND
+      v1.s_company_name = v1_lead.s_company_name AND
+      v1.rn = v1_lag.rn + 1 AND
+      v1.rn = v1_lead.rn - 1)"""
+
+_tpcds(
+    "tpcds_q47",
+    ["item", "store_sales", "date_dim", "store"],
+    """
+SELECT *
+FROM v2
+WHERE d_year = 1997 AND
+  avg_monthly_sales > 0 AND
+  CASE WHEN avg_monthly_sales > 0
+    THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+  ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category,
+  i_brand, d_moy
+LIMIT 100
+""",
+    "TPC-DS q47 (reference inputs/q47.sql): months where a brand-store "
+    "deviates >10% from its year average — a window-averaged grouped "
+    "aggregate whose neighbor months come from rn+-1 SELF-JOINS (the "
+    "manual lag/lead idiom). AVG over BIGINT window partitions is "
+    "exact-int-sum / count in both engines, then pinned to DOUBLE. The "
+    "reference sorts by (deviation, 3); brand and month are appended "
+    "because equal deviations occur (group key makes it unique): "
+    "LIMIT-safe.",
+    extra=_Q47_V1,
+)
+
+# ---------------------------------------------------------------------------
+# q67 — rank items inside category over an 8-level ROLLUP
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q67",
+    ["store_sales", "date_dim", "store", "item"],
+    """
+SELECT *
+FROM
+  (SELECT
+    i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+    s_store_id, sumsales,
+    CAST(rank() OVER (PARTITION BY i_category
+                      ORDER BY sumsales DESC) AS INT) rk
+  FROM
+    (SELECT
+      i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+      d_moy, s_store_id,
+      CAST(SUM(COALESCE(CAST(ss_quantity AS BIGINT)
+                        * ss_sales_price_cents, 0)) AS BIGINT) sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 23952 AND 23952 + 11
+    GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+      d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY
+  COALESCE(i_category, ''), COALESCE(i_class, ''), COALESCE(i_brand, ''),
+  COALESCE(i_product_name, ''), COALESCE(d_year, -1),
+  COALESCE(d_qoy, -1), COALESCE(d_moy, -1), COALESCE(s_store_id, ''),
+  sumsales, rk
+LIMIT 100
+""",
+    "TPC-DS q67 (reference inputs/q67.sql): top-100 revenue rows per "
+    "category over an EIGHT-level ROLLUP (product hierarchy x calendar "
+    "x store), ranked by a category-partitioned window — the heaviest "
+    "rollup in the corpus (9 grouping sets). sumsales ties share ranks "
+    "identically cross-engine (exact cents). The result exceeds the "
+    "LIMIT, so every nullable sort key is COALESCEd ('' / -1, sorting "
+    "where NULL-as-lowest would) to neutralize Spark-vs-DuckDB NULL "
+    "ordering; key order follows the reference.",
+)
+
+# ---------------------------------------------------------------------------
+# q70 — state/county profit ROLLUP gated by a windowed top-5-state subquery
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q70",
+    ["store_sales", "date_dim", "store"],
+    """
+SELECT
+  CAST(SUM(ss_net_profit_cents) AS BIGINT) AS total_sum_cents,
+  s_state, s_county,
+  CAST(grouping(s_state) + grouping(s_county) AS INT) AS lochierarchy,
+  CAST(rank() OVER (
+    PARTITION BY grouping(s_state) + grouping(s_county),
+      CASE WHEN grouping(s_county) = 0 THEN s_state END
+    ORDER BY SUM(ss_net_profit_cents) DESC) AS INT) AS rank_within_parent
+FROM
+  store_sales, date_dim d1, store
+WHERE
+  d1.d_month_seq BETWEEN 23952 AND 23952 + 11
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN
+    (SELECT s_state
+    FROM
+      (SELECT
+        s_state AS s_state,
+        CAST(rank() OVER (PARTITION BY s_state
+          ORDER BY SUM(ss_net_profit_cents) DESC) AS INT) AS ranking
+      FROM store_sales, store, date_dim
+      WHERE d_month_seq BETWEEN 23952 AND 23952 + 11
+        AND d_date_sk = ss_sold_date_sk
+        AND s_store_sk = ss_store_sk
+      GROUP BY s_state) tmp1
+    WHERE ranking <= 5)
+GROUP BY ROLLUP (s_state, s_county)
+ORDER BY
+  lochierarchy DESC
+  , CASE WHEN lochierarchy = 0 THEN s_state END
+  , rank_within_parent
+LIMIT 100
+""",
+    "TPC-DS q70 (reference inputs/q70.sql): state/county profit ROLLUP "
+    "where the state cohort itself comes from a windowed rank subquery "
+    "inside an IN — grouping()-driven rank partitioning like q36, plus "
+    "a second rank window nested in the WHERE. <= ~26 rollup rows < "
+    "LIMIT, so NULL group keys never reach an ambiguous cut.",
 )

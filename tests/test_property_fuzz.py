@@ -280,9 +280,28 @@ def test_g711_roundtrip_property(n, law, seed):
     dec = decode_audio(encode_g711(s, law)) * 32768.0
     assert dec.shape == (n,)
     # error sources: half the largest inter-level gap (512 for both laws'
-    # top segment) and full-scale clipping (u-law max level 32124, so an
-    # input of 32767 clips by 643; A-law max 32256 clips by 511)
-    assert np.abs(dec - s).max() <= 643
+    # top segment) and full-scale clipping. int16 is asymmetric: u-law max
+    # level is +/-32124, so +32767 clips by 643 but -32768 clips by 644;
+    # A-law max +/-32256 clips -32768 by 512.
+    assert np.abs(dec - s).max() <= 644
+
+
+def test_g711_int16_extremes_deterministic():
+    # pin the asymmetric int16 extremes so the 644 bound above is exercised
+    # on every run, not only when hypothesis happens to draw -32768
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        decode_audio,
+        encode_g711,
+    )
+
+    s = np.array([-32768, -32767, 32766, 32767], dtype=np.int16)
+    for law, bound in (("ulaw", 644), ("alaw", 512)):
+        dec = decode_audio(encode_g711(s, law)) * 32768.0
+        err = np.abs(dec - s)
+        assert err.max() <= bound, (law, err)
+    # the ulaw -32768 case is exactly the 644 worst case (decodes to -32124)
+    dec_u = decode_audio(encode_g711(s, "ulaw")) * 32768.0
+    assert abs(dec_u[0] - (-32768)) == 644
 
 
 @_SLOW

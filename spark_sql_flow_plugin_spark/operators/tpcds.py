@@ -358,6 +358,75 @@ _SHIM: dict[str, str] = {
 #: base TPC-H views each shim table reads
 _BASE = ("lineitem", "orders", "part", "customer", "supplier")
 
+#: shim tables derived from the BIG base tables (lineitem/orders scans).
+#: On Spark these are materialized to temp parquet ONCE per
+#: (application, sf_dir) instead of being re-inlined as CTEs per
+#: reference — q23a references store_sales three times and would
+#: otherwise recompute the lineitem x orders join three times in one
+#: query (and every query re-derives date_dim's three scans). At a real
+#: SF the shim derivation IS an ETL step; parquet materialization keeps
+#: predicate pushdown + column pruning on the derived facts, which a
+#: cached-view approach would lose. Small dims (from part/customer/
+#: supplier, kB-sized) stay inline CTEs — they broadcast anyway.
+_MATERIALIZED = frozenset({
+    "store_sales", "catalog_sales", "web_sales",
+    "store_returns", "catalog_returns", "web_returns",
+    "inventory", "date_dim", "time_dim", "reason", "ship_mode",
+})
+
+#: (applicationId, abs sf_dir) -> (shared SparkSession, set of
+#: shim tables already materialized+registered in it)
+_SHIM_STATE: dict = {}
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _shim_session(spark, sf_dir):
+    """Shared child session per (app, sf_dir) holding the TPC-H base
+    views and any already-materialized shim tables."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    st = _SHIM_STATE.get(key)
+    if st is None:
+        s = spark.newSession()  # isolated temp-view catalog (engine-traps)
+        register_views(s, sf_dir, *_BASE)
+        st = (s, set())
+        _SHIM_STATE[key] = st
+    return st
+
+
+def _ensure_materialized(s, done: set, sf_dir: str, tables: list) -> None:
+    """Write each not-yet-done shim table to temp parquet under the repo
+    (.tpcds_shim/<appId>/<sf>/<table>) and register it as a temp view.
+    Stale dirs from previous application runs are pruned best-effort."""
+    import os
+    import shutil
+
+    todo = [t for t in tables if t not in done]
+    if not todo:
+        return
+    d = _DIALECT["spark"]
+    app = s.sparkContext.applicationId
+    base = os.path.join(_repo_root(), ".tpcds_shim")
+    os.makedirs(base, exist_ok=True)
+    for old in os.listdir(base):
+        if old != app:
+            shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    root = os.path.join(base, app,
+                        os.path.basename(os.path.abspath(sf_dir)))
+    for t in todo:
+        path = os.path.join(root, t)
+        df = s.sql("SELECT * FROM " + _SHIM[t].format(**d))
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path).createOrReplaceTempView(t)
+        done.add(t)
+
 
 def _with_clause(tables: list[str], engine: str, extra: str = "") -> str:
     """WITH clause containing the given shim tables (dialect-expanded),
@@ -368,18 +437,23 @@ def _with_clause(tables: list[str], engine: str, extra: str = "") -> str:
     ]
     if extra:
         parts.append(extra.format(**d))
+    if not parts:
+        return ""
     return "WITH " + ",\n".join(parts) + "\n"
 
 
 def _tpcds(name: str, tables: list[str], body: str, doc: str, extra: str = ""):
-    """Register a TPC-DS query: same SQL text on Spark (newSession +
-    TPC-H temp views) and DuckDB (driver-registered views)."""
+    """Register a TPC-DS query: same SQL text on Spark (shared shim
+    session: materialized facts as parquet views, small dims inline) and
+    DuckDB (per-query MATERIALIZED CTEs over driver-registered views)."""
     oracle = _with_clause(tables, "duck", extra) + body
 
     def builder(spark, sf_dir):
-        s = spark.newSession()  # isolated temp-view catalog (engine-traps)
-        register_views(s, sf_dir, *_BASE)
-        return s.sql(_with_clause(tables, "spark", extra) + body)
+        s, done = _shim_session(spark, sf_dir)
+        _ensure_materialized(
+            s, done, sf_dir, [t for t in tables if t in _MATERIALIZED])
+        inline = [t for t in tables if t not in _MATERIALIZED]
+        return s.sql(_with_clause(inline, "spark", extra) + body)
 
     builder.__name__ = name
     builder.__doc__ = doc

@@ -557,8 +557,22 @@ def test_tpcds_star_joins_broadcast_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    # lineitem scan pruned: the fact reads 4 columns, not 11
-    assert "struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_extendedprice:double>" in plan
+    # the fact is the materialized shim parquet, pruned to the 3 consumed
+    # columns (of the fact's ~26), with the date-sk join key non-null
+    # filter pushed into the scan
+    assert ".tpcds_shim" in plan
+    assert ("struct<ss_sold_date_sk:bigint,ss_item_sk:bigint,"
+            "ss_ext_sales_price_cents:bigint>") in plan
+
+
+def test_tpcds_shim_facts_materialized_once(spark, sf_dir):
+    # q23a references store_sales three times; the materialized shim means
+    # zero re-derivations of the lineitem x orders join inside the query —
+    # every fact reference is a parquet scan of the shim table
+    plan = _physical(queries()["tpcds_q23a"](spark, sf_dir))
+    assert ".tpcds_shim" in plan
+    assert "lineitem" not in plan and "orders" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_tpcds_rollup_no_cartesian_facts(spark, sf_dir):

@@ -93,7 +93,8 @@ _TIME_SK = "CAST((o_orderkey * 7919 + l_linenumber * 677) % 86400 AS BIGINT)"
 _LI_ORD = "lineitem JOIN orders ON l_orderkey = o_orderkey"
 
 
-def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
+def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str,
+           extra_cols: str = "") -> str:
     """One channel's sales fact CTE body (store=0, catalog=1, web=2).
 
     Ship-side columns (added for the round-6 batch-2 queries): ship date =
@@ -137,7 +138,11 @@ def _sales(prefix: str, channel: int, cust: str, loc: str, ordno: str) -> str:
          CAST(floor(l_extendedprice * 5) AS BIGINT)
              AS {p}_ext_ship_cost_cents,
          {_SALESP} AS {p}_net_paid_cents,
-         {_PROFIT} AS {p}_net_profit_cents
+         {_PROFIT} AS {p}_net_profit_cents,
+         CAST(floor(l_extendedprice * 115) AS BIGINT)
+             AS {p}_ext_list_price_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100)
+             AS BIGINT) AS {p}_ext_tax_cents{extra_cols}
   FROM {_LI_ORD}
   WHERE l_linenumber % 3 = {channel})"""
 
@@ -156,7 +161,22 @@ def _returns(prefix: str, channel: int, loc: str, amt: str,
          1 + (o_orderkey + l_partkey) % 10 AS {p}_reason_sk,
          CAST(ceil(l_quantity / 2.0) AS INT) AS {p}_return_quantity,
          {_SALESP} AS {amt},
-         CAST(floor(l_extendedprice * 10) AS BIGINT) AS {p}_net_loss_cents
+         CAST(floor(l_extendedprice * 10) AS BIGINT) AS {p}_net_loss_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+             AS BIGINT) AS {p}_return_amt_inc_tax_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 60) AS BIGINT)
+             AS {p}_refunded_cash_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 25) AS BIGINT)
+             AS {p}_reversed_charge_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 15) AS BIGINT)
+             AS {p}_store_credit_cents,
+         CAST(floor(l_extendedprice * 2) AS BIGINT) AS {p}_fee_cents,
+         o_custkey AS {p}_returning_customer_sk,
+         1 + o_custkey % 100 AS {p}_refunded_cdemo_sk,
+         1 + o_custkey % 100 AS {p}_cdemo_sk,
+         1 + (o_custkey + l_partkey) % 100 AS {p}_returning_cdemo_sk,
+         o_custkey AS {p}_refunded_addr_sk,
+         o_custkey AS {p}_returning_addr_sk
   FROM {_LI_ORD}
   WHERE l_linenumber % 3 = {channel} AND l_returnflag = 'R')"""
 
@@ -175,7 +195,10 @@ _SHIM: dict[str, str] = {
          CASE {DOW} WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
               WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
               WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
-              ELSE 'Saturday' END AS d_day_name
+              ELSE 'Saturday' END AS d_day_name,
+         concat(CAST(year(d_date) AS {VSTR}), 'Q',
+                CAST(1 + CAST(floor((month(d_date) - 1) / 3.0) AS INT)
+                     AS {VSTR})) AS d_quarter_name
   FROM (SELECT DISTINCT {DDATE_DAYS} AS d_date_sk, d_date
         FROM (SELECT CAST(o_orderdate AS DATE) AS d_date FROM orders
               UNION
@@ -189,10 +212,20 @@ _SHIM: dict[str, str] = {
                           "ss_ticket_number"),
     "catalog_sales": _sales("cs", 1, "cs_bill_customer_sk",
                             "1 + l_suppkey % 4 AS cs_call_center_sk",
-                            "cs_order_number"),
+                            "cs_order_number",
+                            extra_cols=""",
+         1 + o_custkey % 100 AS cs_bill_cdemo_sk,
+         1 + (o_custkey + l_partkey) % 50 AS cs_bill_hdemo_sk,
+         CASE WHEN (o_orderkey * 17 + l_partkey) % 47 = 0 THEN NULL
+              WHEN (o_orderkey + l_partkey) % 7 = 0 THEN 1 + l_suppkey
+              ELSE o_custkey END AS cs_bill_addr_sk"""),
     "web_sales": _sales("ws", 2, "ws_bill_customer_sk",
                         "1 + l_suppkey % 10 AS ws_web_page_sk",
-                        "ws_order_number"),
+                        "ws_order_number",
+                        extra_cols=""",
+         CASE WHEN (o_orderkey * 17 + l_partkey) % 47 = 0 THEN NULL
+              WHEN (o_orderkey + l_partkey) % 7 = 0 THEN 1 + l_suppkey
+              ELSE o_custkey END AS ws_bill_addr_sk"""),
     "store_returns": _returns("sr", 0, "1 + l_suppkey % 8 AS sr_store_sk",
                               "sr_return_amt_cents", "sr_ticket_number"),
     "catalog_returns": _returns("cr", 1,
@@ -215,7 +248,15 @@ _SHIM: dict[str, str] = {
          concat('manufact_', CAST(1 + p_partkey % 50 AS {VSTR})) AS i_manufact,
          1 + p_partkey % 20 AS i_manager_id,
          CAST(floor(p_retailprice * 100) AS BIGINT) AS i_current_price_cents,
-         CAST(floor(p_retailprice * 60) AS BIGINT) AS i_wholesale_cost_cents
+         CAST(floor(p_retailprice * 60) AS BIGINT) AS i_wholesale_cost_cents,
+         CAST(p_size % 5 AS INT) AS i_class_id,
+         split_part(p_name, ' ', 1) AS i_color,
+         CASE p_size % 6 WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
+              WHEN 2 THEN 'large' WHEN 3 THEN 'extra large'
+              WHEN 4 THEN 'economy' ELSE 'petite' END AS i_size,
+         CASE p_partkey % 5 WHEN 0 THEN 'Each' WHEN 1 THEN 'Dozen'
+              WHEN 2 THEN 'Case' WHEN 3 THEN 'Pallet'
+              ELSE 'Unknown' END AS i_units
   FROM part)""",
     "customer_dim": """(
   SELECT c_custkey AS c_customer_sk,
@@ -230,8 +271,22 @@ _SHIM: dict[str, str] = {
          concat('country_', CAST(c_nationkey AS {VSTR})) AS c_birth_country,
          concat('login_', CAST(c_custkey AS {VSTR})) AS c_login,
          concat('cust', CAST(c_custkey AS {VSTR}), '@example.com')
-             AS c_email_address
-  FROM customer)""",
+             AS c_email_address,
+         CASE c_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+              WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
+              ELSE 'Sir' END AS c_salutation,
+         1 + c_custkey % 28 AS c_birth_day,
+         1 + c_custkey % 12 AS c_birth_month,
+         1924 + c_custkey % 68 AS c_birth_year,
+         CAST(2450000 + c_custkey % 1000 AS {VSTR}) AS c_last_review_date,
+         f.c_first_sales_date_sk,
+         f.c_first_shipto_date_sk
+  FROM customer LEFT JOIN (
+    SELECT o_custkey,
+           MIN({D_ORDER}) AS c_first_sales_date_sk,
+           MIN({D_SHIP}) AS c_first_shipto_date_sk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey) f ON c_custkey = f.o_custkey)""",
     "customer_address": """(
   SELECT c_custkey AS ca_address_sk,
          concat('S', lpad(CAST(c_nationkey AS {VSTR}), 2, '0')) AS ca_state,
@@ -239,7 +294,16 @@ _SHIM: dict[str, str] = {
          concat('city_', CAST(c_custkey % 40 AS {VSTR})) AS ca_city,
          lpad(CAST(10000 + (c_custkey * 37) % 90000 AS {VSTR}), 5, '0')
              AS ca_zip,
-         CASE WHEN c_nationkey % 2 = 0 THEN -5 ELSE -6 END AS ca_gmt_offset
+         CASE WHEN c_nationkey % 2 = 0 THEN -5 ELSE -6 END AS ca_gmt_offset,
+         CAST(100 + c_custkey % 900 AS {VSTR}) AS ca_street_number,
+         concat('street_', CAST(c_custkey % 30 AS {VSTR})) AS ca_street_name,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Ave' ELSE 'Blvd' END
+             AS ca_street_type,
+         concat('Suite ', CAST((c_custkey * 7) % 100 AS {VSTR}))
+             AS ca_suite_number,
+         'United States' AS ca_country,
+         CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+              ELSE 'single family' END AS ca_location_type
   FROM customer)""",
     "customer_demographics": """(
   SELECT cd_demo_sk,
@@ -252,7 +316,9 @@ _SHIM: dict[str, str] = {
          500 * (1 + cd_demo_sk % 20) AS cd_purchase_estimate,
          cd_demo_sk % 7 AS cd_dep_count,
          (cd_demo_sk * 3) % 6 AS cd_dep_employed_count,
-         (cd_demo_sk * 7) % 4 AS cd_dep_college_count
+         (cd_demo_sk * 7) % 4 AS cd_dep_college_count,
+         CASE cd_demo_sk % 4 WHEN 0 THEN 'Good' WHEN 1 THEN 'High Risk'
+              WHEN 2 THEN 'Low Risk' ELSE 'Unknown' END AS cd_credit_rating
   FROM (SELECT DISTINCT 1 + c_custkey % 100 AS cd_demo_sk FROM customer) d)""",
     "household_demographics": """(
   SELECT hd_demo_sk,
@@ -260,8 +326,15 @@ _SHIM: dict[str, str] = {
               WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
               WHEN 4 THEN '101-500' ELSE 'Unknown' END AS hd_buy_potential,
          hd_demo_sk % 10 AS hd_dep_count,
-         hd_demo_sk % 5 AS hd_vehicle_count
+         hd_demo_sk % 5 AS hd_vehicle_count,
+         1 + hd_demo_sk % 20 AS hd_income_band_sk
   FROM (SELECT DISTINCT 1 + c_custkey % 50 AS hd_demo_sk FROM customer) h)""",
+    "income_band": """(
+  SELECT ib_income_band_sk,
+         (ib_income_band_sk - 1) * 10000 AS ib_lower_bound,
+         ib_income_band_sk * 10000 - 1 AS ib_upper_bound
+  FROM (SELECT DISTINCT 1 + (1 + c_custkey % 50) % 20 AS ib_income_band_sk
+        FROM customer) b)""",
     "store": """(
   SELECT s_store_sk,
          concat('STORE', lpad(CAST(s_store_sk AS {VSTR}), 4, '0')) AS s_store_id,
@@ -279,7 +352,8 @@ _SHIM: dict[str, str] = {
              AS s_street_type,
          concat('Suite ', CAST(s_store_sk * 10 AS {VSTR})) AS s_suite_number,
          lpad(CAST(10000 + s_store_sk * 1111 AS {VSTR}), 5, '0') AS s_zip,
-         CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS s_gmt_offset
+         CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS s_gmt_offset,
+         CAST(1 + s_store_sk % 10 AS INT) AS s_market_id
   FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
     "call_center": """(
   SELECT cc_call_center_sk,
@@ -351,7 +425,11 @@ _SHIM: dict[str, str] = {
   SELECT t_time_sk,
          t_time_sk AS t_time,
          CAST(floor(t_time_sk / 3600.0) AS INT) AS t_hour,
-         CAST(floor((t_time_sk % 3600) / 60.0) AS INT) AS t_minute
+         CAST(floor((t_time_sk % 3600) / 60.0) AS INT) AS t_minute,
+         CASE WHEN floor(t_time_sk / 3600.0) BETWEEN 6 AND 8
+              THEN 'breakfast'
+              WHEN floor(t_time_sk / 3600.0) BETWEEN 17 AND 19
+              THEN 'dinner' END AS t_meal_time
   FROM (SELECT DISTINCT {_TIME_SK} AS t_time_sk FROM {_LI_ORD}) t)""",
 }
 
@@ -372,6 +450,9 @@ _MATERIALIZED = frozenset({
     "store_sales", "catalog_sales", "web_sales",
     "store_returns", "catalog_returns", "web_returns",
     "inventory", "date_dim", "time_dim", "reason", "ship_mode",
+    # customer_dim carries first-sale/first-ship date sks (min over the
+    # customer's lineitem x orders rows) since round 7 — big derivation
+    "customer_dim",
 })
 
 #: (applicationId, abs sf_dir) -> (shared SparkSession, set of

@@ -3299,3 +3299,275 @@ LIMIT 100
     "a second rank window nested in the WHERE. <= ~26 rollup rows < "
     "LIMIT, so NULL group keys never reach an ambiguous cut.",
 )
+
+# ---------------------------------------------------------------------------
+# round 7: the remaining 47 corpus queries (VERDICT r6 "what's missing" #1)
+# ---------------------------------------------------------------------------
+# q12 / q20 — per-item revenue share of its class over a 30-day window
+# ---------------------------------------------------------------------------
+
+
+def _q12_like(name: str, fact: str, p: str, qnum: str) -> None:
+    _tpcds(
+        name,
+        [fact, "item", "date_dim"],
+        f"""
+SELECT
+  i_item_desc, i_category, i_class, i_current_price_cents,
+  CAST(SUM({p}_ext_sales_price_cents) AS BIGINT) AS itemrevenue_cents,
+  CAST(SUM({p}_ext_sales_price_cents) * 100 AS DOUBLE)
+    / SUM(SUM({p}_ext_sales_price_cents)) OVER (PARTITION BY i_class)
+    AS revenueratio
+FROM {fact}, item, date_dim
+WHERE {p}_item_sk = i_item_sk
+  AND i_category IN ('ECONOMY', 'SMALL', 'LARGE')
+  AND {p}_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1996-02-22' AND DATE '1996-03-23'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price_cents
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+""",
+        f"TPC-DS {qnum} (reference inputs/{qnum}.sql): item revenue and "
+        "its share of class revenue (a windowed sum-over-sum) across a "
+        "30-day window. The ratio is one IEEE division of two exact "
+        "BIGINT cent sums. Categories/date retuned to the derived "
+        "domains; i_item_id in the group key makes rows unique under "
+        "the reference sort: LIMIT-safe.",
+    )
+
+
+_q12_like("tpcds_q12", "web_sales", "ws", "q12")
+_q12_like("tpcds_q20", "catalog_sales", "cs", "q20")
+
+# ---------------------------------------------------------------------------
+# q52 / q55 — November brand ext-price stars (q3 family)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q52",
+    ["date_dim", "store_sales", "item"],
+    """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS ext_price_cents
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11
+  AND dt.d_year = 1998
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, ext_price_cents DESC, brand_id
+LIMIT 100
+""",
+    "TPC-DS q52 (reference inputs/q52.sql): q3's star pinned to one "
+    "manager and year (2000 -> 1998, the derived domain). brand_id is "
+    "unique per group under the sort: LIMIT-safe.",
+)
+
+_tpcds(
+    "tpcds_q55",
+    ["date_dim", "store_sales", "item"],
+    """
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) AS ext_price_cents
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 14
+  AND d_moy = 11
+  AND d_year = 1997
+GROUP BY i_brand, i_brand_id
+ORDER BY ext_price_cents DESC, brand_id
+LIMIT 100
+""",
+    "TPC-DS q55 (reference inputs/q55.sql): brand ext-price for one "
+    "manager-month (manager 28 -> 14: derived managers are 1..20; year "
+    "1999 -> 1997). brand_id unique per group: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q53 / q63 — deviation from windowed average over quarters / months
+# ---------------------------------------------------------------------------
+
+_Q53_ITEM_OR = """((i_category IN ('ECONOMY', 'SMALL', 'MEDIUM') AND
+      i_class IN ('class_0', 'class_1', 'class_2', 'class_3') AND
+      i_brand IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#7'))
+      OR
+      (i_category IN ('LARGE', 'STANDARD', 'PROMO') AND
+        i_class IN ('class_1', 'class_2', 'class_3', 'class_4') AND
+        i_brand IN ('Brand#2', 'Brand#4', 'Brand#6', 'Brand#8')))"""
+
+_tpcds(
+    "tpcds_q53",
+    ["item", "store_sales", "date_dim", "store"],
+    f"""
+SELECT *
+FROM
+  (SELECT
+    i_manufact_id,
+    CAST(SUM(ss_sales_price_cents) AS BIGINT) sum_sales_cents,
+    CAST(avg(SUM(ss_sales_price_cents))
+         OVER (PARTITION BY i_manufact_id) AS DOUBLE) avg_quarterly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND
+    ss_sold_date_sk = d_date_sk AND
+    ss_store_sk = s_store_sk AND
+    d_month_seq IN (23952, 23953, 23954, 23955, 23956, 23957, 23958,
+                    23959, 23960, 23961, 23962, 23963) AND
+    {_Q53_ITEM_OR}
+  GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+  THEN abs(sum_sales_cents - avg_quarterly_sales) / avg_quarterly_sales
+      ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales_cents, i_manufact_id
+LIMIT 100
+""",
+    "TPC-DS q53 (reference inputs/q53.sql): manufacturer-quarters that "
+    "deviate >10% from the manufacturer's windowed average. month_seq "
+    "1200.. -> 23952.. (year 1996 in the derived calendar); the "
+    "category/class/brand OR-branches retuned to derived domains. The "
+    "sort key is the whole output row, so a LIMIT cut can only split "
+    "identical rows: multiset-safe.",
+)
+
+_tpcds(
+    "tpcds_q63",
+    ["item", "store_sales", "date_dim", "store"],
+    f"""
+SELECT *
+FROM (SELECT
+  i_manager_id,
+  CAST(SUM(ss_sales_price_cents) AS BIGINT) sum_sales_cents,
+  CAST(avg(SUM(ss_sales_price_cents))
+       OVER (PARTITION BY i_manager_id) AS DOUBLE) avg_monthly_sales
+FROM item, store_sales, date_dim, store
+WHERE ss_item_sk = i_item_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND ss_store_sk = s_store_sk
+  AND d_month_seq IN (23952, 23953, 23954, 23955, 23956, 23957, 23958,
+                      23959, 23960, 23961, 23962, 23963)
+  AND {_Q53_ITEM_OR}
+GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+  THEN abs(sum_sales_cents - avg_monthly_sales) / avg_monthly_sales
+      ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales_cents
+LIMIT 100
+""",
+    "TPC-DS q63 (reference inputs/q63.sql): q53's shape per manager-"
+    "month instead of manufacturer-quarter (the reference texts differ "
+    "only in the group key and one typo'd class name). Sort key = whole "
+    "row: multiset-safe under LIMIT.",
+)
+
+# ---------------------------------------------------------------------------
+# q89 — brand-store months deviating from the yearly windowed average
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q89",
+    ["item", "store_sales", "date_dim", "store"],
+    """
+SELECT *
+FROM (
+       SELECT
+         i_category, i_class, i_brand,
+         s_store_name, s_company_name, d_moy,
+         CAST(SUM(ss_sales_price_cents) AS BIGINT) sum_sales_cents,
+         CAST(avg(SUM(ss_sales_price_cents))
+         OVER
+         (PARTITION BY i_category, i_brand, s_store_name, s_company_name)
+         AS DOUBLE) avg_monthly_sales
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk AND
+         ss_sold_date_sk = d_date_sk AND
+         ss_store_sk = s_store_sk AND
+         d_year IN (1998) AND
+         ((i_category IN ('ECONOMY', 'MEDIUM', 'SMALL') AND
+           i_class IN ('class_0', 'class_2', 'class_4'))
+           OR (i_category IN ('LARGE', 'STANDARD', 'PROMO') AND
+           i_class IN ('class_1', 'class_3', 'class_2')))
+       GROUP BY i_category, i_class, i_brand,
+         s_store_name, s_company_name, d_moy) tmp1
+WHERE CASE WHEN (avg_monthly_sales <> 0)
+  THEN (abs(sum_sales_cents - avg_monthly_sales) / avg_monthly_sales)
+      ELSE NULL END > 0.1
+ORDER BY sum_sales_cents - avg_monthly_sales, s_store_name,
+  i_category, i_class, i_brand, d_moy
+LIMIT 100
+""",
+    "TPC-DS q89 (reference inputs/q89.sql): brand-store months deviating "
+    ">10% from the brand-store yearly average. The reference sorts only "
+    "by (deviation, store); equal deviations occur, so the group key is "
+    "appended (q47 convention) to make the cut deterministic.",
+)
+
+# ---------------------------------------------------------------------------
+# q26 — catalog-side demographic star (q7's catalog twin)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q26",
+    ["catalog_sales", "customer_demographics", "date_dim", "item",
+     "promotion"],
+    """
+SELECT i_item_id,
+       CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(*) AS agg1,
+       CAST(SUM(cs_list_price_cents) AS DOUBLE) / COUNT(*) AS agg2,
+       CAST(SUM(cs_coupon_amt_cents) AS DOUBLE) / COUNT(*) AS agg3,
+       CAST(SUM(cs_sales_price_cents) AS DOUBLE) / COUNT(*) AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk
+  AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 1998
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+""",
+    "TPC-DS q26 (reference inputs/q26.sql): q7's 5-way demographic star "
+    "on the catalog channel via cs_bill_cdemo_sk. Averages are exact-"
+    "cents-sum / count. Sort key = group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q27 — demographic star under ROLLUP(i_item_id, s_state) + grouping()
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q27",
+    ["store_sales", "customer_demographics", "date_dim", "store", "item"],
+    """
+SELECT
+  i_item_id, s_state,
+  CAST(grouping(s_state) AS INT) g_state,
+  CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*) AS agg1,
+  CAST(SUM(ss_list_price_cents) AS DOUBLE) / COUNT(*) AS agg2,
+  CAST(SUM(ss_coupon_amt_cents) AS DOUBLE) / COUNT(*) AS agg3,
+  CAST(SUM(ss_sales_price_cents) AS DOUBLE) / COUNT(*) AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND
+  ss_item_sk = i_item_sk AND
+  ss_store_sk = s_store_sk AND
+  ss_cdemo_sk = cd_demo_sk AND
+  cd_gender = 'M' AND
+  cd_marital_status = 'S' AND
+  cd_education_status = 'College' AND
+  d_year = 1998 AND
+  s_state IN ('S00', 'S01', 'S02', 'S03', 'S04')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY COALESCE(i_item_id, ''), COALESCE(s_state, '')
+LIMIT 100
+""",
+    "TPC-DS q27 (reference inputs/q27.sql): demographic star averaged "
+    "under ROLLUP(item, state) with grouping(s_state). The result "
+    "exceeds the LIMIT and rollup rows carry NULL keys, so the sort "
+    "COALESCEs to '' (sorts first in both engines, matching ascending "
+    "NULLS FIRST vs LAST divergence) — q67 convention. States retuned "
+    "to the derived S00..S04.",
+)

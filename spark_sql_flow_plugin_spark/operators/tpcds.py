@@ -3571,3 +3571,474 @@ LIMIT 100
     "NULLS FIRST vs LAST divergence) — q67 convention. States retuned "
     "to the derived S00..S04.",
 )
+
+# ---------------------------------------------------------------------------
+# q8 — store sales in preferred-customer-heavy zips (INTERSECT cohort)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q8",
+    ["store_sales", "date_dim", "store", "customer_address", "customer_dim"],
+    """
+SELECT
+  s_store_name,
+  CAST(SUM(ss_net_profit_cents) AS BIGINT) AS sum_profit_cents
+FROM store_sales, date_dim, store,
+  (SELECT ca_zip
+  FROM (
+         (SELECT substr(ca_zip, 1, 2) ca_zip
+         FROM customer_address
+         WHERE substr(ca_zip, 1, 2) IN (
+               '11', '12', '13', '14', '15', '16', '17', '18',
+               '24', '35', '42', '53', '60', '76', '87', '98'))
+         INTERSECT
+         (SELECT ca_zip
+         FROM
+           (SELECT
+             substr(ca_zip, 1, 2) ca_zip,
+             count(*) cnt
+           FROM customer_address, customer_dim
+           WHERE ca_address_sk = c_current_addr_sk AND
+             c_preferred_cust_flag = 'Y'
+           GROUP BY substr(ca_zip, 1, 2)
+           HAVING count(*) > 10) A1)
+       ) A2
+  ) V1
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND (substr(s_zip, 1, 2) = V1.ca_zip)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+""",
+    "TPC-DS q8 (reference inputs/q8.sql): store profit where the store's "
+    "zip prefix belongs to an INTERSECT of a literal zip cohort and "
+    "preferred-customer-heavy zips. Adaptation: the derived zips "
+    "(10000 + 37k mod 90000) are collision-free at 5 chars, so the "
+    "cohort unit is the 2-char prefix throughout (the reference already "
+    "compares store zips at 2 chars); the 400-zip literal list becomes "
+    "16 prefixes. Empty at sf0.001 (cohort needs >10 preferred "
+    "customers per prefix), non-degenerate at sf0.01+. <= 8 stores: "
+    "LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q10 — demographic counts for active customers (EXISTS across channels)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q10",
+    ["customer_dim", "customer_address", "customer_demographics",
+     "store_sales", "web_sales", "catalog_sales", "date_dim"],
+    """
+SELECT
+  cd_gender, cd_marital_status, cd_education_status,
+  CAST(count(*) AS BIGINT) cnt1,
+  cd_purchase_estimate,
+  CAST(count(*) AS BIGINT) cnt2,
+  cd_credit_rating,
+  CAST(count(*) AS BIGINT) cnt3,
+  cd_dep_count,
+  CAST(count(*) AS BIGINT) cnt4,
+  cd_dep_employed_count,
+  CAST(count(*) AS BIGINT) cnt5,
+  cd_dep_college_count,
+  CAST(count(*) AS BIGINT) cnt6
+FROM
+  customer_dim c, customer_address ca, customer_demographics
+WHERE
+  c.c_current_addr_sk = ca.ca_address_sk AND
+    ca_county IN ('county_0', 'county_1', 'county_2',
+                  'county_3', 'county_4') AND
+    cd_demo_sk = c.c_current_cdemo_sk AND
+    exists(SELECT *
+           FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk AND
+             ss_sold_date_sk = d_date_sk AND
+             d_year = 1998 AND
+             d_moy BETWEEN 1 AND 1 + 3) AND
+    (exists(SELECT *
+            FROM web_sales, date_dim
+            WHERE c.c_customer_sk = ws_bill_customer_sk AND
+              ws_sold_date_sk = d_date_sk AND
+              d_year = 1998 AND
+              d_moy BETWEEN 1 AND 1 + 3) OR
+      exists(SELECT *
+             FROM catalog_sales, date_dim
+             WHERE c.c_customer_sk = cs_ship_customer_sk AND
+               cs_sold_date_sk = d_date_sk AND
+               d_year = 1998 AND
+               d_moy BETWEEN 1 AND 1 + 3))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+  cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+  cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""",
+    "TPC-DS q10 (reference inputs/q10.sql): demographic profile of "
+    "customers active in-store AND on (web OR catalog) in one quarter — "
+    "an EXISTS + (EXISTS OR EXISTS) decorrelation stack over three "
+    "channels. Sort key = full group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q13 — single-row averages under OR-of-AND demographic/geography bands
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q13",
+    ["store_sales", "store", "customer_demographics",
+     "household_demographics", "customer_address", "date_dim"],
+    """
+SELECT
+  CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*) AS avg_quantity,
+  CAST(SUM(ss_ext_sales_price_cents) AS DOUBLE) / COUNT(*)
+    AS avg_ext_sales_price_cents,
+  CAST(SUM(ss_ext_wholesale_cost_cents) AS DOUBLE) / COUNT(*)
+    AS avg_ext_wholesale_cost_cents,
+  CAST(SUM(ss_ext_wholesale_cost_cents) AS BIGINT)
+    AS sum_ext_wholesale_cost_cents
+FROM store_sales, store, customer_demographics,
+  household_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+  AND ((ss_hdemo_sk = hd_demo_sk
+  AND cd_demo_sk = ss_cdemo_sk
+  AND cd_marital_status = 'M'
+  AND cd_education_status = 'Advanced Degree'
+  AND ss_sales_price_cents BETWEEN 1000000 AND 3000000
+  AND hd_dep_count = 3
+) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'S'
+    AND cd_education_status = 'College'
+    AND ss_sales_price_cents BETWEEN 3000000 AND 6000000
+    AND hd_dep_count = 1
+  ) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'W'
+    AND cd_education_status = 'Secondary'
+    AND ss_sales_price_cents BETWEEN 6000000 AND 9000000
+    AND hd_dep_count = 1
+  ))
+  AND ((ss_addr_sk = ca_address_sk
+  AND ca_country = 'United States'
+  AND ca_state IN ('S01', 'S05', 'S01')
+  AND ss_net_profit_cents BETWEEN 0 AND 200000
+) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('S07', 'S11', 'S13')
+    AND ss_net_profit_cents BETWEEN 100000 AND 300000
+  ) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('S17', 'S01', 'S19')
+    AND ss_net_profit_cents BETWEEN 50000 AND 250000
+  ))
+""",
+    "TPC-DS q13 (reference inputs/q13.sql): one-row averages where the "
+    "demographic AND geographic predicates are OR-of-AND bands that "
+    "each re-state the join key (the classic Catalyst join-under-OR "
+    "stress). Dollar bands retuned to the derived cents domains; "
+    "'2 yr Degree' -> 'Secondary' (derived education domain). No LIMIT.",
+)
+
+# ---------------------------------------------------------------------------
+# q15 — catalog sales by zip with an OR cohort (zip list / state / price)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q15",
+    ["catalog_sales", "customer_dim", "customer_address", "date_dim"],
+    """
+SELECT
+  ca_zip,
+  CAST(SUM(cs_sales_price_cents) AS BIGINT) AS sum_sales_cents
+FROM catalog_sales, customer_dim, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('10074', '10148', '10222', '10296',
+                                '10370', '10444', '85669', '86197',
+                                '88274')
+  OR ca_state IN ('S02', 'S09', 'S16')
+  OR cs_sales_price_cents > 9000000)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100
+""",
+    "TPC-DS q15 (reference inputs/q15.sql): catalog revenue by zip for "
+    "an OR cohort (explicit zips / states / big-ticket lines). Zip "
+    "literals are actual derived zips (10000 + 37k), states S02/S09/"
+    "S16, and the $500 price floor becomes 9,000,000 cents (the derived "
+    "price domain is ~90k..10.5M cents, so $500 would select "
+    "everything). Sort key = group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q17 — sale/return/re-purchase quantity statistics per item-store-state
+# ---------------------------------------------------------------------------
+
+_Q17_STATS = """CAST(count(*) AS BIGINT) AS {c}_quantitycount,
+  CAST(SUM({q}) AS DOUBLE) / COUNT(*) AS {c}_quantityave,
+  CASE WHEN COUNT(*) > 1 THEN
+    sqrt(CAST(COUNT(*) * SUM(CAST({q} AS BIGINT) * {q})
+              - SUM({q}) * SUM({q}) AS DOUBLE)
+         / (COUNT(*) * (COUNT(*) - 1))) END AS {c}_quantitystdev,
+  CASE WHEN COUNT(*) > 1 THEN
+    sqrt(CAST(COUNT(*) * SUM(CAST({q} AS BIGINT) * {q})
+              - SUM({q}) * SUM({q}) AS DOUBLE)
+         / (COUNT(*) * (COUNT(*) - 1)))
+      / (CAST(SUM({q}) AS DOUBLE) / COUNT(*)) END AS {c}_quantitycov"""
+
+_tpcds(
+    "tpcds_q17",
+    ["store_sales", "store_returns", "catalog_sales", "date_dim",
+     "store", "item"],
+    """
+SELECT
+  i_item_id,
+  i_item_desc,
+  s_state,
+  """ + _Q17_STATS.format(c="store_sales", q="ss_quantity") + """,
+  """ + _Q17_STATS.format(c="store_returns", q="sr_return_quantity") + """,
+  """ + _Q17_STATS.format(c="catalog_sales", q="cs_quantity") + """
+FROM store_sales, store_returns, catalog_sales, date_dim d1,
+  date_dim d2, date_dim d3, store, item
+WHERE d1.d_quarter_name IN (
+    '1995Q1', '1995Q2', '1995Q3', '1995Q4',
+    '1996Q1', '1996Q2', '1996Q3', '1996Q4',
+    '1997Q1', '1997Q2', '1997Q3', '1997Q4',
+    '1998Q1', '1998Q2', '1998Q3', '1998Q4')
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN (
+    '1995Q1', '1995Q2', '1995Q3', '1995Q4',
+    '1996Q1', '1996Q2', '1996Q3', '1996Q4',
+    '1997Q1', '1997Q2', '1997Q3', '1997Q4',
+    '1998Q1', '1998Q2', '1998Q3', '1998Q4',
+    '1999Q1', '1999Q2', '1999Q3', '1999Q4')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN (
+    '1995Q1', '1995Q2', '1995Q3', '1995Q4',
+    '1996Q1', '1996Q2', '1996Q3', '1996Q4',
+    '1997Q1', '1997Q2', '1997Q3', '1997Q4',
+    '1998Q1', '1998Q2', '1998Q3', '1998Q4',
+    '1999Q1', '1999Q2', '1999Q3', '1999Q4')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100
+""",
+    "TPC-DS q17 (reference inputs/q17.sql): quantity count/mean/stddev/"
+    "cov per item-store-state across a sale -> return -> catalog "
+    "re-purchase chain (three facts, three date_dim instances, "
+    "d_quarter_name windows). The windows widen from 1/3 quarters to "
+    "16/20: cross-channel same-customer-same-item re-purchases are "
+    "~40 per 60k derived lines and scatter across years, so the "
+    "reference's single-quarter anchor is empty at every SF. "
+    "stddev_samp is spelled out as "
+    "sqrt((n*sum(q^2) - sum(q)^2) / (n*(n-1))) over exact BIGINT sums "
+    "so both engines run the identical IEEE expression (native Welford "
+    "orderings are not cross-engine stable). Quantities are never NULL "
+    "in the shim, so count(q) = count(*). Sort = group key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q18 — catalog demographics under ROLLUP(item, country, state, county)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q18",
+    ["catalog_sales", "customer_demographics", "customer_dim",
+     "customer_address", "date_dim", "item"],
+    """
+SELECT
+  i_item_id, ca_country, ca_state, ca_county,
+  CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(*) AS agg1,
+  CAST(SUM(cs_list_price_cents) AS DOUBLE) / COUNT(*) AS agg2,
+  CAST(SUM(cs_coupon_amt_cents) AS DOUBLE) / COUNT(*) AS agg3,
+  CAST(SUM(cs_sales_price_cents) AS DOUBLE) / COUNT(*) AS agg4,
+  CAST(SUM(cs_net_profit_cents) AS DOUBLE) / COUNT(*) AS agg5,
+  CAST(SUM(c_birth_year) AS DOUBLE) / COUNT(*) AS agg6,
+  CAST(SUM(cd1.cd_dep_count) AS DOUBLE) / COUNT(*) AS agg7
+FROM catalog_sales, customer_demographics cd1,
+  customer_demographics cd2, customer_dim, customer_address,
+  date_dim, item
+WHERE cs_sold_date_sk = d_date_sk AND
+  cs_item_sk = i_item_sk AND
+  cs_bill_cdemo_sk = cd1.cd_demo_sk AND
+  cs_bill_customer_sk = c_customer_sk AND
+  cd1.cd_gender = 'F' AND
+  cd1.cd_education_status = 'Secondary' AND
+  c_current_cdemo_sk = cd2.cd_demo_sk AND
+  c_current_addr_sk = ca_address_sk AND
+  c_birth_month IN (1, 6, 8, 9, 12, 2) AND
+  d_year = 1998 AND
+  ca_state IN ('S03', 'S08', 'S13', 'S18', 'S23', 'S11', 'S03')
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY COALESCE(ca_country, ''), COALESCE(ca_state, ''),
+  COALESCE(ca_county, ''), COALESCE(i_item_id, '')
+LIMIT 100
+""",
+    "TPC-DS q18 (reference inputs/q18.sql): seven averages over catalog "
+    "buyers' demographics under a 4-level ROLLUP(item, country, state, "
+    "county). DECIMAL(12,2) averages become exact-cents-sum / count. "
+    "'Unknown' education -> 'Secondary' (derived domain); states "
+    "retuned. Result exceeds the LIMIT with NULL rollup keys in the "
+    "sort, so keys are COALESCE'd (q67 convention).",
+)
+
+# ---------------------------------------------------------------------------
+# q29 — sale/return/re-purchase quantity totals (q17's SUM twin)
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q29",
+    ["store_sales", "store_returns", "catalog_sales", "date_dim",
+     "store", "item"],
+    """
+SELECT
+  i_item_id,
+  i_item_desc,
+  s_store_id,
+  s_store_name,
+  CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+  CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+  CAST(SUM(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM
+  store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+  date_dim d3, store, item
+WHERE
+  d1.d_moy BETWEEN 1 AND 12
+    AND d1.d_year IN (1995, 1996, 1997, 1998)
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND i_item_sk = ss_item_sk
+    AND s_store_sk = ss_store_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND d2.d_moy BETWEEN 1 AND 12
+    AND d2.d_year BETWEEN 1995 AND 1999
+    AND sr_customer_sk = cs_bill_customer_sk
+    AND sr_item_sk = cs_item_sk
+    AND cs_sold_date_sk = d3.d_date_sk
+    AND d3.d_year IN (1995, 1996, 1997, 1998, 1999)
+GROUP BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY
+  i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+""",
+    "TPC-DS q29 (reference inputs/q29.sql): quantity totals along the "
+    "same three-fact sale -> return -> catalog re-purchase chain as "
+    "q17, keyed by item x store. Date windows widened (month -> 4 "
+    "sale years, 3 -> 5 catalog years) for the same density reason as "
+    "q17 — the single-month anchor is empty at every SF. Sort = group "
+    "key: LIMIT-safe.",
+)
+
+# ---------------------------------------------------------------------------
+# q68 — two-city ticket extracts with current-vs-bought city mismatch
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q68",
+    ["store_sales", "date_dim", "store", "household_demographics",
+     "customer_address", "customer_dim"],
+    """
+SELECT
+  c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+  extended_price_cents, extended_tax_cents, list_price_cents
+FROM (SELECT
+  ss_ticket_number, ss_customer_sk,
+  ca_city bought_city,
+  CAST(SUM(ss_ext_sales_price_cents) AS BIGINT) extended_price_cents,
+  CAST(SUM(ss_ext_list_price_cents) AS BIGINT) list_price_cents,
+  CAST(SUM(ss_ext_tax_cents) AS BIGINT) extended_tax_cents
+FROM store_sales, date_dim, store, household_demographics,
+  customer_address
+WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  AND store_sales.ss_store_sk = store.s_store_sk
+  AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+  AND date_dim.d_dom BETWEEN 1 AND 2
+  AND (household_demographics.hd_dep_count = 4 OR
+  household_demographics.hd_vehicle_count = 3)
+  AND date_dim.d_year IN (1996, 1996 + 1, 1996 + 2)
+  AND store.s_city IN ('city_0', 'city_1')
+GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer_dim,
+  customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer_dim.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number, bought_city,
+  extended_price_cents
+LIMIT 100
+""",
+    "TPC-DS q68 (reference inputs/q68.sql): per-ticket price/tax/list "
+    "extracts for early-month city shoppers whose current address city "
+    "differs from the bought-from city. The reference sorts by "
+    "(last_name, ticket) which ties when one ticket spans several "
+    "ship-to addresses; bought_city and the price are appended to make "
+    "the LIMIT cut deterministic.",
+)
+
+# ---------------------------------------------------------------------------
+# q73 — households with 1-5 tickets in a day-of-month band
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q73",
+    ["store_sales", "date_dim", "store", "household_demographics",
+     "customer_dim"],
+    """
+SELECT
+  c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+  ss_ticket_number, cnt
+FROM
+  (SELECT
+    ss_ticket_number, ss_customer_sk,
+    CAST(count(*) AS BIGINT) cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND date_dim.d_dom BETWEEN 1 AND 2
+    AND (household_demographics.hd_buy_potential = '>10000' OR
+    household_demographics.hd_buy_potential = 'Unknown')
+    AND household_demographics.hd_vehicle_count > 0
+    AND CASE WHEN household_demographics.hd_vehicle_count > 0
+    THEN
+      CAST(household_demographics.hd_dep_count AS DOUBLE)
+        / household_demographics.hd_vehicle_count
+        ELSE NULL END > 1
+    AND date_dim.d_year IN (1996, 1996 + 1, 1996 + 2)
+    AND store.s_county IN ('county_0', 'county_1', 'county_2', 'county_3')
+  GROUP BY ss_ticket_number, ss_customer_sk) dj, customer_dim
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC
+""",
+    "TPC-DS q73 (reference inputs/q73.sql): customers whose early-month "
+    "tickets hold 1-5 lines, for high-buy-potential multi-vehicle "
+    "households. dep/vehicle is pinned to DOUBLE division (Spark int/"
+    "int is double, DuckDB's is exact — the CAST makes both double). "
+    "No LIMIT, so the reference's tie-heavy ORDER BY needs no "
+    "tiebreaker (the compare is order-insensitive).",
+)

@@ -357,7 +357,11 @@ _SHIM: dict[str, str] = {
   FROM (SELECT DISTINCT 1 + s_suppkey % 8 AS s_store_sk FROM supplier) s)""",
     "call_center": """(
   SELECT cc_call_center_sk,
+         concat('CC', lpad(CAST(cc_call_center_sk AS {VSTR}), 4, '0'))
+             AS cc_call_center_id,
          concat('cc_', CAST(cc_call_center_sk AS {VSTR})) AS cc_name,
+         concat('manager_', CAST(cc_call_center_sk % 7 AS {VSTR}))
+             AS cc_manager,
          concat('county_', CAST(cc_call_center_sk % 4 AS {VSTR}))
              AS cc_county
   FROM (SELECT DISTINCT 1 + s_suppkey % 4 AS cc_call_center_sk

@@ -378,7 +378,16 @@ def _roundtrip_agg(df):
 # - nulls need a sentinel (classic \\N) to stay distinguishable from empty
 #   strings — both map to an empty field otherwise. A field whose VALUE is
 #   the literal sentinel would read back as null; acceptable for corpus
-#   text, documented here.
+#   text, documented here;
+# - NUL (U+0000) is EXCLUDED from the contract inside quoted fields: the
+#   univocity parser uses '\0' as its internal "no character" sentinel
+#   (e.g. CsvFormat quote='\0' means "unset"), so a literal NUL inside a
+#   quoted field is silently dropped on read no matter the option set
+#   (verified against multiLine true/false and every
+#   unescapedQuoteHandling mode; the bytes on disk are correct — the loss
+#   is read-side). Unquoted NULs round-trip fine. Corpus text containing
+#   NUL that also needs quoting (embedded quotes/delimiters/newlines)
+#   must go through a binary-safe format (parquet/ORC/JSON) instead.
 _CSV_NULL = "\\N"
 
 

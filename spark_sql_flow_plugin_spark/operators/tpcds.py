@@ -486,25 +486,63 @@ def _shim_session(spark, sf_dir):
     return st
 
 
+def _pid_alive(pid: int) -> bool:
+    """True if a process with this pid exists (EPERM counts as alive).
+    Non-positive pids address process groups, not a process — reject."""
+    import os
+
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except (OverflowError, ValueError):
+        return False
+    return True
+
+
 def _ensure_materialized(s, done: set, sf_dir: str, tables: list) -> None:
     """Write each not-yet-done shim table to temp parquet under the repo
-    (.tpcds_shim/<appId>/<sf>/<table>) and register it as a temp view.
-    Stale dirs from previous application runs are pruned best-effort."""
+    (.tpcds_shim/<appId>-<pid>/<sf>/<table>) and register it as a temp
+    view.
+
+    Concurrency contract (round-8 fix for the cross-application rmtree
+    race): each application writes ONLY under its own
+    ``<applicationId>-<pid>`` directory, and stale-dir reaping skips any
+    sibling whose embedded pid is still alive — a concurrent Spark
+    application (pytest + bench, driver + builder, CI shards) on the
+    same checkout is never touched while its process exists. Dead apps'
+    leftovers are reclaimed by pid-liveness, not by "not mine". A table
+    is also re-materialized if its parquet dir vanished out from under
+    us (the in-memory ``done`` set is not trusted over the filesystem:
+    we require the writer's _SUCCESS marker)."""
     import os
     import shutil
 
-    todo = [t for t in tables if t not in done]
-    if not todo:
-        return
-    d = _DIALECT["spark"]
-    app = s.sparkContext.applicationId
     base = os.path.join(_repo_root(), ".tpcds_shim")
     os.makedirs(base, exist_ok=True)
-    for old in os.listdir(base):
-        if old != app:
-            shutil.rmtree(os.path.join(base, old), ignore_errors=True)
-    root = os.path.join(base, app,
+    app = s.sparkContext.applicationId
+    mine = "%s-%d" % (app, os.getpid())
+    root = os.path.join(base, mine,
                         os.path.basename(os.path.abspath(sf_dir)))
+    todo = [
+        t for t in tables
+        if t not in done
+        or not os.path.isfile(os.path.join(root, t, "_SUCCESS"))
+    ]
+    if not todo:
+        return
+    for old in os.listdir(base):
+        if old == mine:
+            continue
+        pid_s = old.rsplit("-", 1)[-1]
+        if pid_s.isdigit() and _pid_alive(int(pid_s)):
+            continue  # a live application's data — never delete it
+        shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    d = _DIALECT["spark"]
     for t in todo:
         path = os.path.join(root, t)
         df = s.sql("SELECT * FROM " + _SHIM[t].format(**d))
@@ -527,10 +565,13 @@ def _with_clause(tables: list[str], engine: str, extra: str = "") -> str:
     return "WITH " + ",\n".join(parts) + "\n"
 
 
-def _tpcds(name: str, tables: list[str], body: str, doc: str, extra: str = ""):
+def _tpcds(name: str, tables: list[str], body: str, doc: str,
+           extra: str = "", tags: tuple = ()):
     """Register a TPC-DS query: same SQL text on Spark (shared shim
     session: materialized facts as parquet views, small dims inline) and
-    DuckDB (per-query MATERIALIZED CTEs over driver-registered views)."""
+    DuckDB (per-query MATERIALIZED CTEs over driver-registered views).
+    Extra ``tags`` join the standard "tpcds" tag (e.g. "bench" puts the
+    query in bench.py's headline set)."""
     oracle = _with_clause(tables, "duck", extra) + body
 
     def builder(spark, sf_dir):
@@ -542,7 +583,7 @@ def _tpcds(name: str, tables: list[str], body: str, doc: str, extra: str = ""):
 
     builder.__name__ = name
     builder.__doc__ = doc
-    register(name, oracle, "tpcds")(builder)
+    register(name, oracle, "tpcds", *tags)(builder)
 
 
 # ---------------------------------------------------------------------------
@@ -2002,6 +2043,7 @@ LIMIT 100
     "2001/2 -> 1996/7. One row per customer_id, which leads the sort: "
     "LIMIT-safe.",
     extra=_Q4_YT,
+    tags=("bench",),
 )
 
 # ---------------------------------------------------------------------------
@@ -2307,7 +2349,7 @@ LIMIT 100
     "q83; the scalar-anchor shape stays covered by q6). The 0.9/1.1 "
     "band compares BIGINT cents against an IEEE product (identical "
     "coercion both engines); dev percentages are single IEEE division "
-    "chains. 5 qualifying items at sf0.01, 0 at sf0.001 (both engines "
+    "chains. Non-empty at sf0.01 (7 items), 0 at sf0.001 (both engines "
     "agree). item_id leads the sort and is the join key: LIMIT-safe.",
     extra=_Q58_CTES,
 )
@@ -3033,6 +3075,7 @@ LIMIT 100
     "list-price in exact BIGINT cents; the 50/100.0 threshold is one "
     "IEEE multiply. Single row.",
     extra=_Q23_CTES,
+    tags=("bench",),
 )
 
 _tpcds(
@@ -3253,6 +3296,7 @@ LIMIT 100
     "LIMIT, so every nullable sort key is COALESCEd ('' / -1, sorting "
     "where NULL-as-lowest would) to neutralize Spark-vs-DuckDB NULL "
     "ordering; key order follows the reference.",
+    tags=("bench",),
 )
 
 # ---------------------------------------------------------------------------
@@ -3768,8 +3812,8 @@ FROM catalog_sales, customer_dim, customer_address, date_dim
 WHERE cs_bill_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
   AND (substr(ca_zip, 1, 5) IN ('10074', '10148', '10222', '10296',
-                                '10370', '10444', '85669', '86197',
-                                '88274')
+                                '10370', '10444', '28500', '47000',
+                                '61800')
   OR ca_state IN ('S02', 'S09', 'S16')
   OR cs_sales_price_cents > 9000000)
   AND cs_sold_date_sk = d_date_sk
@@ -3780,7 +3824,9 @@ LIMIT 100
 """,
     "TPC-DS q15 (reference inputs/q15.sql): catalog revenue by zip for "
     "an OR cohort (explicit zips / states / big-ticket lines). Zip "
-    "literals are actual derived zips (10000 + 37k), states S02/S09/"
+    "literals are derived zips 10000 + (37k mod 90000) for custkeys "
+    "reachable at every shipped SF (k = 2..12 even, 500, 1000, 1400 — "
+    "all <= sf0.01's ~1.5k customers), states S02/S09/"
     "S16, and the $500 price floor becomes 9,000,000 cents (the derived "
     "price domain is ~90k..10.5M cents, so $500 would select "
     "everything). Sort key = group key: LIMIT-safe.",
@@ -3857,7 +3903,11 @@ LIMIT 100
     "stddev_samp is spelled out as "
     "sqrt((n*sum(q^2) - sum(q)^2) / (n*(n-1))) over exact BIGINT sums "
     "so both engines run the identical IEEE expression (native Welford "
-    "orderings are not cross-engine stable). Quantities are never NULL "
+    "orderings are not cross-engine stable). Note: the reference text "
+    "has a known typo — it emits stddev/avg (the cov) twice for the "
+    "catalog column, labelling one copy _quantitystdev; this repo "
+    "intentionally corrects it and emits a true stdev for catalog "
+    "(deliberate deviation, not drift). Quantities are never NULL "
     "in the shim, so count(q) = count(*). Sort = group key: LIMIT-safe.",
 )
 
@@ -4045,4 +4095,590 @@ ORDER BY cnt DESC
     "int is double, DuckDB's is exact — the CAST makes both double). "
     "No LIMIT, so the reference's tie-heavy ORDER BY needs no "
     "tiebreaker (the compare is order-insensitive).",
+)
+
+# ---------------------------------------------------------------------------
+# q91 — call-center catalog-return losses by customer demographic
+# ---------------------------------------------------------------------------
+
+_tpcds(
+    "tpcds_q91",
+    ["call_center", "catalog_returns", "date_dim", "customer_dim",
+     "customer_address", "customer_demographics",
+     "household_demographics"],
+    """
+SELECT
+  cc_call_center_id AS call_center,
+  cc_name AS call_center_name,
+  cc_manager AS manager,
+  CAST(SUM(cr_net_loss_cents) AS BIGINT) AS returns_loss_cents
+FROM
+  call_center, catalog_returns, date_dim, customer_dim,
+  customer_address, customer_demographics, household_demographics
+WHERE
+  cr_call_center_sk = cc_call_center_sk
+    AND cr_returned_date_sk = d_date_sk
+    AND cr_returning_customer_sk = c_customer_sk
+    AND cd_demo_sk = c_current_cdemo_sk
+    AND hd_demo_sk = c_current_hdemo_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND d_year = 1998
+    AND d_moy = 11
+    AND ((cd_marital_status = 'M' AND cd_education_status = 'College')
+    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+    AND hd_buy_potential LIKE 'Unknown%'
+    AND ca_gmt_offset = -5
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+  cd_education_status
+ORDER BY returns_loss_cents DESC
+""",
+    "TPC-DS q91 (reference inputs/q91.sql): call-center losses on "
+    "catalog returns from a demographic cohort (marital x education OR "
+    "pair, Unknown-buy-potential households, one gmt offset). "
+    "('M','Unknown') -> ('M','College') (the derived education domain "
+    "has no Unknown); gmt -7 -> -5 (derived offsets are -5/-6). The "
+    "demo columns stay in GROUP BY but not the output, exactly like the "
+    "reference, so one call center can emit one row per matching "
+    "cohort. No LIMIT: the order-insensitive compare needs no "
+    "tiebreak. Consumes the round-7 WIP call_center columns "
+    "(cc_call_center_id/cc_manager).",
+)
+
+# ---------------------------------------------------------------------------
+# q78 — store items+customers with zero returns vs their other-channel buys
+# ---------------------------------------------------------------------------
+
+_Q78_CTES = """ws AS
+(SELECT
+    d_year AS ws_sold_year,
+    ws_bill_customer_sk AS ws_customer_sk,
+    CAST(SUM(ws_quantity) AS BIGINT) AS ws_qty,
+    CAST(SUM(ws_ext_wholesale_cost_cents) AS BIGINT) AS ws_wc,
+    CAST(SUM(ws_sales_price_cents) AS BIGINT) AS ws_sp
+  FROM web_sales
+    LEFT JOIN web_returns ON wr_order_number = ws_order_number
+      AND ws_item_sk = wr_item_sk
+    JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_bill_customer_sk
+),
+    cs AS
+  (SELECT
+    d_year AS cs_sold_year,
+    cs_bill_customer_sk AS cs_customer_sk,
+    CAST(SUM(cs_quantity) AS BIGINT) AS cs_qty,
+    CAST(SUM(cs_ext_wholesale_cost_cents) AS BIGINT) AS cs_wc,
+    CAST(SUM(cs_sales_price_cents) AS BIGINT) AS cs_sp
+  FROM catalog_sales
+    LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+      AND cs_item_sk = cr_item_sk
+    JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_bill_customer_sk
+  ),
+    ss AS
+  (SELECT
+    d_year AS ss_sold_year,
+    ss_customer_sk,
+    CAST(SUM(ss_quantity) AS BIGINT) AS ss_qty,
+    CAST(SUM(ss_ext_wholesale_cost_cents) AS BIGINT) AS ss_wc,
+    CAST(SUM(ss_sales_price_cents) AS BIGINT) AS ss_sp
+  FROM store_sales
+    LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+      AND ss_item_sk = sr_item_sk
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_customer_sk
+  )"""
+
+_tpcds(
+    "tpcds_q78",
+    ["web_sales", "web_returns", "catalog_sales", "catalog_returns",
+     "store_sales", "store_returns", "date_dim"],
+    """
+SELECT
+  CAST(floor(CAST(ss_qty AS DOUBLE) * 100 / (ws_qty + cs_qty)) AS BIGINT)
+    AS ratio_pct,
+  ss_qty AS store_qty,
+  ss_wc AS store_wholesale_cost_cents,
+  ss_sp AS store_sales_price_cents,
+  COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty,
+  COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0)
+    AS other_chan_wholesale_cost_cents,
+  COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS other_chan_sales_price_cents
+FROM ss
+  LEFT JOIN ws
+    ON (ws_sold_year = ss_sold_year AND ws_customer_sk = ss_customer_sk)
+  LEFT JOIN cs
+    ON (cs_sold_year = ss_sold_year AND cs_customer_sk = ss_customer_sk)
+WHERE COALESCE(ws_qty, 0) > 0 AND COALESCE(cs_qty, 0) > 0
+  AND ss_sold_year = 1998
+ORDER BY
+  ratio_pct,
+  ss_qty DESC, ss_wc DESC, ss_sp DESC,
+  other_chan_qty,
+  other_chan_wholesale_cost_cents,
+  other_chan_sales_price_cents
+LIMIT 100
+""",
+    "TPC-DS q78 (reference inputs/q78.sql): per customer x year, store "
+    "purchases that were never returned (LEFT JOIN returns + IS "
+    "NULL anti-join per channel) compared against the same customer's "
+    "unreturned web+catalog volume, keeping only customers active in "
+    "all three channels. Adaptations: the reference grain is item x "
+    "customer x year, but the derived channel split (l_linenumber % 3) "
+    "makes one customer buying one part through three channels "
+    "structurally absent (ZERO such triples at sf0.01 AND sf0.1, "
+    "measured), so the grain coarsens to customer x year — the "
+    "three-CTE anti-join / double LEFT JOIN / ratio architecture is "
+    "verbatim. The shim carries line-level "
+    "EXT wholesale/sales cents (per-unit cost columns do not derive), "
+    "round(qty_ratio, 2) becomes floor(100 * ratio) (floor on the "
+    "identical IEEE double is unambiguous cross-engine; round-half on "
+    "doubles is not), and the never-NULL-under-WHERE "
+    "coalesce(ws_qty + cs_qty, 1) denominator is simplified to "
+    "(ws_qty + cs_qty). Year 2000 -> 1998 (mid derived domain). All "
+    "seven output columns are sort keys, so the LIMIT cut only ever "
+    "splits identical rows: LIMIT-safe.",
+    extra=_Q78_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q75 — yearly item-hierarchy net-sales delta for one category (all channels)
+# ---------------------------------------------------------------------------
+
+_Q75_ALL_SALES = """all_sales AS (
+  SELECT
+    d_year,
+    i_brand_id,
+    i_class_id,
+    i_category_id,
+    i_manufact_id,
+    CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,
+    CAST(SUM(sales_amt_cents) AS BIGINT) AS sales_amt_cents
+  FROM (
+         SELECT
+           d_year,
+           i_brand_id,
+           i_class_id,
+           i_category_id,
+           i_manufact_id,
+           cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+           cs_ext_sales_price_cents
+             - COALESCE(cr_return_amount_cents, 0) AS sales_amt_cents
+         FROM catalog_sales
+           JOIN item ON i_item_sk = cs_item_sk
+           JOIN date_dim ON d_date_sk = cs_sold_date_sk
+           LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+             AND cs_item_sk = cr_item_sk)
+         WHERE i_category = 'STANDARD'
+         UNION
+         SELECT
+           d_year,
+           i_brand_id,
+           i_class_id,
+           i_category_id,
+           i_manufact_id,
+           ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+           ss_ext_sales_price_cents
+             - COALESCE(sr_return_amt_cents, 0) AS sales_amt_cents
+         FROM store_sales
+           JOIN item ON i_item_sk = ss_item_sk
+           JOIN date_dim ON d_date_sk = ss_sold_date_sk
+           LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+             AND ss_item_sk = sr_item_sk)
+         WHERE i_category = 'STANDARD'
+         UNION
+         SELECT
+           d_year,
+           i_brand_id,
+           i_class_id,
+           i_category_id,
+           i_manufact_id,
+           ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+           ws_ext_sales_price_cents
+             - COALESCE(wr_return_amt_cents, 0) AS sales_amt_cents
+         FROM web_sales
+           JOIN item ON i_item_sk = ws_item_sk
+           JOIN date_dim ON d_date_sk = ws_sold_date_sk
+           LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+             AND ws_item_sk = wr_item_sk)
+         WHERE i_category = 'STANDARD') sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)"""
+
+_tpcds(
+    "tpcds_q75",
+    ["catalog_sales", "catalog_returns", "store_sales", "store_returns",
+     "web_sales", "web_returns", "item", "date_dim"],
+    """
+SELECT
+  prev_yr.d_year AS prev_year,
+  curr_yr.d_year AS curr_year,
+  curr_yr.i_brand_id,
+  curr_yr.i_class_id,
+  curr_yr.i_category_id,
+  curr_yr.i_manufact_id,
+  prev_yr.sales_cnt AS prev_yr_cnt,
+  curr_yr.sales_cnt AS curr_yr_cnt,
+  curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+  curr_yr.sales_amt_cents - prev_yr.sales_amt_cents
+    AS sales_amt_diff_cents
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 1999
+  AND prev_yr.d_year = 1999 - 1
+  AND curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
+ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+  curr_yr.i_category_id, curr_yr.i_manufact_id
+LIMIT 100
+""",
+    "TPC-DS q75 (reference inputs/q75.sql): channel UNION of net sales "
+    "(quantity and revenue minus returns) per item hierarchy per year, "
+    "self-joined 1999-vs-1998 keeping manufacturer lines that shrank "
+    "more than 10%. 'Books' -> 'STANDARD' (the derived category domain "
+    "is the six p_type words). The DECIMAL ratio 'curr/prev < 0.9' is "
+    "emitted as exact integer 'curr*10 < prev*9' — identical truth "
+    "table including prev=0 (division-by-zero NULL/Inf semantics "
+    "differ cross-engine, integer compare does not). UNION (distinct) "
+    "over detail rows is kept verbatim. ORDER BY sales_cnt_diff alone "
+    "ties, so the four (unique) hierarchy group keys are appended: "
+    "LIMIT-safe.",
+    extra=_Q75_ALL_SALES,
+)
+
+# ---------------------------------------------------------------------------
+# q14a/q14b — cross-channel item cohort (INTERSECT tower) vs average sales
+# ---------------------------------------------------------------------------
+
+#: items whose (brand, class, category) sold through ALL three channels
+#: inside the 3-year window, plus the global per-line average revenue —
+#: shared verbatim by q14a and q14b (reference inputs/q14a.sql:1-57)
+_Q14_CTES = """cross_items AS
+(SELECT i_item_sk AS ss_item_sk
+  FROM item,
+    (SELECT
+      iss.i_brand_id AS brand_id,
+      iss.i_class_id AS class_id,
+      iss.i_category_id AS category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1997 AND 1997 + 2
+    INTERSECT
+    SELECT
+      ics.i_brand_id,
+      ics.i_class_id,
+      ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk
+      AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1997 AND 1997 + 2
+    INTERSECT
+    SELECT
+      iws.i_brand_id,
+      iws.i_class_id,
+      iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk
+      AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1997 AND 1997 + 2) x
+  WHERE i_brand_id = brand_id
+    AND i_class_id = class_id
+    AND i_category_id = category_id
+),
+    avg_sales AS
+  (SELECT CAST(SUM(quantity * list_price_cents) AS DOUBLE) / COUNT(*)
+      AS average_sales
+  FROM (
+         SELECT
+           ss_quantity AS quantity,
+           ss_list_price_cents AS list_price_cents
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1997 AND 1997 + 2
+         UNION ALL
+         SELECT
+           cs_quantity AS quantity,
+           cs_list_price_cents AS list_price_cents
+         FROM catalog_sales, date_dim
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1997 AND 1997 + 2
+         UNION ALL
+         SELECT
+           ws_quantity AS quantity,
+           ws_list_price_cents AS list_price_cents
+         FROM web_sales, date_dim
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1997 AND 1997 + 2) x)"""
+
+
+def _q14_channel(chan: str, p: str, date_pred: str) -> str:
+    """One UNION ALL arm of q14a's y / one derived table of q14b."""
+    return f"""SELECT
+         '{chan}' AS channel,
+         i_brand_id,
+         i_class_id,
+         i_category_id,
+         CAST(SUM({p}_quantity * {p}_list_price_cents) AS BIGINT)
+           AS sales_cents,
+         COUNT(*) AS number_sales
+       FROM {chan}_sales, item, date_dim
+       WHERE {p}_item_sk IN (SELECT ss_item_sk FROM cross_items)
+         AND {p}_item_sk = i_item_sk
+         AND {p}_sold_date_sk = d_date_sk
+         AND {date_pred}
+       GROUP BY i_brand_id, i_class_id, i_category_id
+       HAVING SUM({p}_quantity * {p}_list_price_cents) >
+         (SELECT average_sales FROM avg_sales)"""
+
+
+_tpcds(
+    "tpcds_q14a",
+    ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
+    """
+SELECT
+  channel,
+  i_brand_id,
+  i_class_id,
+  i_category_id,
+  CAST(SUM(sales_cents) AS BIGINT) AS sum_sales_cents,
+  CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
+FROM (
+       """ + _q14_channel("store", "ss",
+                          "d_year = 1997 + 2 AND d_moy = 11") + """
+       UNION ALL
+       """ + _q14_channel("catalog", "cs",
+                          "d_year = 1997 + 2 AND d_moy = 11") + """
+       UNION ALL
+       """ + _q14_channel("web", "ws",
+                          "d_year = 1997 + 2 AND d_moy = 11") + """
+     ) y
+GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY COALESCE(channel, ''), COALESCE(i_brand_id, -1),
+  COALESCE(i_class_id, -1), COALESCE(i_category_id, -1)
+LIMIT 100
+""",
+    "TPC-DS q14a (reference inputs/q14a.sql): the heaviest WITH tower "
+    "in the corpus — an INTERSECT of three channel scans defines the "
+    "cross-channel item cohort, a UNION ALL of all three channels "
+    "defines the global average line revenue, then each channel's "
+    "November sales over the cohort items are kept only where the "
+    "(brand, class, category) group out-earns that average, UNION "
+    "ALL'd and re-aggregated under a 4-level ROLLUP. Window 1999-2001 "
+    "-> 1997-1999 (sold dates end 2001-08, so the reference's target "
+    "November 2001 is empty by construction; November 1999 is dense). "
+    "avg(q*p) is spelled CAST(SUM AS DOUBLE)/COUNT(*) over exact cents "
+    "(cross-engine identical IEEE division; native AVG orderings are "
+    "not). ROLLUP keys are COALESCE'd in the sort (q67 convention) and "
+    "unique per grouping level: LIMIT-safe.",
+    extra=_Q14_CTES,
+)
+
+_tpcds(
+    "tpcds_q14b",
+    ["store_sales", "catalog_sales", "web_sales", "item", "date_dim"],
+    """
+SELECT
+  this_year.channel AS ty_channel,
+  this_year.i_brand_id AS ty_brand_id,
+  this_year.i_class_id AS ty_class_id,
+  this_year.i_category_id AS ty_category_id,
+  this_year.sales_cents AS ty_sales_cents,
+  this_year.number_sales AS ty_number_sales,
+  last_year.channel AS ly_channel,
+  last_year.sales_cents AS ly_sales_cents,
+  last_year.number_sales AS ly_number_sales
+FROM
+  (""" + _q14_channel(
+        "store", "ss",
+        """d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_year = 1997 + 2 AND d_moy = 12 AND d_dom = 25)""") + """) this_year,
+  (""" + _q14_channel(
+        "store", "ss",
+        """d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_year = 1997 + 1 AND d_moy = 12 AND d_dom = 25)""") + """) last_year
+WHERE this_year.i_brand_id = last_year.i_brand_id
+  AND this_year.i_class_id = last_year.i_class_id
+  AND this_year.i_category_id = last_year.i_category_id
+ORDER BY ty_channel, ty_brand_id, ty_class_id, ty_category_id
+LIMIT 100
+""",
+    "TPC-DS q14b (reference inputs/q14b.sql): q14a's cohort + average "
+    "CTEs reused verbatim, but comparing the store channel's "
+    "above-average (brand, class, category) groups for the week of "
+    "Dec 25 this year against the same week last year (scalar "
+    "d_week_seq subqueries — at most one row by d_date_sk "
+    "distinctness). Years 2000/1999 -> 1999/1998 (window 1997-1999); Dec 11 -> Dec 25, the only anchor week whose year-over-year above-average triple overlap is non-degenerate at sf0.01 (measured: 5). "
+    "The reference's SELECT * would emit duplicate column names "
+    "(channel, i_brand_id, ... from both derived tables), which the "
+    "driver's sort-columns-by-name compare cannot represent — every "
+    "output column is explicitly aliased ty_*/ly_* instead. Join keys "
+    "are the grouped (unique) hierarchy triple and lead the sort: "
+    "LIMIT-safe.",
+    extra=_Q14_CTES,
+)
+
+# ---------------------------------------------------------------------------
+# q64 — two-year store-repurchase handoff mega-join (18 relations)
+# ---------------------------------------------------------------------------
+
+_Q64_CTES = """cs_ui AS {MAT}
+(SELECT
+    cs_item_sk,
+    CAST(SUM(cs_ext_list_price_cents) AS BIGINT) AS sale,
+    CAST(SUM(cr_refunded_cash_cents + cr_reversed_charge_cents
+      + cr_store_credit_cents) AS BIGINT) AS refund
+  FROM catalog_sales
+    , catalog_returns
+  WHERE cs_item_sk = cr_item_sk
+    AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING SUM(cs_ext_list_price_cents) >
+    SUM(cr_refunded_cash_cents + cr_reversed_charge_cents
+      + cr_store_credit_cents)),
+    sale_base AS {MAT}
+  (SELECT ss_item_sk, ss_customer_sk, ss_cdemo_sk, ss_hdemo_sk,
+          ss_addr_sk, i_product_name, s_store_name, s_zip,
+          d1.d_year AS syear, ss_ext_wholesale_cost_cents,
+          ss_list_price_cents, ss_coupon_amt_cents
+   FROM store_sales, store_returns, cs_ui, date_dim d1, store,
+        promotion, item
+   WHERE ss_store_sk = s_store_sk AND
+     ss_sold_date_sk = d1.d_date_sk AND
+     ss_item_sk = i_item_sk AND
+     ss_item_sk = sr_item_sk AND
+     ss_ticket_number = sr_ticket_number AND
+     ss_item_sk = cs_ui.cs_item_sk AND
+     ss_promo_sk = p_promo_sk AND
+     i_color IN ('red', 'blue', 'hot', 'old', 'small', 'large') AND
+     i_current_price_cents BETWEEN 92000 AND 92000 + 5000 AND
+     i_current_price_cents BETWEEN 92000 + 1000 AND 92000 + 7000),
+    sale_side AS {MAT}
+  (SELECT sale_base.*, cd1.cd_marital_status AS b_marital,
+          ad1.ca_street_number AS b_street_number,
+          ad1.ca_street_name AS b_street_name,
+          ad1.ca_city AS b_city, ad1.ca_zip AS b_zip
+   FROM sale_base, customer_demographics cd1,
+        household_demographics hd1, income_band ib1,
+        customer_address ad1
+   WHERE ss_cdemo_sk = cd1.cd_demo_sk AND
+     ss_hdemo_sk = hd1.hd_demo_sk AND
+     hd1.hd_income_band_sk = ib1.ib_income_band_sk AND
+     ss_addr_sk = ad1.ca_address_sk),
+    cust_side AS {MAT}
+  (SELECT c_customer_sk, cd2.cd_marital_status AS c_marital,
+          d2.d_year AS fsyear, d3.d_year AS s2year,
+          ad2.ca_street_number AS c_street_number,
+          ad2.ca_street_name AS c_street_name,
+          ad2.ca_city AS c_city, ad2.ca_zip AS c_zip
+   FROM customer_dim, customer_demographics cd2,
+        household_demographics hd2, income_band ib2,
+        customer_address ad2, date_dim d2, date_dim d3
+   WHERE c_current_cdemo_sk = cd2.cd_demo_sk AND
+     c_current_hdemo_sk = hd2.hd_demo_sk AND
+     hd2.hd_income_band_sk = ib2.ib_income_band_sk AND
+     c_current_addr_sk = ad2.ca_address_sk AND
+     c_first_sales_date_sk = d2.d_date_sk AND
+     c_first_shipto_date_sk = d3.d_date_sk),
+    cross_sales AS {MAT}
+  (SELECT
+    i_product_name AS product_name,
+    ss_item_sk AS item_sk,
+    s_store_name AS store_name,
+    s_zip AS store_zip,
+    b_street_number,
+    b_street_name,
+    b_city,
+    b_zip,
+    c_street_number,
+    c_street_name,
+    c_city,
+    c_zip,
+    syear,
+    fsyear,
+    s2year,
+    CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(ss_ext_wholesale_cost_cents) AS BIGINT) AS s1,
+    CAST(SUM(ss_list_price_cents) AS BIGINT) AS s2,
+    CAST(SUM(ss_coupon_amt_cents) AS BIGINT) AS s3
+  FROM sale_side, cust_side
+  WHERE ss_customer_sk = c_customer_sk AND
+    b_marital = c_marital
+  GROUP BY i_product_name, ss_item_sk, s_store_name, s_zip,
+    b_street_number, b_street_name, b_city, b_zip,
+    c_street_number, c_street_name, c_city, c_zip,
+    syear, fsyear, s2year
+  )"""
+
+_tpcds(
+    "tpcds_q64",
+    ["catalog_sales", "catalog_returns", "store_sales", "store_returns",
+     "date_dim", "store", "customer_dim", "customer_demographics",
+     "household_demographics", "customer_address", "income_band",
+     "promotion", "item"],
+    """
+SELECT
+  cs1.product_name,
+  cs1.store_name,
+  cs1.store_zip,
+  cs1.b_street_number,
+  cs1.b_street_name,
+  cs1.b_city,
+  cs1.b_zip,
+  cs1.c_street_number,
+  cs1.c_street_name,
+  cs1.c_city,
+  cs1.c_zip,
+  cs1.syear,
+  cs1.cnt,
+  cs1.s1,
+  cs1.s2,
+  cs1.s3,
+  cs2.s1 AS s1_2,
+  cs2.s2 AS s2_2,
+  cs2.s3 AS s3_2,
+  cs2.syear AS syear_2,
+  cs2.cnt AS cnt_2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk AND
+  cs1.syear = 1998 AND
+  cs2.syear = 1998 + 1 AND
+  cs2.cnt <= cs1.cnt AND
+  cs1.store_name = cs2.store_name AND
+  cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt
+""",
+    "TPC-DS q64 (reference inputs/q64.sql): the corpus's widest join — "
+    "store sale + its return + the item's net-positive catalog history "
+    "+ two demographics, two households, two addresses, two income "
+    "bands, three date roles, store, promotion and item, aggregated "
+    "per item/store/address/year and self-joined across consecutive "
+    "years on item+store. Adaptations beyond cents: (1) cs_ui's "
+    "HAVING 'sale > 2*refund' -> 'sale > refund' — derived refund "
+    "components sum to ~95% of the sale price by construction, so the "
+    "reference multiplier empties the CTE at every SF; (2) cd1 <> cd2 "
+    "marital -> '=' — the derived sale-time and current cdemo sks are "
+    "the same pure function of the customer key, so inequality is "
+    "vacuously empty (the double-demographics join shape is what is "
+    "being exercised); (3) colors/prices retuned to the derived "
+    "domains (colors are p_name first words; price band inside the "
+    "90000-99990 cents domain, double-band shape kept); (4) years "
+    "1999/2000 -> 1998/1999; (5) cs2's duplicate output columns get "
+    "explicit s*_2 aliases (driver compares by column name); (6) the "
+    "reference's single 18-relation FROM block is decomposed into "
+    "layered CTEs (sale side | customer side | final group) — an "
+    "algebraically identical inner-join conjunction with the GROUP BY "
+    "still over the full join, but DuckDB's join-order search above "
+    "~16 relations degenerates into a plan that does not finish even "
+    "at sf0.001 (measured >2 min on 6k rows; layered form 0.3 s at "
+    "sf0.01), while Spark inlines the CTEs and re-optimizes the full "
+    "graph globally (plan-gated: no CartesianProduct). No LIMIT, so "
+    "the reference's tie-prone sort needs no tiebreak "
+    "(order-insensitive compare).",
+    extra=_Q64_CTES,
 )

@@ -137,7 +137,18 @@ def test_winnow_pairs_match_bruteforce(spark, fps, cap):
 
 # arbitrary unicode minus unpaired surrogates (not encodable to UTF-8);
 # unicode line separators NEL/LS/PS are fair game — probed to survive the
-# quoted-field path (see test_unicode_line_separators_roundtrip)
+# quoted-field path (see test_unicode_line_separators_roundtrip).
+# NUL is excluded for the CSV fuzz only: univocity silently drops a
+# literal '\0' inside quoted fields (its internal no-char sentinel) no
+# matter the option set — see the contract note above _CSV_NULL in
+# operators/misc.py. JSON gets its own alphabet WITH NUL below.
+_TEXT_NO_NUL = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="\x00",
+    ),
+    max_size=40,
+)
 _TEXT = st.text(
     alphabet=st.characters(
         blacklist_categories=("Cs",),
@@ -147,7 +158,7 @@ _TEXT = st.text(
 
 
 @_SLOW
-@given(vals=st.lists(_TEXT, min_size=1, max_size=8))
+@given(vals=st.lists(_TEXT_NO_NUL, min_size=1, max_size=8))
 def test_csv_fidelity_roundtrips_arbitrary_unicode(spark, tmp_path_factory, vals):
     from spark_sql_flow_plugin_spark.operators.misc import (
         csv_read_fidelity,

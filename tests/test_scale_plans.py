@@ -588,3 +588,26 @@ def test_tpcds_q88_reuses_or_broadcasts_scalar_bands(spark, sf_dir):
     # broadcast, never a data-sized nested loop
     plan = _physical(queries()["tpcds_q88"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q64_megajoin_no_cartesian(spark, sf_dir):
+    # 18-relation join (layered CTEs): every edge is an equi-join, dims
+    # broadcast; the year-pair self-join must also be hash, not nested
+    plan = _physical(queries()["tpcds_q64"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpcds_q14a_intersect_tower_no_cartesian(spark, sf_dir):
+    # INTERSECT of three channel scans + UNION ALL re-aggregation under
+    # ROLLUP: the only nested-loop allowed is the 1-row avg_sales scalar
+    plan = _physical(queries()["tpcds_q14a"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan  # ROLLUP lowers to Expand
+
+
+def test_tpcds_q75_channel_union_no_cartesian(spark, sf_dir):
+    plan = _physical(queries()["tpcds_q75"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2,7 +2,10 @@
 artifacts/plans_r{N}/<name>.txt — the per-round plan snapshot the verdict
 audits for shuffle/broadcast/cartesian regressions.
 
-Usage: python tools/gen_plans.py <round> [sf_dir]
+Usage: python tools/gen_plans.py <round> [sf_dir] [extra_query ...]
+
+Bench-tagged queries are always dumped; extra registry names (e.g. the
+non-bench TPC-DS heavies the verdict audits) can be appended.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from spark_sql_flow_plugin_spark.session import get_session  # noqa: E402
 def main() -> None:
     rnd = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    extra = set(sys.argv[3:])
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
@@ -28,7 +32,7 @@ def main() -> None:
     spark = get_session("gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
     for spec in all_specs():
-        if "bench" not in spec.tags:
+        if "bench" not in spec.tags and spec.name not in extra:
             continue
         df = spec.builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -488,6 +488,57 @@ def _shim_session(spark, sf_dir):
     return st
 
 
+_ORPHAN_GRACE_SEC = 3600.0  # markerless dirs are reapable only by age
+
+
+def _proc_start_time(pid: int):
+    """Kernel start-time of a live pid (clock ticks; /proc/<pid>/stat
+    field 22), or None. Lets the reaper distinguish a pid-reuse
+    impostor from the process that actually wrote an OWNER marker."""
+    try:
+        with open("/proc/%d/stat" % pid, "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens; real fields resume
+        # after the LAST ')' — starttime is the 20th of those.
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _owner_alive(appdir: str) -> bool:
+    """Liveness of the application that owns a shim app-dir.
+
+    Ownership is an explicit ``OWNER`` marker (``<pid> <starttime>``)
+    written by the dir's creator — never parsed out of the dir name,
+    so pid-reuse (marker pid now belongs to an unrelated process with
+    a different /proc start-time) and foreign dir-name formats (e.g.
+    standalone ``app-...-0001``) cannot pin a dead app's data forever.
+    A dir with no readable marker (mid-creation by a sibling, or
+    legacy layout) is protected only while younger than the orphan
+    grace period."""
+    import os
+    import time
+
+    try:
+        with open(os.path.join(appdir, "OWNER")) as f:
+            parts = f.read().split()
+        pid = int(parts[0])
+        start = parts[1] if len(parts) > 1 else "?"
+    except (OSError, ValueError, IndexError):
+        try:
+            age = time.time() - os.path.getmtime(appdir)
+        except OSError:
+            return True  # vanished mid-scan: a concurrent reaper won
+        return age < _ORPHAN_GRACE_SEC
+    if not _pid_alive(pid):
+        return False
+    if start != "?":
+        cur = _proc_start_time(pid)
+        if cur is not None and str(cur) != start:
+            return False  # pid reused by an unrelated live process
+    return True
+
+
 def _pid_alive(pid: int) -> bool:
     """True if a process with this pid exists (EPERM counts as alive).
     Non-positive pids address process groups, not a process — reject."""
@@ -512,12 +563,15 @@ def _ensure_materialized(s, done: set, sf_dir: str, tables: list) -> None:
     view.
 
     Concurrency contract (round-8 fix for the cross-application rmtree
-    race): each application writes ONLY under its own
-    ``<applicationId>-<pid>`` directory, and stale-dir reaping skips any
-    sibling whose embedded pid is still alive — a concurrent Spark
-    application (pytest + bench, driver + builder, CI shards) on the
-    same checkout is never touched while its process exists. Dead apps'
-    leftovers are reclaimed by pid-liveness, not by "not mine". A table
+    race, hardened round 9): each application writes ONLY under its own
+    ``<applicationId>-<pid>`` directory and stamps it with an ``OWNER``
+    marker (``<pid> <starttime>``); stale-dir reaping consults the
+    marker — never the dir name — and skips any sibling whose marker
+    names a live process with a matching /proc start-time. A concurrent
+    Spark application (pytest + bench, driver + builder, CI shards) on
+    the same checkout is never touched while its process exists; dead
+    apps' leftovers are reclaimed even under pid reuse, and markerless
+    dirs fall back to age-based reaping (see ``_owner_alive``). A table
     is also re-materialized if its parquet dir vanished out from under
     us (the in-memory ``done`` set is not trusted over the filesystem:
     we require the writer's _SUCCESS marker)."""
@@ -537,13 +591,22 @@ def _ensure_materialized(s, done: set, sf_dir: str, tables: list) -> None:
     ]
     if not todo:
         return
+    owner_dir = os.path.join(base, mine)
+    os.makedirs(owner_dir, exist_ok=True)
+    marker = os.path.join(owner_dir, "OWNER")
+    if not os.path.isfile(marker):
+        st = _proc_start_time(os.getpid())
+        tmp = "%s.tmp.%d" % (marker, os.getpid())
+        with open(tmp, "w") as f:
+            f.write("%d %s" % (os.getpid(), "?" if st is None else st))
+        os.replace(tmp, marker)
     for old in os.listdir(base):
         if old == mine:
             continue
-        pid_s = old.rsplit("-", 1)[-1]
-        if pid_s.isdigit() and _pid_alive(int(pid_s)):
+        old_path = os.path.join(base, old)
+        if _owner_alive(old_path):
             continue  # a live application's data — never delete it
-        shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+        shutil.rmtree(old_path, ignore_errors=True)
     d = _DIALECT["spark"]
     for t in todo:
         path = os.path.join(root, t)
@@ -567,13 +630,88 @@ def _with_clause(tables: list[str], engine: str, extra: str = "") -> str:
     return "WITH " + ",\n".join(parts) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# Fidelity tiers (round-9 verdict item): how close each executable query is
+# to the reference's corpus text (src/test/resources/tpcds-flow-tests/inputs).
+# Machine-readable; _tpcds refuses to register an unclassified query and
+# stamps the tier as a "fidelity:<tier>" registry tag.
+#
+# - verbatim-dialect: join graph, predicate shape, grain and selectivity
+#   roles unchanged. Only cross-engine dialect normalizations (exact-cents
+#   arithmetic, CAST-to-BIGINT HUGEINT pins, INTERVAL endpoints folded to
+#   literal dates, spelled-out avg/stddev, alias hygiene, deterministic
+#   sort tiebreaks/COALESCE) and 1:1 relabels of categorical literals into
+#   the derived domains (state/category/store/manager/reason codes, year
+#   shifts into the derived 1996-1998 calendar) that keep the same role.
+# - param-retuned: at least one NUMERIC threshold, band, window, gate or
+#   anchor was re-chosen because the reference value is degenerate on the
+#   derived data (empty or select-all) — predicate and join shapes kept.
+# - structure-adapted: a join edge, grain, or clause was structurally
+#   replaced because the reference form is unsatisfiable in the derived
+#   schema (each docstring carries the exact substitution).
+_FIDELITY_TIERS = ("verbatim-dialect", "param-retuned", "structure-adapted")
+
+FIDELITY: dict[str, str] = {
+    # --- verbatim-dialect ---------------------------------------------
+    **{n: "verbatim-dialect" for n in [
+        "tpcds_q1", "tpcds_q2", "tpcds_q3", "tpcds_q4", "tpcds_q5",
+        "tpcds_q7", "tpcds_q10", "tpcds_q11", "tpcds_q12", "tpcds_q16",
+        "tpcds_q18", "tpcds_q20", "tpcds_q22", "tpcds_q26", "tpcds_q27",
+        "tpcds_q30", "tpcds_q31", "tpcds_q32", "tpcds_q33", "tpcds_q35",
+        "tpcds_q36", "tpcds_q38", "tpcds_q41", "tpcds_q42", "tpcds_q43",
+        "tpcds_q44", "tpcds_q45", "tpcds_q46", "tpcds_q47", "tpcds_q49",
+        "tpcds_q50", "tpcds_q51", "tpcds_q52", "tpcds_q53", "tpcds_q54",
+        "tpcds_q55", "tpcds_q56", "tpcds_q57", "tpcds_q60", "tpcds_q61",
+        "tpcds_q62", "tpcds_q63", "tpcds_q66", "tpcds_q67", "tpcds_q68",
+        "tpcds_q69", "tpcds_q70", "tpcds_q71", "tpcds_q73", "tpcds_q74",
+        "tpcds_q76", "tpcds_q77", "tpcds_q79", "tpcds_q81", "tpcds_q86",
+        "tpcds_q87", "tpcds_q88", "tpcds_q89", "tpcds_q90", "tpcds_q91",
+        "tpcds_q92", "tpcds_q93", "tpcds_q95", "tpcds_q96", "tpcds_q97",
+        "tpcds_q98", "tpcds_q99", "tpcds_q14a",
+    ]},
+    # --- param-retuned -------------------------------------------------
+    # (numeric thresholds/bands/windows/gates re-chosen for the derived
+    # data's density or cents domain; see each docstring for the values)
+    **{n: "param-retuned" for n in [
+        "tpcds_q6", "tpcds_q8", "tpcds_q9", "tpcds_q13", "tpcds_q14b",
+        "tpcds_q15", "tpcds_q17", "tpcds_q21", "tpcds_q23a", "tpcds_q23b",
+        "tpcds_q25", "tpcds_q28", "tpcds_q29", "tpcds_q34", "tpcds_q37",
+        "tpcds_q39a", "tpcds_q39b", "tpcds_q40", "tpcds_q48", "tpcds_q58",
+        "tpcds_q65", "tpcds_q72", "tpcds_q75", "tpcds_q80", "tpcds_q82",
+        "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q94",
+    ]},
+    # --- structure-adapted ----------------------------------------------
+    # q19: zip-prefix cross-geography compare -> ca_state <> s_state
+    # q24a/b: birth-country/zip join edges -> addr-sk + state equi-join
+    # q59: duplicate-row week pivot normalized with GROUP BY
+    # q64: cd1<>cd2 marital -> '='; HAVING sale>2*refund -> sale>refund;
+    #      18-relation FROM decomposed into layered CTEs
+    # q78: grain coarsened item x customer x year -> customer x year
+    **{n: "structure-adapted" for n in [
+        "tpcds_q19", "tpcds_q24a", "tpcds_q24b", "tpcds_q59",
+        "tpcds_q64", "tpcds_q78",
+    ]},
+}
+
+
+def fidelity_counts() -> dict[str, int]:
+    """Tier -> number of registered queries (COVERAGE.md surface)."""
+    out = {t: 0 for t in _FIDELITY_TIERS}
+    for tier in FIDELITY.values():
+        out[tier] += 1
+    return out
+
+
 def _tpcds(name: str, tables: list[str], body: str, doc: str,
            extra: str = "", tags: tuple = ()):
     """Register a TPC-DS query: same SQL text on Spark (shared shim
     session: materialized facts as parquet views, small dims inline) and
     DuckDB (per-query MATERIALIZED CTEs over driver-registered views).
     Extra ``tags`` join the standard "tpcds" tag (e.g. "bench" puts the
-    query in bench.py's headline set)."""
+    query in bench.py's headline set) and the mandatory fidelity tier
+    tag looked up from :data:`FIDELITY` (KeyError on an unclassified
+    query — classification is part of registration)."""
+    tags = tuple(tags) + ("fidelity:" + FIDELITY[name],)
     oracle = _with_clause(tables, "duck", extra) + body
 
     def builder(spark, sf_dir):
@@ -4332,6 +4470,7 @@ WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
   AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
   AND curr_yr.d_year = 1999
   AND prev_yr.d_year = 1999 - 1
+  AND prev_yr.sales_cnt > 0
   AND curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
 ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
   curr_yr.i_category_id, curr_yr.i_manufact_id
@@ -4342,9 +4481,13 @@ LIMIT 100
     "self-joined 1999-vs-1998 keeping manufacturer lines that shrank "
     "more than 10%. 'Books' -> 'STANDARD' (the derived category domain "
     "is the six p_type words). The DECIMAL ratio 'curr/prev < 0.9' is "
-    "emitted as exact integer 'curr*10 < prev*9' — identical truth "
-    "table including prev=0 (division-by-zero NULL/Inf semantics "
-    "differ cross-engine, integer compare does not). UNION (distinct) "
+    "emitted as exact integer 'curr*10 < prev*9' guarded by "
+    "'prev > 0': for positive prev the truth tables are identical; "
+    "prev=0 rows are excluded by both forms (division-by-zero "
+    "NULL/Inf semantics differ cross-engine, the guard does not); and "
+    "negative prev (net returns exceeding net sales, where the "
+    "ratio's inequality direction would flip) is excluded explicitly "
+    "rather than claimed equivalent. UNION (distinct) "
     "over detail rows is kept verbatim. ORDER BY sales_cnt_diff alone "
     "ties, so the four (unique) hierarchy group keys are appended: "
     "LIMIT-safe.",

@@ -31,6 +31,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    dumped = set()
     for spec in all_specs():
         if "bench" not in spec.tags and spec.name not in extra:
             continue
@@ -39,7 +40,15 @@ def main() -> None:
         with open(os.path.join(out_dir, f"{spec.name}.txt"), "w") as f:
             f.write(f"-- {spec.name} @ {sf_dir}\n{plan}")
         print(f"wrote {spec.name}")
+        dumped.add(spec.name)
     spark.stop()
+    # A typo'd extra name must not yield a silently-incomplete snapshot
+    # with exit code 0 (round-8 advice): fail loudly on unmatched names.
+    unmatched = sorted(extra - dumped)
+    if unmatched:
+        print(f"ERROR: no registry spec matched: {', '.join(unmatched)}",
+              file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

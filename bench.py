@@ -109,6 +109,31 @@ def main() -> None:
         ).agg(F.sum("id").alias("s")).agg(F.max("s")).collect()
         cal_shuffle = min(cal_shuffle, time.time() - t0)
 
+    # Third anchor, filesystem-metadata-bound: streaming micro-batch
+    # machinery (state-store commits, checkpoint offset/commit logs) is
+    # dominated by many small file creates + fsyncs — a dimension neither
+    # CPU anchor captures (round-9: stream join drifted 1.5x vs r6 while
+    # BOTH CPU anchors improved; the drift lived here). 512 files x 4 KiB,
+    # each fsync'd, in a fresh temp dir on the same filesystem as the
+    # streaming checkpoints (tempfile honors TMPDIR, like Spark's
+    # temporary checkpoint location).
+    import shutil
+    import tempfile
+
+    cal_fsync = float("inf")
+    payload = b"\0" * 4096
+    for _ in range(n_runs):
+        d = tempfile.mkdtemp(prefix="bench_fsync_")
+        t0 = time.time()
+        for i in range(512):
+            p = os.path.join(d, f"f{i}")
+            with open(p, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+        cal_fsync = min(cal_fsync, time.time() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+
     # Streaming entries pay one-time availableNow micro-batch machinery
     # (checkpoint dir, state-store init across shuffle partitions,
     # offset/commit logs) that a continuous pipeline pays once at startup,
@@ -143,20 +168,38 @@ def main() -> None:
             spark, sf_dir, empty=True
         ),
     }
+    # Per-batch machinery dominates these queries, so the split is only
+    # meaningful per micro-batch: the round-9 drift root cause was the
+    # real pipeline running TWO micro-batches (data + no-data watermark
+    # flush) while the empty twin ran ONE (no rows -> watermark never
+    # advances -> no flush batch), so a full batch of machinery was
+    # reported as "data path". Batch counts are now recorded for both
+    # sides and the machinery estimate is scaled to the real batch count.
+    import spark_sql_flow_plugin_spark.streaming.events as _ev_mod
+
     streaming_split: dict[str, dict[str, float]] = {}
     for name, shape in machinery_shapes.items():
         if name not in timings:
             continue
+        # re-run the real query once to capture its micro-batch count
+        spark.catalog.clearCache()
+        qs[name](spark, sf_dir).count()
+        real_batches = _ev_mod.LAST_RUN.get("num_batches", 1)
         machinery = float("inf")
         for _ in range(n_runs):
             t0 = time.time()
             shape().count()
             machinery = min(machinery, time.time() - t0)
+        empty_batches = _ev_mod.LAST_RUN.get("num_batches", 1)
+        per_batch = machinery / max(1, empty_batches)
+        scaled = per_batch * real_batches
         total = timings[name]
         streaming_split[name] = {
             "total_sec": total,
-            "machinery_est_sec": round(machinery, 3),
-            "data_path_est_sec": round(max(0.0, total - machinery), 3),
+            "batches_real": real_batches,
+            "batches_empty_twin": empty_batches,
+            "machinery_est_sec": round(min(total, scaled), 3),
+            "data_path_est_sec": round(max(0.0, total - scaled), 3),
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,6 +215,11 @@ def main() -> None:
                 "timing": "min over runs (steady-state)",
                 "calibration_md5_20m_sec": round(cal, 3),
                 "calibration_shuffle_20m_sec": round(cal_shuffle, 3),
+                "calibration_fsync_512_sec": round(cal_fsync, 3),
+                "spark_version": spark.version,
+                "java_version": spark.sparkContext._jvm.java.lang.System.getProperty(  # noqa: E501
+                    "java.version"
+                ),
                 **(
                     {"streaming_split": streaming_split}
                     if streaming_split

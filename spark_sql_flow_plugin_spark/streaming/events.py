@@ -18,6 +18,7 @@ continuously; watermarks bound state.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -45,17 +46,55 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_event_ts(stream)
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+# Progress of the most recent _run_to_memory execution — bench.py reads
+# this to record micro-batch counts (the round-9 drift root cause was an
+# UNRECORDED extra no-data micro-batch whose full machinery cost the
+# machinery/data split mis-attributed to the data path).
+LAST_RUN: dict = {}
+
+_NO_DATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+def _run_to_memory(
+    df: DataFrame, output_mode: str, no_data_batches: bool | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with availableNow.
+
+    ``no_data_batches=False`` disables the trailing no-data micro-batch
+    for queries whose SINK output cannot depend on it (append-mode inner
+    joins: the flush batch only advances the watermark to evict state
+    and emit outer-join nulls — an inner join emits neither). Each such
+    batch costs the FULL per-batch machinery (state-store open+commit on
+    every shuffle partition for every join side), which at 64 partitions
+    was ~7 s of pure overhead per bench run — half the measured wall
+    time of stream_click_purchase_join (round-9 drift investigation,
+    artifacts/bench_r09_notes.md). None leaves the session default
+    (on) — REQUIRED for watermark-flush semantics: outer joins,
+    append-mode aggregations, dropDuplicatesWithinWatermark.
+    """
     name = f"stream_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    sess = df.sparkSession
+    prev = sess.conf.get(_NO_DATA_KEY, "true")
+    if no_data_batches is not None:
+        sess.conf.set(_NO_DATA_KEY, "true" if no_data_batches else "false")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if no_data_batches is not None:
+            sess.conf.set(_NO_DATA_KEY, prev)
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    LAST_RUN["num_batches"] = len(prog)
+    LAST_RUN["add_batch_ms"] = [
+        p.get("durationMs", {}).get("addBatch") for p in prog
+    ]
+    return sess.table(name)
 
 
 @register(
@@ -341,7 +380,14 @@ def _click_purchase_pipeline(
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     )
-    return _run_to_memory(joined, "append")
+    # Inner join in append mode: the sink output is complete after the
+    # data batches, so the trailing no-data watermark-flush batch (full
+    # per-partition state-store machinery, zero output rows) is skipped.
+    # The LEFT OUTER variant must keep it — null-extended rows are only
+    # emitted by that flush.
+    return _run_to_memory(
+        joined, "append", no_data_batches=False if how == "inner" else None
+    )
 
 
 @register(

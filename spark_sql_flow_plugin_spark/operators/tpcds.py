@@ -270,7 +270,9 @@ _SHIM: dict[str, str] = {
          substr(c_name, 10) AS c_last_name,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
              AS c_preferred_cust_flag,
-         concat('country_', CAST(c_nationkey AS {VSTR})) AS c_birth_country,
+         CASE WHEN c_custkey % 4 = 1 THEN 'UNITED STATES'
+              ELSE concat('country_', CAST(c_nationkey AS {VSTR})) END
+             AS c_birth_country,
          concat('login_', CAST(c_custkey AS {VSTR})) AS c_login,
          concat('cust', CAST(c_custkey AS {VSTR}), '@example.com')
              AS c_email_address,
@@ -294,8 +296,11 @@ _SHIM: dict[str, str] = {
          concat('S', lpad(CAST(c_nationkey AS {VSTR}), 2, '0')) AS ca_state,
          concat('county_', CAST(c_nationkey % 8 AS {VSTR})) AS ca_county,
          concat('city_', CAST(c_custkey % 40 AS {VSTR})) AS ca_city,
-         lpad(CAST(10000 + (c_custkey * 37) % 90000 AS {VSTR}), 5, '0')
-             AS ca_zip,
+         CASE WHEN c_custkey % 11 = 7
+              THEN lpad(CAST(10000 + (1 + c_custkey % 8) * 1111 AS {VSTR}),
+                        5, '0')
+              ELSE lpad(CAST(10000 + (c_custkey * 37) % 90000 AS {VSTR}),
+                        5, '0') END AS ca_zip,
          CASE WHEN c_nationkey % 2 = 0 THEN -5 ELSE -6 END AS ca_gmt_offset,
          CAST(100 + c_custkey % 900 AS {VSTR}) AS ca_street_number,
          concat('street_', CAST(c_custkey % 30 AS {VSTR})) AS ca_street_name,
@@ -675,6 +680,7 @@ FIDELITY: dict[str, str] = {
     **{n: "param-retuned" for n in [
         "tpcds_q6", "tpcds_q8", "tpcds_q9", "tpcds_q13", "tpcds_q14b",
         "tpcds_q15", "tpcds_q17", "tpcds_q21", "tpcds_q23a", "tpcds_q23b",
+        "tpcds_q24a", "tpcds_q24b",
         "tpcds_q25", "tpcds_q28", "tpcds_q29", "tpcds_q34", "tpcds_q37",
         "tpcds_q39a", "tpcds_q39b", "tpcds_q40", "tpcds_q48", "tpcds_q58",
         "tpcds_q65", "tpcds_q72", "tpcds_q75", "tpcds_q80", "tpcds_q82",
@@ -682,14 +688,15 @@ FIDELITY: dict[str, str] = {
     ]},
     # --- structure-adapted ----------------------------------------------
     # q19: zip-prefix cross-geography compare -> ca_state <> s_state
-    # q24a/b: birth-country/zip join edges -> addr-sk + state equi-join
     # q59: duplicate-row week pivot normalized with GROUP BY
     # q64: cd1<>cd2 marital -> '='; HAVING sale>2*refund -> sale>refund;
     #      18-relation FROM decomposed into layered CTEs
     # q78: grain coarsened item x customer x year -> customer x year
+    # (q24a/b were here through round 8; the round-9 birth-country
+    # mirror + zip co-grid shim columns let the reference's join edges
+    # run verbatim — only the color literal remains retuned)
     **{n: "structure-adapted" for n in [
-        "tpcds_q19", "tpcds_q24a", "tpcds_q24b", "tpcds_q59",
-        "tpcds_q64", "tpcds_q78",
+        "tpcds_q19", "tpcds_q59", "tpcds_q64", "tpcds_q78",
     ]},
 }
 
@@ -5468,9 +5475,8 @@ _Q24_SSALES = """ssales AS {MAT}
     AND ss_customer_sk = c_customer_sk
     AND ss_item_sk = i_item_sk
     AND ss_store_sk = s_store_sk
-    AND ca_country = 'United States'
-    AND s_state = ca_state
-    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country = upper(ca_country)
+    AND s_zip = ca_zip
     AND s_market_id = 8
   GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
     i_color, i_current_price_cents, i_manager_id, i_units, i_size)"""
@@ -5496,16 +5502,18 @@ HAVING SUM(netpaid) >
         f"TPC-DS {ref} (reference inputs/{ref}.sql): returned store "
         "purchases netpaid per customer/store/item-attribute bundle, "
         "then customers whose one-color total beats 5% of the global "
-        f"average ('{color}' arm). Adaptations: the reference joins "
-        "customer to address via c_birth_country = upper(ca_country) "
-        "and s_zip = ca_zip — in the derived domains birth countries "
-        "are 'country_N' while ca_country is 'United States' "
-        "(unsatisfiable) and store/customer zip grids are disjoint "
-        "for small custkeys, so the address edge becomes the natural "
-        "c_current_addr_sk equi-join with s_state = ca_state keeping "
-        "the store/address correlation and the country literal as a "
-        "filter. avg is spelled CAST(SUM AS DOUBLE)/COUNT(*). No "
-        "ORDER BY/LIMIT in the reference: order-insensitive compare.",
+        f"average ('{color}' arm). The reference's join edges "
+        "c_birth_country = upper(ca_country) and s_zip = ca_zip run "
+        "VERBATIM (round 9): the shim mirrors upper(ca_country) into "
+        "c_birth_country for a deterministic 25% customer subset "
+        "(c_custkey % 4 = 1) and co-grids a deterministic 1-in-11 "
+        "address subset (c_custkey % 11 = 7) onto the store zip grid "
+        "10000 + sk*1111 — residue 7 is disjoint from the q15/q45 "
+        "zip-literal custkeys mod 11, so their cohorts are untouched. "
+        f"Color '{color}' (reference 'pale'/'chiffon' are not in the "
+        "derived p_name color domain). avg is spelled "
+        "CAST(SUM AS DOUBLE)/COUNT(*). No ORDER BY/LIMIT in the "
+        "reference: order-insensitive compare.",
         extra=_Q24_SSALES,
     )
 

@@ -45,8 +45,7 @@ def test_structure_adapted_is_the_documented_set():
     adapted = {n for n, t in tpcds.FIDELITY.items()
                if t == "structure-adapted"}
     assert adapted == {
-        "tpcds_q19", "tpcds_q24a", "tpcds_q24b",
-        "tpcds_q59", "tpcds_q64", "tpcds_q78",
+        "tpcds_q19", "tpcds_q59", "tpcds_q64", "tpcds_q78",
     }
 
 

@@ -701,6 +701,11 @@ FIDELITY: dict[str, str] = {
 }
 
 
+#: query name -> TPC-DS tables it consumes (filled by _tpcds at
+#: registration; lineage tests map shim-plan leaves back through this)
+QUERY_TABLES: dict[str, tuple] = {}
+
+
 def fidelity_counts() -> dict[str, int]:
     """Tier -> number of registered queries (COVERAGE.md surface)."""
     out = {t: 0 for t in _FIDELITY_TIERS}
@@ -719,6 +724,7 @@ def _tpcds(name: str, tables: list[str], body: str, doc: str,
     tag looked up from :data:`FIDELITY` (KeyError on an unclassified
     query — classification is part of registration)."""
     tags = tuple(tags) + ("fidelity:" + FIDELITY[name],)
+    QUERY_TABLES[name] = tuple(tables)
     oracle = _with_clause(tables, "duck", extra) + body
 
     def builder(spark, sf_dir):

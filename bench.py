@@ -51,6 +51,25 @@ def main() -> None:
         load(spark, sf_dir, t)[t].count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    # TPC-DS shim ETL warm-up: derive + write the materialized shim facts
+    # BEFORE any timing, so (a) the first TPC-DS query's first run is not
+    # a one-time ETL measurement (min-of-n already hid it in the reported
+    # number) and (b) the multi-hundred-MB parquet write doesn't happen
+    # mid-bench, evicting other queries' inputs from the page cache (a
+    # suspected contributor to the round-7/8 uniform drift). The shim
+    # derivation is an ETL step by design (operators/tpcds.py
+    # _MATERIALIZED note); the bench times query execution.
+    if any(n.startswith("tpcds_") for n in headline_names()) or any(
+        n.startswith("tpcds_")
+        for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+    ):
+        from spark_sql_flow_plugin_spark.operators import tpcds as _tpcds_mod
+
+        s, done = _tpcds_mod._shim_session(spark, sf_dir)
+        _tpcds_mod._ensure_materialized(
+            s, done, sf_dir, sorted(_tpcds_mod._MATERIALIZED)
+        )
     # optional comma-separated subset (re-time specific queries without
     # paying for the whole headline set); empty/unset = all
     only = {

@@ -5925,6 +5925,7 @@ FROM (SELECT
         profit_cents
       FROM wsr) x
 GROUP BY ROLLUP (channel, id)
+HAVING COUNT(*) > 0
 ORDER BY COALESCE(channel, ''), COALESCE(id, '')
 LIMIT 100
 """,
@@ -5935,7 +5936,12 @@ LIMIT 100
     "09-22 (literal end date, no INTERVAL dialect); price floor "
     "inside the derived cents domain; the reserved-ish "
     "sales/returns/profit aliases carry a _cents suffix. ROLLUP "
-    "keys COALESCE'd in the sort and unique per level: LIMIT-safe.",
+    "keys COALESCE'd in the sort and unique per level: LIMIT-safe. "
+    "HAVING COUNT(*) > 0 normalizes the empty-detail edge: over ZERO "
+    "input rows DuckDB emits the ROLLUP's () super-aggregate row "
+    "(all-NULL) while Spark emits nothing — q80's detail set IS empty "
+    "at sf0.001 (r9 sf0.001 matrix catch); the guard is an identity "
+    "on every non-empty group.",
     extra=_Q80_CTES,
 )
 

@@ -1,0 +1,81 @@
+"""End-of-round snapshot guard (round-9 verdict item #1: the committed
+verification-artifacts invariant lapsed three consecutive rounds).
+
+FAILS (exit 1) unless the CURRENT round's verification artifacts exist
+in the working tree:
+
+  artifacts/oracle_matrix_r{N}_sf0.001.log   (full registry, bit-exact)
+  artifacts/oracle_matrix_r{N}_sf0.01.log
+  artifacts/oracle_matrix_r{N}_sf0.1.log
+  artifacts/plans_r{N}/                      (non-empty plan snapshot)
+
+and each matrix log actually ends in a green summary ("0 fail").
+
+Run it BEFORE the end-of-round snapshot commit:
+
+  python tools/snapshot_check.py 9
+
+The driver's 50-query sample has contained zero TPC-DS rows for eight
+straight rounds — these committed matrices are the only durable
+evidence the full registry is green, so the check is mechanical, not
+advisory.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        print("usage: python tools/snapshot_check.py <round-number>",
+              file=sys.stderr)
+        return 2
+    rnd = int(sys.argv[1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+    )
+    problems: list[str] = []
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = os.path.join(root, f"oracle_matrix_r{rnd:02d}_sf{sf}.log")
+        rel = os.path.relpath(path)
+        if not os.path.isfile(path):
+            problems.append(f"missing {rel}")
+            continue
+        tail = open(path, errors="replace").read()[-500:]
+        if " 0 fail" not in tail:
+            problems.append(f"{rel} does not end in a green '0 fail' summary")
+
+    plans = os.path.join(root, f"plans_r{rnd:02d}")
+    alt = os.path.join(root, f"plans_r{rnd}")
+    plans_dir = plans if os.path.isdir(plans) else alt
+    if not os.path.isdir(plans_dir) or not os.listdir(plans_dir):
+        problems.append(
+            f"missing/empty plan snapshot {os.path.relpath(plans)}"
+        )
+
+    if problems:
+        print("SNAPSHOT CHECK FAILED — do not commit the round snapshot:",
+              file=sys.stderr)
+        for p in problems:
+            print(f"  - {p}", file=sys.stderr)
+        print(
+            "regenerate with:\n"
+            f"  python tools/check_oracle.py /root/testdata/sf0.001 "
+            f"2>&1 | tee artifacts/oracle_matrix_r{rnd:02d}_sf0.001.log\n"
+            "  (repeat for sf0.01, sf0.1)\n"
+            f"  python tools/gen_plans.py {rnd:02d} /root/testdata/sf0.1 "
+            "tpcds_q14a tpcds_q14b tpcds_q64 tpcds_q75 tpcds_q78",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"snapshot check OK for round {rnd}: matrices green at 3 SFs, "
+          f"plan snapshot present ({os.path.relpath(plans_dir)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

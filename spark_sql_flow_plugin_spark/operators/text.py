@@ -1119,3 +1119,170 @@ def unigram_tokenize_viterbi(spark, sf_dir):
         GROUP BY token
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier TRAINING (round 9): the step
+# quality_model_filter deliberately omits. Batch gradient descent on a
+# logistic-regression-style linear model with a HARD sigmoid
+# (max(0, min(1, 0.25 z + 0.5)) — pure +-*/ arithmetic, because exp() is
+# a libm call whose last bits differ across engines). Cross-engine
+# bit-exactness of every weight: each row's gradient contribution is
+# floor-quantized to BIGINT (floor on the identical IEEE double is
+# unambiguous) and summed exactly, and the weight update
+# w + LR*((s/1e9)/n) is the same three IEEE ops in Python (Spark driver)
+# and SQL (DuckDB), so the learned doubles are equal bit for bit.
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 8
+_LR_RATE = "2.0"
+_LR_Q = "1000000000.0"  # gradient quantization: 1e-9 resolution,
+#                         BIGINT-exact below ~4e9 docs (see docstring)
+
+
+def _logreg_oracle() -> str:
+    """The same training loop unrolled as DuckDB CTEs (the
+    bpe_train_merges oracle pattern): it{t} holds the 5 weights after
+    iteration t, g{t} the exact quantized gradient sums feeding it."""
+    feats = rf"""f AS MATERIALIZED (
+  SELECT LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS x1,
+         CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+             / (length(text) + 1) AS x2,
+         CAST(16 * len(list_filter({_DUCK_WTOKS}, t -> t IN ({_SW_LIST_SQL}))) AS DOUBLE)
+             / (len({_DUCK_WTOKS}) + 1) - 1.0 AS x3,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / (length(text) + 1) AS x4,
+         CASE WHEN 16 * len(list_filter({_DUCK_WTOKS}, t -> t IN ({_SW_LIST_SQL})))
+                   > len({_DUCK_WTOKS})
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)"""
+    ctes = [
+        feats,
+        "it0 AS (SELECT " + ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS b{j}" for j in range(5)) + ")",
+    ]
+    z = "((((b0 + b1 * x1) + b2 * x2) + b3 * x3) + b4 * x4)"
+    e = f"(y - GREATEST(0.0, LEAST(1.0, 0.25 * {z} + 0.5)))"
+    for t in range(1, _LR_ITERS + 1):
+        terms = ", ".join(
+            "CAST(SUM(CAST(floor(%s * %s) AS BIGINT)) AS BIGINT) AS s%d"
+            % (e if j == 0 else f"({e} * x{j})", _LR_Q, j)
+            for j in range(5)
+        )
+        ctes.append(f"g{t} AS (SELECT COUNT(*) AS n, {terms} FROM f, it{t-1})")
+        upd = ", ".join(
+            f"b{j} + {_LR_RATE} * ((CAST(s{j} AS DOUBLE) / {_LR_Q}) / n)"
+            f" AS b{j}"
+            for j in range(5)
+        )
+        ctes.append(f"it{t} AS (SELECT {upd} FROM it{t-1}, g{t})")
+    final = f"""SELECT b0, b1, b2, b3, b4,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(SUM(CASE WHEN ({z} > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct,
+  CAST(SUM(CASE WHEN ({z} > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+      / COUNT(*) AS train_accuracy
+FROM f, it{_LR_ITERS}
+GROUP BY b0, b1, b2, b3, b4"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@register("quality_train_logreg", _logreg_oracle(), "text", "curation")
+def quality_train_logreg(spark, sf_dir):
+    """TRAIN the quality classifier distributed — the fastText-shaped
+    companion to quality_model_filter (which applies fixed weights).
+    Full-batch gradient descent, 8 iterations, on 4 row-local features
+    (length score, punctuation ratio, centered stopword share, upper
+    ratio) + bias against a deterministic prose-likeness label
+    (stopword share > 1/16). The model is linear with a HARD sigmoid,
+    so the whole loop is +-*/ arithmetic — bit-identical IEEE doubles
+    on every engine (no exp()).
+
+    Scale posture: each iteration is ONE map-side-combined aggregate —
+    per-partition partial BIGINT sums of floor-quantized per-row
+    gradients, a 32-partial merge, and a 5-double weight update on the
+    driver (the BPE-argmax bounded-collect pattern: 8 one-row collects
+    total). Features are computed once and persisted; nothing else is
+    shuffled, so wall-time per iteration is a corpus scan — the same
+    cost profile as production fastText-filter training. Quantized
+    BIGINT sums stay exact below ~4e9 docs (1e9 quantization x 2.2 max
+    |contribution|); above that, raise the quantization denominator.
+
+    Cross-engine contract: the DuckDB oracle unrolls the SAME loop as
+    CTEs (it{t} = weights after iteration t) and the weight update
+    w + LR*((s/1e9)/n) is the same three IEEE ops in driver Python and
+    in SQL, so learned weights, prediction counts, and accuracy are
+    compared bit-exact, not approximately."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_chars = F.length("text")
+    n_words = F.expr(f"size({_SPARK_WTOKS})")
+    n_stop = F.expr(f"size(filter({_SPARK_WTOKS}, t -> t IN ({_SW_LIST_SQL})))")
+    feats = d.select(
+        F.least(n_chars.cast("double") / 1000.0, F.lit(1.0)).alias("x1"),
+        (
+            (n_chars - F.length(F.regexp_replace("text", r"[\p{Punct}]", "")))
+            .cast("double") / (n_chars + 1)
+        ).alias("x2"),
+        (
+            (16 * n_stop).cast("double") / (n_words + 1) - 1.0
+        ).alias("x3"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Z]", "")).cast("double")
+            / (n_chars + 1)
+        ).alias("x4"),
+        F.when(16 * n_stop > n_words, 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    lr = float(_LR_RATE)
+    q = float(_LR_Q)
+    w = [0.0] * 5
+
+    def z_col(ws):
+        return (
+            (
+                (
+                    (F.lit(ws[0]) + F.lit(ws[1]) * F.col("x1"))
+                    + F.lit(ws[2]) * F.col("x2")
+                )
+                + F.lit(ws[3]) * F.col("x3")
+            )
+            + F.lit(ws[4]) * F.col("x4")
+        )
+
+    for _ in range(_LR_ITERS):
+        e = F.col("y") - F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.lit(0.25) * z_col(w) + F.lit(0.5))
+        )
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.floor(
+                    (e if j == 0 else (e * F.col(f"x{j}"))) * F.lit(q)
+                ).cast("long")
+            ).alias(f"s{j}")
+            for j in range(5)
+        ]
+        row = feats.agg(*aggs).collect()[0]
+        n = row["n"]
+        w = [w[j] + lr * ((row[f"s{j}"] / q) / n) for j in range(5)]
+
+    z = z_col(w)
+    correct = (
+        F.when((z > 0.0) == (F.col("y") == 1.0), 1).otherwise(0)
+    )
+    result = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long")
+        .alias("n_pos"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1)))
+        .alias("train_accuracy"),
+    ).select(
+        F.lit(w[0]).alias("b0"),
+        F.lit(w[1]).alias("b1"),
+        F.lit(w[2]).alias("b2"),
+        F.lit(w[3]).alias("b3"),
+        F.lit(w[4]).alias("b4"),
+        "n_docs", "n_pos", "n_correct", "train_accuracy",
+    )
+    return scope_caches(result, feats)

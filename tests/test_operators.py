@@ -110,3 +110,15 @@ def test_winnow_hot_fingerprint_cap_bounds_pairs(spark):
     fps = spark.createDataFrame(hot + rare, "doc_id bigint, f bigint")
     rows = _winnow_pairs(fps, cap=50).collect()
     assert [(r.doc_a, r.doc_b, r.shared_fps) for r in rows] == [(1, 2, 2)]
+
+
+def test_quality_train_logreg_learns(spark, sf_dir):
+    # the trainer must beat the majority-class baseline (a model stuck
+    # at all-negative predictions — the symptom of a broken gradient —
+    # scores exactly max(n_pos, n-n_pos)/n) and its dominant weight must
+    # be on the centered stopword-share feature the label derives from
+    row = queries()["quality_train_logreg"](spark, sf_dir).collect()[0]
+    majority = max(row.n_pos, row.n_docs - row.n_pos) / row.n_docs
+    assert row.train_accuracy > majority
+    weights = {f"b{j}": abs(row[f"b{j}"]) for j in range(5)}
+    assert max(weights, key=weights.get) == "b3"

@@ -1313,3 +1313,129 @@ def dedup_winnow_overlap(spark, sf_dir):
         .persist()
     )
     return scope_caches(_winnow_pairs(fps), h, fps)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (round 9): the exact-substring dedup
+# method of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+# Models Better"), re-expressed relationally. Every length-L character
+# window of every document is hashed; windows whose hash occurs in more
+# than one document are flagged, and per document the flagged positions
+# are merged into MAXIMAL duplicated spans (interval union). Winnow
+# (MOSS) SAMPLES fingerprints and reports doc pairs; this reports the
+# exact duplicated character ranges — the thing you delete before
+# training. L=24 chars.
+# ---------------------------------------------------------------------------
+
+_ESUB_L = 24
+
+
+@register(
+    "dedup_exact_substring_spans",
+    f"""
+    WITH g AS (
+      SELECT doc_id, pos, md5(substr(text, pos, {_ESUB_L})) AS h
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(
+            1, greatest(length(text) - {_ESUB_L} + 1, 0))) AS pos) t),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    f AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+    lg AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos, 1, pos - {_ESUB_L} - 1)
+                        OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_ESUB_L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM f),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lg),
+    sp AS (
+      SELECT doc_id, grp, MIN(pos) AS s,
+             MAX(pos) + {_ESUB_L} - 1 AS e
+      FROM isl GROUP BY doc_id, grp)
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           CAST(SUM(e - s + 1) AS DOUBLE) / MAX(length(d.text)) AS dup_frac
+    FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+    GROUP BY sp.doc_id
+    """,
+    "dedup",
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans per document — the exact-match
+    dedup method of Lee et al. 2022 (arXiv:2107.06499), relationally:
+    hash every L=24-char window, keep hashes seen in >1 distinct doc,
+    merge flagged positions into maximal spans (interval union via the
+    lag-break/running-sum island idiom), report per-doc span count,
+    duplicated chars, and duplicated fraction.
+
+    Scale posture — LINEAR, unlike pairwise dedup: the gram stage is a
+    row-local explode (map-only), and cross-doc sharing is decided by
+    ONE exchange on the window hash (min(doc_id) != max(doc_id) over an
+    h-window — no countDistinct expand, no join back, grams flow
+    through once). Flagged output is positions — never doc pairs, so
+    boilerplate shared by 10k documents costs 10k rows, not 10k^2 (the
+    blowup _winnow_pairs needs a df cap to avoid). The span merge and
+    per-doc rollup share one doc_id partitioning. Text-sized shuffle
+    is intrinsic to the exact method (the suffix-array formulation is
+    O(n) too); the knob at 100 TB is the window length L, not the
+    algorithm shape."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    L = _ESUB_L
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {L} THEN "
+                f"sequence(1, length(text) - {L} + 1) "
+                "ELSE array() END"
+            )
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.expr(f"substr(text, pos, {L})")).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    flagged = (
+        grams.withColumn("_mn", F.min("doc_id").over(wh))
+        .withColumn("_mx", F.max("doc_id").over(wh))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos")
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            - F.coalesce(F.lag("pos", 1).over(wlag),
+                         F.col("pos") - F.lit(L + 1))
+            > L,
+            1,
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(wrun))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(L - 1)).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long")
+            .alias("dup_chars"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("double")
+            .alias("_dc"),
+        )
+        .join(d.select("doc_id", F.length("text").alias("_len")), "doc_id")
+        .select(
+            "doc_id", "n_dup_spans", "dup_chars",
+            (F.col("_dc") / F.col("_len")).alias("dup_frac"),
+        )
+    )

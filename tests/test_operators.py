@@ -122,3 +122,36 @@ def test_quality_train_logreg_learns(spark, sf_dir):
     assert row.train_accuracy > majority
     weights = {f"b{j}": abs(row[f"b{j}"]) for j in range(5)}
     assert max(weights, key=weights.get) == "b3"
+
+
+def test_exact_substring_spans_planted(spark, tmp_path):
+    # docs A and B share one exact 40-char block at different offsets;
+    # doc C is unrelated. Expect exactly one maximal span per sharing
+    # doc covering the planted block (L=24 windows of the 40-char block
+    # all match, merging to the full 40 chars), and no row for C.
+    import pyspark.sql.functions as F
+
+    from spark_sql_flow_plugin_spark.operators.dedup import (
+        dedup_exact_substring_spans,
+    )
+
+    block = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    assert len(block) == 40
+    a = "xxxxxxxxxx" + block + "y" * 30          # block at pos 11 (1-based)
+    b = "z" * 5 + block + "w" * 40               # block at pos 6
+    c = "entirely unrelated text " * 4
+    df = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, c, "s")],
+        "doc_id bigint, text string, source string",
+    )
+    out = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(out / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in dedup_exact_substring_spans(spark, str(out)).collect()
+    }
+    assert set(rows) == {1, 2}
+    for doc_id, start in ((1, 11), (2, 6)):
+        r = rows[doc_id]
+        assert r.n_dup_spans == 1
+        assert r.dup_chars == 40, (doc_id, r)

@@ -1365,6 +1365,7 @@ _ESUB_L = 24
     GROUP BY sp.doc_id
     """,
     "dedup",
+    "bench",
 )
 def dedup_exact_substring_spans(spark, sf_dir):
     """Exact duplicated-substring spans per document — the exact-match
@@ -1437,5 +1438,153 @@ def dedup_exact_substring_spans(spark, sf_dir):
         .select(
             "doc_id", "n_dup_spans", "dup_chars",
             (F.col("_dc") / F.col("_len")).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 9): semantic deduplication in embedding space — Abbas
+# et al. 2023 (arXiv:2303.09540). Cluster the corpus with the trained
+# coarse codebook, call two vectors semantic duplicates when their
+# within-cluster cosine exceeds eps, and keep the duplicate-group member
+# with the LOWEST similarity to its cluster centroid (the paper's
+# criterion: the least-prototypical copy carries the most residual
+# information). Composes the repo's IVF primitives: per-label centroid
+# codebook + broadcast nearest-centroid assignment + within-cell
+# equi-join — never all-pairs across cells.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_EPS = "0.3"
+
+_SEMDEDUP_ORACLE = f"""
+    WITH cents AS (
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)) / 1e9 AS c
+        FROM (SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY label, i),
+    carr AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cvec
+        FROM cents GROUP BY label),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    asg AS (
+        SELECT vec_id, embedding, cent_label AS cell, sim AS cell_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY sim DESC, cent_label) AS rn
+            FROM (SELECT e.vec_id, e.embedding, carr.cent_label,
+                         ROUND({{cos_assign}}, 6) AS sim
+                  FROM e CROSS JOIN carr) s) t
+        WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT v.vec_id
+        FROM asg v JOIN asg u
+          ON v.cell = u.cell AND v.vec_id != u.vec_id
+        WHERE ROUND({{cos_pair}}, 6) >= {_SEMDEDUP_EPS}
+          AND (u.cell_sim < v.cell_sim
+               OR (u.cell_sim = v.cell_sim AND u.vec_id < v.vec_id)))
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.cell_sim,
+           d.vec_id IS NULL AS keep
+    FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _SEMDEDUP_ORACLE.format(
+        cos_assign=_DUCK_COSINE.format(a="e.embedding", b="carr.cvec"),
+        cos_pair=_DUCK_COSINE.format(a="v.embedding", b="u.embedding"),
+    ),
+    "dedup", "similarity",
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning in
+    embedding space. Vectors are assigned to their nearest trained
+    centroid (the IVF coarse codebook built from per-label centroids);
+    within a cell, a vector is DROPPED when some cell-mate with cosine
+    >= 0.3 has a strictly lower (centroid-similarity, vec_id) key — the
+    paper's keep-the-least-prototypical rule, applied as a pairwise
+    domination witness (the transitive-closure variant is
+    dedup_components' job). Output: every vector with its cell,
+    centroid similarity, and keep flag.
+
+    Scale shape: codebook broadcast + map-side assignment (zero corpus
+    shuffle), then ONE equi-join on the cell id — candidate pairs are
+    quadratic only within a cell, so the codebook size is the knob that
+    bounds cell population at 100 TB (exactly the IVF trade-off
+    ann_ivf_trained documents). Similarities are rounded to 6 places
+    and ties broken on vec_id, so the drop set is deterministic and the
+    DuckDB oracle compares bit-exact."""
+    from pyspark.sql.functions import broadcast
+
+    from .similarity import _emb, _spark_cosine, embedding_centroids
+
+    eps = float(_SEMDEDUP_EPS)
+    emb = _emb(spark, sf_dir)
+    cents = embedding_centroids(spark, sf_dir)
+    carr = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid")))
+            .alias("pc")
+        )
+        .select(
+            F.col("label").alias("cent_label"),
+            F.expr("transform(pc, x -> x.centroid)").alias("cvec"),
+        )
+    )
+    asg = (
+        emb.crossJoin(broadcast(carr))
+        .select(
+            "vec_id", "embedding", "cent_label",
+            F.round(_spark_cosine("embedding", "cvec"), 6).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("cent_label").alias("cell"),
+                    F.col("embedding"),
+                    F.col("sim").alias("cell_sim"),
+                ),
+                F.struct(F.col("sim"), -F.col("cent_label")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id", F.col("b.cell").alias("cell"),
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cell_sim").alias("cell_sim"),
+        )
+    )
+    v = asg.select(
+        F.col("vec_id").alias("v_id"), F.col("cell").alias("v_cell"),
+        F.col("embedding").alias("v_e"), F.col("cell_sim").alias("v_cs"),
+    )
+    u = asg.select(
+        F.col("vec_id").alias("u_id"), F.col("cell").alias("u_cell"),
+        F.col("embedding").alias("u_e"), F.col("cell_sim").alias("u_cs"),
+    )
+    dropped = (
+        v.join(u, F.col("v_cell") == F.col("u_cell"))
+        .where(F.col("v_id") != F.col("u_id"))
+        .where(F.round(_spark_cosine("v_e", "u_e"), 6) >= eps)
+        .where(
+            (F.col("u_cs") < F.col("v_cs"))
+            | ((F.col("u_cs") == F.col("v_cs"))
+               & (F.col("u_id") < F.col("v_id")))
+        )
+        .select(F.col("v_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "cell_sim",
+            F.col("_d").isNull().alias("keep"),
         )
     )

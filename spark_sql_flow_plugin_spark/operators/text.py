@@ -1188,7 +1188,8 @@ GROUP BY b0, b1, b2, b3, b4"""
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-@register("quality_train_logreg", _logreg_oracle(), "text", "curation")
+@register("quality_train_logreg", _logreg_oracle(), "text", "curation",
+          "bench")
 def quality_train_logreg(spark, sf_dir):
     """TRAIN the quality classifier distributed — the fastText-shaped
     companion to quality_model_filter (which applies fixed weights).

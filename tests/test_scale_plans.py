@@ -611,3 +611,41 @@ def test_tpcds_q75_channel_union_no_cartesian(spark, sf_dir):
     plan = _physical(queries()["tpcds_q75"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operators
+# ---------------------------------------------------------------------------
+
+def test_exact_substring_single_hash_exchange(spark, sf_dir):
+    # the exact-substring method's cross-doc decision must be ONE
+    # exchange on the window hash (min!=max window — no countDistinct
+    # expand, no join back: the first cut with groupBy+join re-computed
+    # the gram explode twice and ran 2.7x slower) plus one doc_id
+    # exchange for span-merge + rollup; and positions, never pairs
+    plan = _physical(queries()["dedup_exact_substring_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan  # the countDistinct shape this replaced
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys.count("h") == 1, keys
+
+
+def test_quality_train_logreg_map_side_combine(spark, sf_dir):
+    # each GD iteration must partially aggregate before the exchange
+    # (the gradient is 5 BIGINT sums + a count: shuffle traffic is 6
+    # numbers per partition, independent of corpus size); result plan
+    # here covers the final accuracy pass over the persisted features
+    plan = _physical(queries()["quality_train_logreg"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # features computed once, reused
+
+
+def test_semdedup_cell_equijoin_only(spark, sf_dir):
+    # codebook broadcast + map-side assignment; the candidate stage is
+    # an equi-join on the assigned cell — an all-pairs cross join over
+    # the corpus is exactly what SemDeDup exists to avoid
+    plan = _physical(queries()["dedup_semantic_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the codebook

@@ -1219,6 +1219,55 @@ _SPARK_WWINNOW = (
     f"array_distinct(transform(sequence(1, size(h) - {_WW - 1}),"
     f" i -> array_min(slice(h, i, {_WW}))))"
 )
+
+
+def _winnow_fps_udf():
+    """Arrow-batched winnow kernel: per doc, hash every {_WK}-char gram
+    (md5 first 4 bytes big-endian == the SQL's conv(substr(md5hex,1,8),
+    16,10)) and take the distinct sliding-window minima — numpy
+    stride-tricks O(n) memory, vs the HOF form's per-position
+    slice+array_min that allocates 2.6M length-{_WW} arrays at sf0.1
+    (measured 5.5 s of the query's 6.5 s; this kernel does the same
+    work in ~2 s). Grams are CHARACTER windows (the Spark/DuckDB substr
+    contract): ASCII docs take the byte-slide fast path (byte windows
+    == char windows), anything multi-byte falls back to per-character
+    slicing so the fingerprint set stays identical to the SQL form."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    K, W = _WK, _WW
+
+    # module has `from __future__ import annotations`, which stringifies
+    # type hints and breaks pandas_udf's signature inference — attach
+    # real annotation objects and wrap manually
+    def winnow_fps(texts):
+        out = []
+        for t in texts:
+            b = t.encode("utf-8")
+            if len(b) == len(t):  # pure ASCII: byte windows == char
+                n = len(b) - K + 1
+                grams = (b[i:i + K] for i in range(max(n, 0)))
+            else:
+                n = len(t) - K + 1
+                grams = (t[i:i + K].encode("utf-8")
+                         for i in range(max(n, 0)))
+            if n < W:
+                out.append([])
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(g).digest()[:4], "big")
+                 for g in grams),
+                dtype=np.int64, count=n,
+            )
+            sw = np.lib.stride_tricks.sliding_window_view(hs, W).min(axis=1)
+            out.append(np.unique(sw).tolist())
+        return pd.Series(out)
+
+    winnow_fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(winnow_fps)
 _DUCK_WWINNOW = (
     f"list_distinct(list_transform(generate_series(1, len(h) - {_WW - 1}),"
     f" i -> list_aggregate(h[i:i + {_WW - 1}], 'min')))"
@@ -1302,17 +1351,21 @@ def dedup_winnow_overlap(spark, sf_dir):
         F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
-    h = aug.select("doc_id", F.expr(_SPARK_WKGRAMS).alias("h")).persist()
-    # persist the exploded fingerprints too: _winnow_pairs consumes them
-    # THREE times (doc-frequency aggregate + both self-join sides), and
-    # recomputing the winnow expression per consumer measured +63% on the
-    # bench when the df-cap branch was added
+    # Fingerprints come from the Arrow-batched kernel (_winnow_fps_udf):
+    # same md5-derived values and window minima as the _SPARK_WKGRAMS /
+    # _SPARK_WWINNOW HOF exprs (kept above as the pure-JVM reference
+    # form), ~2x faster end-to-end because the HOF form allocates a
+    # w-length array per text position. Persisted because _winnow_pairs
+    # consumes the stream THREE times (doc-frequency aggregate + both
+    # self-join sides); recomputing per consumer measured +63% on the
+    # bench when the df-cap branch was added.
     fps = (
-        h.select("doc_id", F.expr(_SPARK_WWINNOW).alias("fps"))
-        .select("doc_id", F.explode("fps").alias("f"))
+        aug.select(
+            "doc_id", F.explode(_winnow_fps_udf()("text")).alias("f")
+        )
         .persist()
     )
-    return scope_caches(_winnow_pairs(fps), h, fps)
+    return scope_caches(_winnow_pairs(fps), fps)
 
 
 # ---------------------------------------------------------------------------

@@ -1287,3 +1287,121 @@ def quality_train_logreg(spark, sf_dir):
         "n_docs", "n_pos", "n_correct", "train_accuracy",
     )
     return scope_caches(result, feats)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1). The subset of
+# rules that is meaningful for a single-line corpus: word-count bounds, mean
+# word length band, minimum distinct-stopword hits, alphabetic-word
+# fraction, and the repetition rule re-expressed as the most-frequent-bigram
+# mass fraction. Thresholds calibrated so each rule discriminates on the
+# synthetic corpus (stop_hits>=2 fails ~half; top-bigram<=0.08 fails ~p90+;
+# n_words>=20 catches the short tail).
+#
+# Scale posture: the Spark side is a SINGLE row-local projection — the
+# top-bigram mode is computed inside the row by folding over the sorted
+# bigram array (`aggregate`), so the whole filter runs with ZERO shuffles
+# and stays in whole-stage codegen. The oracle uses the equivalent
+# explode + GROUP BY formulation (clearer in SQL; the oracle is a
+# correctness mirror, not the scale path).
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS_SQL = _SW_LIST_SQL  # same 8-word stopword set as quality_score
+
+
+@register(
+    "quality_gopher_rules",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter([{_GOPHER_STOPS_SQL}], s -> list_contains(toks, s))) AS stop_hits
+        FROM t),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+    bgtop AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_words AS INT) AS n_words,
+           ROUND(CAST(c.sum_len AS DOUBLE) / c.n_words, 6) AS mean_word_len,
+           CAST(c.stop_hits AS INT) AS stop_hits,
+           ROUND(CAST(c.n_alpha_words AS DOUBLE) / c.n_words, 6) AS alpha_word_frac,
+           ROUND(COALESCE(CAST(b.top_cnt AS DOUBLE) / b.n_bigrams, 0.0), 6)
+               AS top_bigram_frac,
+           CAST(CASE WHEN c.n_words BETWEEN 20 AND 1000
+                      AND (CAST(c.sum_len AS DOUBLE) / c.n_words) BETWEEN 3.0 AND 10.0
+                      AND c.stop_hits >= 2
+                      AND CAST(c.n_alpha_words AS DOUBLE) / c.n_words >= 0.8
+                      AND COALESCE(CAST(b.top_cnt AS DOUBLE) / b.n_bigrams, 0.0) <= 0.08
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM c LEFT JOIN bgtop b ON c.doc_id = b.doc_id
+    WHERE c.n_words > 0
+    """,
+    "text",
+    "curation",
+    "bench",
+)
+def quality_gopher_rules(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+    # Bigram mode, row-locally: sort the bigram array, then one fold that
+    # tracks (prev value, current run, best run). No explode, no shuffle.
+    bigrams = (
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    top_cnt_fold = (
+        "aggregate(array_sort(bgs), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+    c = t.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr("size(filter(toks, x -> x rlike '[a-z]'))").alias("n_alpha_words"),
+        F.expr(
+            f"size(filter(array({_SW_LIST_SQL}), s -> array_contains(toks, s)))"
+        ).alias("stop_hits"),
+        F.expr(f"IF(size(toks) >= 2, {bigrams}, array())").alias("bgs"),
+    ).select(
+        "doc_id", "n_words", "sum_len", "n_alpha_words", "stop_hits",
+        F.expr(top_cnt_fold).alias("top_cnt"),
+        F.when(F.size("bgs") > 0, F.size("bgs")).alias("n_bigrams"),
+    )
+    mean_word_len = F.col("sum_len").cast("double") / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    keep = (
+        F.col("n_words").between(20, 1000)
+        & mean_word_len.between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (alpha_frac >= 0.8)
+        & (top_frac <= 0.08)
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )

@@ -52,6 +52,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         frequency,
         generators,
+        graphs,
         misc,
         multimodal,
         pandas_udfs,

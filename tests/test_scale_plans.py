@@ -649,3 +649,31 @@ def test_semdedup_cell_equijoin_only(spark, sf_dir):
     plan = _physical(queries()["dedup_semantic_semdedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # the codebook
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    # the whole filter battery (incl. the top-bigram repetition rule) is
+    # one row-local projection: the bigram mode is folded inside the row
+    # over the sorted bigram array — no explode, no Exchange anywhere
+    plan = _physical(queries()["quality_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode fallback
+
+
+def test_hard_negatives_bucketed_no_cartesian(spark, sf_dir):
+    # candidates must come from the 256-bucket equi-join; label/vec_id
+    # inequalities are post-join filters, never a nested-loop join
+    plan = _physical(queries()["embedding_hard_negatives"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_edges_cached_no_nlj(spark, sf_dir):
+    # the edge list is built once and re-joined from cache each iteration
+    # (one InMemoryTableScan per round); N is a driver-side scalar, so no
+    # 1-row BroadcastNestedLoopJoins sneak in; ranks are the only data
+    # shuffled per round
+    plan = _physical(queries()["graph_pagerank_centrality"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 5

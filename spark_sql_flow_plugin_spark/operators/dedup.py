@@ -1652,3 +1652,105 @@ def dedup_semantic_semdedup(spark, sf_dir):
             F.col("_d").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Incremental NEAR-dup admission (the minhash analog of
+#    dedup_incremental_novel): the archive's minhash band buckets are the
+#    standing index; each ingest batch probes it with a band equi-join,
+#    verifies candidates with exact Jaccard, and admits only batch docs
+#    with no >=0.6 match in the archive.
+# ---------------------------------------------------------------------------
+
+_INC_MH_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band_id, concat_ws(',', mh{band * 4}, "
+    f"mh{band * 4 + 1}, mh{band * 4 + 2}, mh{band * 4 + 3}) AS bkey FROM sig"
+    for band in range(4)
+)
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {DUCK_AUG},
+    sets AS (
+        SELECT doc_id, shingles FROM (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM aug))
+        WHERE len(shingles) > 0),
+    hashed AS (
+        SELECT doc_id, {_DUCK_H32} AS h
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM sets)),
+    sig AS (
+        SELECT doc_id,
+        {','.join(f'MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}' for j, (a, b) in enumerate(MINHASH_AB))}
+        FROM hashed GROUP BY doc_id),
+    bands AS ({_INC_MH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS arch_doc
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bkey = b.bkey
+        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0),
+    dups AS (
+        SELECT DISTINCT batch_doc
+        FROM cand JOIN sets sa ON cand.batch_doc = sa.doc_id
+                  JOIN sets sb ON cand.arch_doc = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))) >= 0.6)
+    SELECT a.doc_id, CAST(length(a.text) AS INT) AS tlen
+    FROM aug a
+    WHERE a.doc_id % 4 = 0
+      AND NOT EXISTS (SELECT 1 FROM dups d WHERE d.batch_doc = a.doc_id)
+    """,
+    "dedup",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup admission against a standing minhash index.
+
+    Production shape: the archive's (band_id, bkey, doc_id) table is
+    written once and bucketed by (band_id, bkey); each daily batch
+    computes signatures row-locally (minhash_signatures: no shuffle), so
+    the probe is ONE equi-join of batch-band rows against the bucketed
+    index plus a verify join against archive shingle sets — ingest cost
+    scales with the batch, never the archive. The doc_id % 4 split stands
+    in for the date-partitioned archive, as in dedup_incremental_novel.
+    """
+    sets, sig = minhash_signatures(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{band}, concat_ws(',', mh{band * 4}, mh{band * 4 + 1}, "
+        f"mh{band * 4 + 2}, mh{band * 4 + 3})"
+        for band in range(4)
+    )
+    # band/candidate shuffles sized to pair scale (dedup_minhash_lsh note)
+    npart = max(1, -(-4 * sig.count() // 2_000_000))
+    bands = sig.select(
+        "doc_id", F.expr(f"stack(4, {stack_args})").alias("band_id", "bkey")
+    ).repartition(npart, "band_id", "bkey")
+    cand = (
+        bands.where(F.col("doc_id") % 4 == 0).alias("a")
+        .join(
+            bands.where(F.col("doc_id") % 4 != 0).alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.doc_id").alias("batch_doc"), F.col("b.doc_id").alias("arch_doc"))
+        .repartition(npart, "batch_doc", "arch_doc")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
+    jacc = inter.cast("double") / union_n
+    dups = (
+        cand.join(sets.alias("sa"), F.col("batch_doc") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("arch_doc") == F.col("sb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("batch_doc")
+        .distinct()
+    )
+    batch = augmented_documents(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
+    novel = (
+        batch.join(dups, batch.doc_id == dups.batch_doc, "left_anti")
+        .select("doc_id", F.length("text").cast("int").alias("tlen"))
+    )
+    return scope_caches(novel, sets, sig)

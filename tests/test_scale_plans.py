@@ -677,3 +677,12 @@ def test_pagerank_edges_cached_no_nlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 5
+
+
+def test_incremental_minhash_probe_is_equijoin(spark, sf_dir):
+    # the batch probes the archive's band index with an equi-join on
+    # (band_id, bkey); verify joins are equi-joins on doc ids — ingest
+    # cost must scale with the batch, never as archive cross products
+    plan = _physical(queries()["dedup_incremental_minhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1309,6 +1309,23 @@ def quality_train_logreg(spark, sf_dir):
 
 _GOPHER_STOPS_SQL = _SW_LIST_SQL  # same 8-word stopword set as quality_score
 
+# Bigram mode, row-locally: sort the bigram array, then one fold that
+# tracks (prev value, current run, best run). No explode, no shuffle.
+# Shared by quality_gopher_rules and curation_filter_funnel.
+_GOPHER_BIGRAMS = (
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+)
+_GOPHER_TOP_FOLD = (
+    "aggregate(array_sort(bgs), "
+    "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+    "(acc, x) -> named_struct("
+    "  'prev', x, "
+    "  'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+    "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
+    "acc -> acc.best)"
+)
+
 
 @register(
     "quality_gopher_rules",
@@ -1355,21 +1372,7 @@ _GOPHER_STOPS_SQL = _SW_LIST_SQL  # same 8-word stopword set as quality_score
 def quality_gopher_rules(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     t = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
-    # Bigram mode, row-locally: sort the bigram array, then one fold that
-    # tracks (prev value, current run, best run). No explode, no shuffle.
-    bigrams = (
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-    )
-    top_cnt_fold = (
-        "aggregate(array_sort(bgs), "
-        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
-        "(acc, x) -> named_struct("
-        "  'prev', x, "
-        "  'run', IF(x <=> acc.prev, acc.run + 1, 1), "
-        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
-        "acc -> acc.best)"
-    )
+    bigrams, top_cnt_fold = _GOPHER_BIGRAMS, _GOPHER_TOP_FOLD
     c = t.where(F.size("toks") > 0).select(
         "doc_id",
         F.size("toks").alias("n_words"),
@@ -1404,4 +1407,151 @@ def quality_gopher_rules(spark, sf_dir):
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         F.round(top_frac, 6).alias("top_bigram_frac"),
         F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel attribution: the standard curation-pipeline report — for a
+# sequential filter cascade, how many documents each stage receives,
+# removes, and passes on. Production pipelines track this per ingest run to
+# catch a filter suddenly eating the corpus (a regressed heuristic or a
+# distribution shift upstream). Stages 1-6 are the cumulative Gopher rules
+# (row-local flags); stage 7 is exact dedup, whose survivor count is
+# COUNT(DISTINCT fingerprint) over stage-6 survivors.
+#
+# Scale posture: ONE aggregation pass — six conditional counts plus one
+# distinct-count, all with map-side partials; no joins, no per-stage
+# passes. The only shuffle is the count-distinct's.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = (
+    "non_empty", "word_count", "word_length", "stopwords",
+    "alpha_ratio", "repetition", "exact_dedup",
+)
+
+
+@register(
+    "curation_filter_funnel",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+    c AS (
+        SELECT doc_id, fp,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter([{_GOPHER_STOPS_SQL}], s -> list_contains(toks, s))) AS stop_hits,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM t),
+    bt AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM (SELECT doc_id, unnest(bgs) AS bigram FROM c) GROUP BY doc_id, bigram)
+        GROUP BY doc_id),
+    f AS (
+        SELECT c.doc_id, c.fp,
+               c.n_words > 0 AS f1,
+               c.n_words BETWEEN 20 AND 1000 AS p2,
+               (CAST(c.sum_len AS DOUBLE) / c.n_words) BETWEEN 3.0 AND 10.0 AS p3,
+               c.stop_hits >= 2 AS p4,
+               CAST(c.n_alpha_words AS DOUBLE) / c.n_words >= 0.8 AS p5,
+               COALESCE(CAST(b.top_cnt AS DOUBLE) / b.n_bigrams, 0.0) <= 0.08 AS p6
+        FROM c LEFT JOIN bt b ON c.doc_id = b.doc_id),
+    g AS (
+        SELECT doc_id, fp, f1,
+               f1 AND p2 AS f2,
+               f1 AND p2 AND p3 AS f3,
+               f1 AND p2 AND p3 AND p4 AS f4,
+               f1 AND p2 AND p3 AND p4 AND p5 AS f5,
+               f1 AND p2 AND p3 AND p4 AND p5 AND p6 AS f6
+        FROM f),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE f1) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE f2) AS BIGINT) AS c2,
+               CAST(COUNT(*) FILTER (WHERE f3) AS BIGINT) AS c3,
+               CAST(COUNT(*) FILTER (WHERE f4) AS BIGINT) AS c4,
+               CAST(COUNT(*) FILTER (WHERE f5) AS BIGINT) AS c5,
+               CAST(COUNT(*) FILTER (WHERE f6) AS BIGINT) AS c6,
+               CAST(COUNT(DISTINCT CASE WHEN f6 THEN fp END) AS BIGINT) AS c7
+        FROM g),
+    funnel AS (
+        {" UNION ALL ".join(
+            f"SELECT {i + 1} AS stage_idx, '{name}' AS stage, c{i} AS n_in, c{i + 1} AS n_out FROM a"
+            for i, name in enumerate(_FUNNEL_STAGES)
+        )})
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_in, n_out,
+           n_in - n_out AS n_removed,
+           CASE WHEN n_in > 0
+                THEN ROUND(CAST(n_in - n_out AS DOUBLE) / n_in, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS removal_rate
+    FROM funnel
+    """,
+    "curation",
+    "text",
+)
+def curation_filter_funnel(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    c = d.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+        F.expr(_SPARK_WTOKS).alias("toks"),
+    ).select(
+        "doc_id", "fp",
+        F.size("toks").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr("size(filter(toks, x -> x rlike '[a-z]'))").alias("n_alpha_words"),
+        F.expr(
+            f"size(filter(array({_SW_LIST_SQL}), s -> array_contains(toks, s)))"
+        ).alias("stop_hits"),
+        F.expr(f"IF(size(toks) >= 2, {_GOPHER_BIGRAMS}, array())").alias("bgs"),
+    ).select(
+        "doc_id", "fp", "n_words", "sum_len", "n_alpha_words", "stop_hits",
+        F.expr(_GOPHER_TOP_FOLD).alias("top_cnt"),
+        F.when(F.size("bgs") > 0, F.size("bgs")).alias("n_bigrams"),
+    )
+    p2 = F.col("n_words").between(20, 1000)
+    p3 = (F.col("sum_len").cast("double") / F.col("n_words")).between(3.0, 10.0)
+    p4 = F.col("stop_hits") >= 2
+    p5 = F.col("n_alpha_words").cast("double") / F.col("n_words") >= 0.8
+    p6 = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+    ) <= 0.08
+    g = c.select(
+        "fp",
+        (F.col("n_words") > 0).alias("f1"),
+        ((F.col("n_words") > 0) & p2).alias("f2"),
+        ((F.col("n_words") > 0) & p2 & p3).alias("f3"),
+        ((F.col("n_words") > 0) & p2 & p3 & p4).alias("f4"),
+        ((F.col("n_words") > 0) & p2 & p3 & p4 & p5).alias("f5"),
+        ((F.col("n_words") > 0) & p2 & p3 & p4 & p5 & p6).alias("f6"),
+    )
+    a = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        *[
+            F.count(F.when(F.col(f"f{k}"), 1)).cast("bigint").alias(f"c{k}")
+            for k in range(1, 7)
+        ],
+        F.countDistinct(F.when(F.col("f6"), F.col("fp"))).cast("bigint").alias("c7"),
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{name}', c{i}, c{i + 1}" for i, name in enumerate(_FUNNEL_STAGES)
+    )
+    funnel = a.selectExpr(
+        f"stack(7, {stack_args}) AS (stage_idx, stage, n_in, n_out)"
+    )
+    return funnel.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_removed"),
+        F.when(
+            F.col("n_in") > 0,
+            F.round((F.col("n_in") - F.col("n_out")).cast("double") / F.col("n_in"), 6),
+        ).otherwise(F.lit(0.0)).alias("removal_rate"),
     )

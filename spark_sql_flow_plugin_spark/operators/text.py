@@ -1555,3 +1555,84 @@ def curation_filter_funnel(spark, sf_dir):
             F.round((F.col("n_in") - F.col("n_out")).cast("double") / F.col("n_in"), 6),
         ).otherwise(F.lit(0.0)).alias("removal_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate / template detection via fingerprint document frequency
+# (the RefinedWeb/C4 "repeated across the corpus" signal, built on the
+# winnowing fingerprints of Schleimer et al. 2003): a document whose
+# fingerprints mostly also appear in many OTHER documents is a template —
+# navigation chrome, license footers, generated pages. Per doc: the
+# fraction of its fingerprints whose corpus-wide document frequency
+# exceeds n_docs/10, flagged as a template above 0.65.
+#
+# Scale posture: fingerprints are row-local (no shuffle); the DF table is
+# one explode + groupBy(fp) with map-side partials; the "common" set
+# (df > n_docs/10) is by construction small — each member appears in >10%
+# of the corpus, so there can be at most ~10/frac of them per doc-size
+# class — and is BROADCAST back against the exploded fingerprint stream,
+# leaving one final groupBy(doc_id). Raise the DF cutoff to shrink the
+# broadcast at larger corpora.
+# ---------------------------------------------------------------------------
+
+_BP_FRAC = 0.65
+
+
+@register(
+    "text_boilerplate_df_score",
+    f"""
+    WITH h AS (SELECT doc_id, {_DUCK_KGRAM_HASHES} AS h
+               FROM documents WHERE length(text) >= {_K + _W}),
+    w AS (SELECT doc_id, {_DUCK_WINNOW} AS fps FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    df AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY fp),
+    common AS (SELECT fp FROM df
+               WHERE df > (SELECT COUNT(*) FROM documents) // 10),
+    per AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fps,
+               CAST(COUNT(c.fp) AS BIGINT) AS n_common
+        FROM e LEFT JOIN common c ON e.fp = c.fp
+        GROUP BY e.doc_id)
+    SELECT doc_id, CAST(n_fps AS INT) AS n_fps, CAST(n_common AS INT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_fps, 6) AS boilerplate_frac,
+           CAST(CASE WHEN CAST(n_common AS DOUBLE) / n_fps > {_BP_FRAC}
+                     THEN 1 ELSE 0 END AS INT) AS is_template
+    FROM per
+    """,
+    "text",
+    "curation",
+)
+def text_boilerplate_df_score(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_docs = d.count()  # bounded driver-side scalar (pagerank convention)
+    # persist barrier before the winnow lambda (see text_fingerprint_winnow)
+    h = d.where(F.length("text") >= _K + _W).select(
+        "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
+    ).persist()
+    e = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps")).select(
+        "doc_id", F.explode("fps").alias("fp")
+    ).persist()
+    df_t = e.groupBy("fp").agg(F.count("*").cast("bigint").alias("df"))
+    common = df_t.where(F.col("df") > n_docs // 10).select(
+        F.col("fp").alias("cfp")
+    )
+    per = (
+        e.join(broadcast(common), e.fp == common.cfp, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.count("cfp").cast("bigint").alias("n_common"),
+        )
+    )
+    frac = F.col("n_common").cast("double") / F.col("n_fps")
+    out = per.select(
+        "doc_id",
+        F.col("n_fps").cast("int").alias("n_fps"),
+        F.col("n_common").cast("int").alias("n_common"),
+        F.round(frac, 6).alias("boilerplate_frac"),
+        F.when(frac > _BP_FRAC, 1).otherwise(0).cast("int").alias("is_template"),
+    )
+    return scope_caches(out, h, e)

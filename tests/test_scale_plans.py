@@ -686,3 +686,12 @@ def test_incremental_minhash_probe_is_equijoin(spark, sf_dir):
     plan = _physical(queries()["dedup_incremental_minhash"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_common_set_broadcast(spark, sf_dir):
+    # the common-fingerprint set (df > n_docs/10, small by construction)
+    # must come back as a broadcast against the exploded fingerprint
+    # stream — re-shuffling the full stream on fp twice is the scale trap
+    plan = _physical(queries()["text_boilerplate_df_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -646,3 +646,104 @@ def stream_rocksdb_user_totals(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+from ..operators.text import _DUCK_WTOKS as _DUCK_WTOKS_DOC  # noqa: E402
+
+@register(
+    "stream_quality_gate",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WTOKS_DOC} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(['the','a','and','of','to','in','is','it'],
+                               s -> list_contains(toks, s))) AS stop_hits
+        FROM t),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+    bgtop AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_words AS INT) AS n_words,
+           ROUND(CAST(c.sum_len AS DOUBLE) / c.n_words, 6) AS mean_word_len
+    FROM c LEFT JOIN bgtop b ON c.doc_id = b.doc_id
+    WHERE c.n_words BETWEEN 20 AND 1000
+      AND (CAST(c.sum_len AS DOUBLE) / c.n_words) BETWEEN 3.0 AND 10.0
+      AND c.stop_hits >= 2
+      AND CAST(c.n_alpha_words AS DOUBLE) / c.n_words >= 0.8
+      AND COALESCE(CAST(b.top_cnt AS DOUBLE) / b.n_bigrams, 0.0) <= 0.08
+    """,
+    "streaming",
+    "curation",
+    "stream-exec",
+)
+def stream_quality_gate(spark, sf_dir):
+    """Streaming INGESTION quality gate: the Gopher rule battery applied to
+    documents as they arrive. Every rule — including the top-bigram
+    repetition check, thanks to the row-local sorted-array fold — is a
+    STATELESS projection+filter, so the streaming plan carries zero state
+    stores and zero shuffles: at 100 TB/day this is the front-door filter
+    that runs at file-arrival parallelism with nothing to checkpoint but
+    source offsets. availableNow over the static corpus ≡ the batch
+    filter, so the oracle is exact (same rules as quality_gopher_rules,
+    emitting the admitted doc ids with their size metrics).
+    """
+    from ..operators.text import (
+        _GOPHER_BIGRAMS,
+        _GOPHER_TOP_FOLD,
+        _SPARK_WTOKS,
+        _SW_LIST_SQL,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    c = stream.select(
+        "doc_id", F.expr(_SPARK_WTOKS).alias("toks")
+    ).where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr("size(filter(toks, x -> x rlike '[a-z]'))").alias("n_alpha_words"),
+        F.expr(
+            f"size(filter(array({_SW_LIST_SQL}), s -> array_contains(toks, s)))"
+        ).alias("stop_hits"),
+        F.expr(f"IF(size(toks) >= 2, {_GOPHER_BIGRAMS}, array())").alias("bgs"),
+    ).select(
+        "doc_id", "n_words", "sum_len", "n_alpha_words", "stop_hits",
+        F.expr(_GOPHER_TOP_FOLD).alias("top_cnt"),
+        F.when(F.size("bgs") > 0, F.size("bgs")).alias("n_bigrams"),
+    )
+    mean_word_len = F.col("sum_len").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(20, 1000)
+        & mean_word_len.between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("n_alpha_words").cast("double") / F.col("n_words") >= 0.8)
+        & (
+            F.coalesce(
+                F.col("top_cnt").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+            )
+            <= 0.08
+        )
+    )
+    gated = c.where(keep).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+    )
+    return _run_to_memory(gated, "append")

@@ -1754,3 +1754,87 @@ def dedup_incremental_minhash(spark, sf_dir):
         .select("doc_id", F.length("text").cast("int").alias("tlen"))
     )
     return scope_caches(novel, sets, sig)
+
+
+# ---------------------------------------------------------------------------
+# 10. Corpus dedup diagnostics: duplicate n-gram mass per source — the
+#     number dedup teams actually watch ("what fraction of our tokens is
+#     repeated content, and which source is contributing it"). Lee et al.
+#     2022 report exactly this corpus-level statistic to motivate dedup.
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+
+
+@register(
+    "dedup_ngram_coverage",
+    rf"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(toks) - {_NGRAM_N - 2}),
+                        i -> md5(array_to_string(toks[i:i+{_NGRAM_N - 1}], ' ')))) AS fp
+          FROM t WHERE len(toks) >= {_NGRAM_N}),
+    df AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndoc
+           FROM g GROUP BY fp)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) FILTER (WHERE df.c > 1) AS BIGINT) AS dup_grams,
+           CAST(COUNT(*) FILTER (WHERE df.ndoc > 1) AS BIGINT) AS cross_doc_grams,
+           ROUND(CAST(COUNT(*) FILTER (WHERE df.c > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac,
+           ROUND(CAST(COUNT(*) FILTER (WHERE df.ndoc > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS cross_doc_frac
+    FROM g JOIN df ON g.fp = df.fp
+    GROUP BY g.source
+    """,
+    "dedup",
+    "text",
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    """Duplicate 8-gram mass per source (corpus dedup diagnostics).
+
+    An occurrence is 'dup' if its fingerprint appears more than once
+    corpus-wide, 'cross-doc' if it appears in more than one document —
+    the per-source fractions tell a curation team which ingest source is
+    shipping repeated content before any dedup runs.
+
+    Scale: one row-local fingerprint projection (md5 of each 8-token
+    window), one groupBy(fp) with map-side partials for the DF table,
+    one fp-keyed join back (both sides gram-scale, equi-join), one tiny
+    groupBy(source). The gram stream is never collected or broadcast.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    # persist barrier: the fingerprint array feeds explode (Generate
+    # re-evaluates fused generator inputs per output row)
+    # tokenize in its OWN projection: putting _SPARK_TOKS inline in the
+    # window lambda re-tokenizes per window (the HOF inlining cost trap,
+    # see stream_quality_gate / minhash_signatures)
+    t = d.select(
+        "doc_id", "source", F.expr(_SPARK_TOKS).alias("toks")
+    ).where(F.size("toks") >= _NGRAM_N).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_NGRAM_N - 1}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i, {_NGRAM_N}))))"
+        ).alias("fps"),
+    ).persist()
+    g = t.select("doc_id", "source", F.explode("fps").alias("fp")).persist()
+    df_t = g.groupBy("fp").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.countDistinct("doc_id").cast("bigint").alias("ndoc"),
+    )
+    joined = g.join(df_t, "fp")
+    out = joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total_grams"),
+        F.count(F.when(F.col("c") > 1, 1)).cast("bigint").alias("dup_grams"),
+        F.count(F.when(F.col("ndoc") > 1, 1)).cast("bigint").alias("cross_doc_grams"),
+        F.round(
+            F.count(F.when(F.col("c") > 1, 1)).cast("double") / F.count("*"), 6
+        ).alias("dup_frac"),
+        F.round(
+            F.count(F.when(F.col("ndoc") > 1, 1)).cast("double") / F.count("*"), 6
+        ).alias("cross_doc_frac"),
+    )
+    return scope_caches(out, t, g)

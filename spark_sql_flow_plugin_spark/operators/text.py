@@ -1636,3 +1636,74 @@ def text_boilerplate_df_score(spark, sf_dir):
         F.when(frac > _BP_FRAC, 1).otherwise(0).cast("int").alias("is_template"),
     )
     return scope_caches(out, h, e)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: Gini-Simpson index (1 - sum p_i^2 over the document's
+# token distribution) and type-token ratio. The standard log-free
+# diversity/repetitiveness signals (entropy needs ln(), which is NOT
+# IEEE-identical across engines — pure +-*/ is; see SKILL.md gotchas):
+# template-y and looping docs score low on both.
+#
+# Scale posture: row-local. The per-token counts never leave the row —
+# sum of squared counts comes from the same sorted-array run-length fold
+# quality_gopher_rules uses for the bigram mode, so the whole query is
+# one projection: no explode, no shuffle.
+# ---------------------------------------------------------------------------
+
+_GINI_SS_FOLD = (
+    "aggregate(array_sort(toks), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'ss', 0L), "
+    "(acc, x) -> IF(x <=> acc.prev, "
+    "  named_struct('prev', x, 'run', acc.run + 1L, 'ss', acc.ss), "
+    "  named_struct('prev', x, 'run', 1L, 'ss', acc.ss + acc.run * acc.run)), "
+    "acc -> acc.ss + acc.run * acc.run)"
+)
+
+
+@register(
+    "text_gini_diversity",
+    rf"""
+    WITH t AS (SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, token, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        GROUP BY doc_id, token),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+        FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_distinct AS INT) AS n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(1.0 - CAST(ss AS DOUBLE) / (n_tokens * n_tokens), 6)
+               AS gini_simpson
+    FROM s WHERE n_tokens > 0
+    """,
+    "text",
+)
+def text_gini_diversity(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    c = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.expr(_GINI_SS_FOLD).alias("ss"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_distinct").cast("int").alias("n_distinct"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            F.lit(1.0)
+            - F.col("ss").cast("double") / (F.col("n_tokens") * F.col("n_tokens")),
+            6,
+        ).alias("gini_simpson"),
+    )

@@ -695,3 +695,11 @@ def test_boilerplate_common_set_broadcast(spark, sf_dir):
     plan = _physical(queries()["text_boilerplate_df_score"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gini_diversity_zero_shuffle(spark, sf_dir):
+    # per-token counts never leave the row (sorted-array run-length fold):
+    # the whole diversity query is one projection
+    plan = _physical(queries()["text_gini_diversity"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

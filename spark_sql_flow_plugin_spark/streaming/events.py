@@ -772,3 +772,109 @@ def stream_quality_gate(spark, sf_dir):
     )
     gated = flagged.where("keep").drop("keep")
     return _run_to_memory(gated, "append")
+
+
+from ..operators.dedup import _DUCK_COSINE as _DUCK_COS_EMB  # noqa: E402
+
+
+@register(
+    "stream_ivf_cell_counts",
+    f"""
+    WITH cents AS (
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)) / 1e9 AS c
+        FROM (SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY label, i),
+    carr AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cvec
+        FROM cents GROUP BY label),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    scored AS (
+        SELECT e.vec_id, carr.cent_label,
+               ROUND({{cos}}, 6) AS sim
+        FROM e CROSS JOIN carr),
+    assigned AS (
+        SELECT vec_id, cent_label AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY sim DESC, cent_label) AS rn
+            FROM scored) t
+        WHERE rn = 1)
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM assigned GROUP BY cell
+    """.format(cos=_DUCK_COS_EMB.format(a="e.embedding", b="carr.cvec")),
+    "streaming",
+    "similarity",
+    "stream-exec",
+)
+def stream_ivf_cell_counts(spark, sf_dir):
+    """Online IVF index maintenance: vectors arrive as a stream, each is
+    assigned to its nearest TRAINED centroid (the batch-side codebook from
+    embedding_centroids, broadcast as one static row), and a stateful
+    aggregation maintains per-cell occupancy — the signal an online vector
+    index watches for cell rebalancing/retraining. availableNow over the
+    static corpus ≡ the batch assignment, so the oracle is exact.
+
+    Scale posture: the codebook is labels x dim doubles — a broadcast
+    stream-static join; assignment is a row-local fold (no shuffle); the
+    only streaming state is one counter per cell. Tie-break matches
+    ann_ivf_trained: highest rounded sim, then smallest cell id (the fold
+    scans cells in ascending id order with a strict > comparison).
+    """
+    from ..operators.dedup import _estimated_splits
+    from ..operators.similarity import embedding_centroids
+
+    carr = (
+        embedding_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("pc"))
+        .select(
+            F.col("label").alias("cent_label"),
+            F.expr("transform(pc, x -> x.centroid)").alias("cvec"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cent_label"), F.col("cvec")))
+            ).alias("codebook")
+        )
+    )
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    if _estimated_splits(spark, f"{sf_dir}/embeddings.parquet") < n_parts:
+        stream = stream.repartition(n_parts)
+    dot = (
+        "aggregate(zip_with(embedding, x.cvec, "
+        "(u, v) -> cast(u as double) * v), 0D, (acc, w) -> acc + w)"
+    )
+    norm_e = (
+        "sqrt(aggregate(transform(embedding, u -> cast(u as double) "
+        "* cast(u as double)), 0D, (acc, w) -> acc + w))"
+    )
+    norm_c = "sqrt(aggregate(transform(x.cvec, v -> v * v), 0D, (acc, w) -> acc + w))"
+    cell_fold = (
+        "aggregate(codebook, "
+        "named_struct('sim', cast(-2.0 as double), 'cell', -1), "
+        f"(acc, x) -> IF(round(({dot}) / ({norm_e} * {norm_c}), 6) > acc.sim, "
+        f"named_struct('sim', round(({dot}) / ({norm_e} * {norm_c}), 6), "
+        "'cell', x.cent_label), acc), "
+        "acc -> acc.cell)"
+    )
+    assigned = stream.crossJoin(F.broadcast(carr)).select(
+        "vec_id", F.expr(cell_fold).alias("cell")
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    ).select(F.col("cell").cast("int").alias("cell"), "n_vectors", "min_vec_id")
+    return _run_to_memory(counts, "complete")

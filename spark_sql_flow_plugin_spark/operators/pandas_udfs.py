@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..registry import register
-from ..sources import load
+from ..sources import load, register_views
 
 
 @register(
@@ -272,4 +272,67 @@ def pandas_grouped_agg_wmean(spark, sf_dir):
 
     return li.groupBy("l_returnflag").agg(
         wmean("l_extendedprice", "l_quantity").alias("wmean_price")
+    )
+
+
+_SEG_LEN = 16
+
+
+@register(
+    "sql_python_udtf_segments",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, CAST(CEIL(CAST(len(toks) AS DOUBLE)
+                                                   / {_SEG_LEN}) AS BIGINT))) AS i
+        FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS seg_idx,
+           CAST(LEAST({_SEG_LEN}, len(toks) - (i - 1) * {_SEG_LEN}) AS INT) AS n_tokens,
+           md5(array_to_string(toks[(i - 1) * {_SEG_LEN} + 1 : (i - 1) * {_SEG_LEN} + {_SEG_LEN}], ' ')) AS seg_md5
+    FROM s
+    """,
+    "pandas",
+    "text",
+)
+def sql_python_udtf_segments(spark, sf_dir):
+    """Spark 4 Python UDTF surface: a table-valued function consumed via
+    LATERAL join — the variable-output-row shape scalar/grouped pandas
+    UDFs can't express. The UDTF segments each document into fixed
+    16-word windows (the chunking primitive, here as a UDTF so the
+    registry covers the API; docs_chunk_tokens is the builtin-HOF twin
+    that stays JVM-side — prefer it in the hot path, this demonstrates
+    the escape hatch for logic that genuinely needs Python).
+
+    Determinism: Python's str.split() equals the \\s+ tokenizer on
+    whitespace-separated text; hashlib md5 equals SQL md5 — the UDTF's
+    output is byte-identical to the pure-SQL oracle.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx: int, n_tokens: int, seg_md5: string")
+    class Segmenter:
+        def eval(self, text: str):
+            toks = (text or "").lower().split()
+            for i in range(0, len(toks), _SEG_LEN):
+                seg = toks[i : i + _SEG_LEN]
+                yield (
+                    i // _SEG_LEN,
+                    len(seg),
+                    hashlib.md5(" ".join(seg).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("segmenter_udtf", Segmenter)
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_idx, s.n_tokens, s.seg_md5
+        FROM documents d, LATERAL segmenter_udtf(d.text) s
+        """
     )

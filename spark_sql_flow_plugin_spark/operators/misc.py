@@ -1037,3 +1037,53 @@ def scd2_customer_merge(spark, sf_dir):
         F.lit(True).alias("is_current"),
     )
     return closed.union(opened).union(untouched)
+
+
+@register(
+    "sql_scripting_battery",
+    """
+    SELECT CAST(year(MAX(o_orderdate)) - year(MIN(o_orderdate)) + 1 AS INT)
+               AS n_years,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    """,
+    "misc",
+)
+def sql_scripting_battery(spark, sf_dir):
+    """Spark 4.1 SQL scripting (SQL/PSM control flow: BEGIN/DECLARE/WHILE/
+    SET): a data-driven loop accumulates per-year revenue into a session
+    variable, one aggregate query per iteration — the procedural-SQL
+    surface migrating warehouse users expect. The oracle is the closed
+    form (one aggregate over all years), so the script's loop arithmetic
+    is what's under test. Cents are BIGINT (ROUND(price*100) of
+    2-decimal-valued doubles is unambiguous), accumulation is exact.
+
+    Scale: each iteration is an independent full aggregate with map-side
+    partials; the script itself is driver-side control flow, same class
+    as the BPE/pagerank driver loops. Feature-flag conf is set once,
+    idempotently (parser feature, not a tuning knob).
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE yr INT DEFAULT 0;
+          DECLARE last_yr INT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE ny INT DEFAULT 0;
+          SET yr = (SELECT year(MIN(o_orderdate)) FROM orders);
+          SET last_yr = (SELECT year(MAX(o_orderdate)) FROM orders);
+          WHILE yr <= last_yr DO
+            SET total = total + (
+                SELECT COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                     AS BIGINT), 0)
+                FROM orders WHERE year(o_orderdate) = yr);
+            SET ny = ny + 1;
+            SET yr = yr + 1;
+          END WHILE;
+          SELECT ny AS n_years, total AS total_cents;
+        END
+        """
+    )

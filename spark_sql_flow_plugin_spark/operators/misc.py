@@ -1087,3 +1087,67 @@ def sql_scripting_battery(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    rf"""
+    WITH c AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t != '')) AS n_words,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(text) AS n_chars
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n_words >= 16
+                 AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.6) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CAST(FLOOR(1e6 * CAST(n_alpha AS DOUBLE) / n_chars)
+                         AS BIGINT)) AS BIGINT) AS alpha_ratio_sum_q6
+    FROM c
+    """,
+    "misc",
+    "pipeline",
+)
+def pipeline_observe_metrics(spark, sf_dir):
+    """Spark Observation API (df.observe): pipeline health metrics
+    collected as a side effect of ONE pass over the data — the
+    Spark-native way a production curation job reports its gate counts
+    without a second scan. The observed values are rebuilt into a 1-row
+    DataFrame so the driver contract (and the SQL oracle computing the
+    same stats declaratively) can verify them bit-exactly: counts are
+    BIGINT, the ratio sum is floor-quantized to 1e-6 per row before the
+    exact integer sum (no float accumulation order anywhere).
+
+    The builder triggers the action itself (observation.get blocks on
+    it) — bounded driver-side scalars, same class as the BPE argmax and
+    pagerank's count()."""
+    from pyspark.sql import Observation
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    c = d.select(
+        "doc_id",
+        F.size(F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")).alias(
+            "n_words"
+        ),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    )
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars")
+    keep = (F.col("n_words") >= 16) & (alpha_ratio >= 0.6)
+    obs = Observation("gate")
+    observed = c.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.floor(F.lit(1e6) * alpha_ratio).cast("bigint"))
+        .cast("bigint")
+        .alias("alpha_ratio_sum_q6"),
+    )
+    observed.count()  # the single pass; obs.get blocks until it completes
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["n_kept"], m["alpha_ratio_sum_q6"])],
+        "n_docs bigint, n_kept bigint, alpha_ratio_sum_q6 bigint",
+    )

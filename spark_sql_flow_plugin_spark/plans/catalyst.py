@@ -205,6 +205,14 @@ class PlanNode:
             return self.children[0].output() + [
                 _named(e) for e in self.exprs("windowExpressions")
             ]
+        if self.cls in ("BatchEvalPythonUDTF", "ArrowEvalPythonUDTF"):
+            # Spark: output = requiredChildOutput ++ resultAttrs (the UDTF
+            # eval nodes carry no plain "output" field in toJSON)
+            return [
+                (a.name or "", a.expr_id if a.expr_id is not None else -1)
+                for f in ("requiredChildOutput", "resultAttrs")
+                for a in self.exprs(f)
+            ]
         if self.cls == "Generate":
             # unrequiredChildIndex serializes as JSON null; the lockstep
             # annotate_plan pass recovers it into _unrequired

@@ -322,6 +322,23 @@ class LineageExtractor:
         elif cls == "Join":
             for i, (_, eid) in enumerate(plan.output()):
                 add(eid, i)
+        elif cls in ("BatchEvalPythonUDTF", "ArrowEvalPythonUDTF"):
+            # LATERAL Python UDTF: requiredChildOutput columns pass through
+            # by identity; every UDTF result column derives from the UDTF
+            # call's argument references
+            req = plan.exprs("requiredChildOutput")
+            res = plan.exprs("resultAttrs")
+            for i, a in enumerate(req):
+                if a.expr_id is not None:
+                    add(a.expr_id, i)
+            refs = [
+                eid
+                for e in plan.exprs("udtf")
+                for _, eid in e.references()
+            ]
+            for j in range(len(res)):
+                for eid in refs:
+                    add(eid, len(req) + j)
         elif cls in _PASSTHROUGH_PANDAS or cls in ("MapInPandas", "MapInArrow", "PythonMapInArrow"):
             child_out = child_outputs[0] if child_outputs else []
             for i in range(min(len(plan.output()), len(child_out))):

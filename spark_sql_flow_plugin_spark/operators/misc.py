@@ -1151,3 +1151,48 @@ def pipeline_observe_metrics(spark, sf_dir):
         [(m["n_docs"], m["n_kept"], m["alpha_ratio_sum_q6"])],
         "n_docs bigint, n_kept bigint, alpha_ratio_sum_q6 bigint",
     )
+
+
+@register(
+    "sink_python_datasource_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    GROUP BY source
+    """,
+    "scan",
+    "source-format",
+)
+def sink_python_datasource_roundtrip(spark, sf_dir):
+    """Python DataSource WRITE path (Spark 4 DataSourceWriter, the sink
+    twin of source_python_datasource): documents are written through the
+    ``jsonl_sink`` format — each executor partition stages its own
+    JSON-lines part file, the driver's commit() seals with _SUCCESS (the
+    standard two-phase sink contract) — then read back with the native
+    JSON reader and aggregated. The oracle computes the same aggregate
+    from the parquet source directly, so a dropped/duplicated partition
+    or a lossy serialization breaks the value hash. The scratch dir is
+    cleared per invocation (bench runs the builder twice per session)."""
+    import os
+    import shutil
+
+    from ..sources.synthetic import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    path = scratch_path(
+        spark, f"jsonl_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    d.write.format("jsonl_sink").option("path", path).mode("append").save()
+    back = spark.read.json(path)
+    return back.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

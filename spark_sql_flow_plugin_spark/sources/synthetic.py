@@ -82,3 +82,65 @@ class SyntheticDocsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotently register the format with this session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: a Python DataSource SINK (Spark 4 DataSourceWriter) — the API
+# a pipeline uses to mount a non-file service (feature store, index
+# ingest endpoint) as a first-class df.write target. Here the "service"
+# is JSON-lines part files so the round-trip is verifiable.
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.datasource import DataSourceWriter
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """One part file per partition; executors only touch their own file.
+    The commit message carries the written path + row count (the standard
+    two-phase pattern: executors stage, the driver's commit() seals)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        import os
+
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # not used for writes; required by the ABC
+        return "doc_id bigint"
+
+    def writer(self, schema, overwrite):
+        return JsonLinesWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSinkDataSource)

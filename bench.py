@@ -200,16 +200,27 @@ def main() -> None:
     for name, shape in machinery_shapes.items():
         if name not in timings:
             continue
-        # re-run the real query once to capture its micro-batch count
+        # re-run the real query once to capture its micro-batch count.
+        # LAST_RUN is a module global only populated by builders routed
+        # through _run_to_memory — clear it before each run so a shape
+        # using a different sink (foreachBatch, rocksdb) is detected as
+        # "not populated" instead of silently inheriting the previous
+        # query's stale batch count and mis-scaling the split.
         spark.catalog.clearCache()
+        _ev_mod.LAST_RUN.clear()
         qs[name](spark, sf_dir).count()
-        real_batches = _ev_mod.LAST_RUN.get("num_batches", 1)
+        real_batches = _ev_mod.LAST_RUN.get("num_batches")
         machinery = float("inf")
+        _ev_mod.LAST_RUN.clear()
         for _ in range(n_runs):
             t0 = time.time()
             shape().count()
             machinery = min(machinery, time.time() - t0)
-        empty_batches = _ev_mod.LAST_RUN.get("num_batches", 1)
+        empty_batches = _ev_mod.LAST_RUN.get("num_batches")
+        if real_batches is None or empty_batches is None:
+            # the shape didn't route through _run_to_memory: no reliable
+            # batch counts, so skip the split rather than fabricate one
+            continue
         per_batch = machinery / max(1, empty_batches)
         scaled = per_batch * real_batches
         total = timings[name]

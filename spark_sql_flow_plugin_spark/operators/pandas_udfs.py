@@ -276,6 +276,12 @@ def pandas_grouped_agg_wmean(spark, sf_dir):
 
 
 _SEG_LEN = 16
+# ASCII-explicit tokenizer contract shared with the DuckDB oracle: 26-char
+# lowercase translate + the literal RE2 \s class (see the UDTF docstring).
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+_RE2_WS = r"[\t\n\f\r ]+"
 
 
 @register(
@@ -283,7 +289,10 @@ _SEG_LEN = 16
     rf"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+               list_filter(string_split_regex(
+                   translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   'abcdefghijklmnopqrstuvwxyz'),
+                   '[\t\n\f\r ]+'), x -> x != '') AS toks
         FROM documents),
     s AS (
         SELECT doc_id, toks,
@@ -308,18 +317,27 @@ def sql_python_udtf_segments(spark, sf_dir):
     that stays JVM-side — prefer it in the hot path, this demonstrates
     the escape hatch for logic that genuinely needs Python).
 
-    Determinism: Python's str.split() equals the \\s+ tokenizer on
-    whitespace-separated text; hashlib md5 equals SQL md5 — the UDTF's
-    output is byte-identical to the pure-SQL oracle.
+    Determinism: both sides use an explicit ASCII contract — lowercase is
+    a 26-char translate (not str.lower()/SQL lower(), which diverge on
+    chars like U+0130 between Python full casing and utf8proc simple
+    casing) and the tokenizer splits on the literal class [\\t\\n\\f\\r ]
+    (RE2's \\s; Python's str.split() additionally splits on \\x0b/\\xa0/
+    Unicode spaces). hashlib md5 equals SQL md5 — the UDTF's output is
+    byte-identical to the pure-SQL oracle on ANY input, not just ASCII.
     """
     import hashlib
+    import re
 
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="seg_idx: int, n_tokens: int, seg_md5: string")
     class Segmenter:
         def eval(self, text: str):
-            toks = (text or "").lower().split()
+            toks = [
+                t
+                for t in re.split(_RE2_WS, (text or "").translate(_ASCII_LOWER))
+                if t
+            ]
             for i in range(0, len(toks), _SEG_LEN):
                 seg = toks[i : i + _SEG_LEN]
                 yield (

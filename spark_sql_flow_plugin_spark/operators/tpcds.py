@@ -609,6 +609,14 @@ def _ensure_materialized(s, done: set, sf_dir: str, tables: list) -> None:
         if old == mine:
             continue
         old_path = os.path.join(base, old)
+        if not os.path.isdir(old_path):
+            # stray plain file (crashed writer's tmp, manual debris):
+            # rmtree would fail-and-swallow on it forever; remove directly
+            try:
+                os.remove(old_path)
+            except OSError:
+                pass
+            continue
         if _owner_alive(old_path):
             continue  # a live application's data — never delete it
         shutil.rmtree(old_path, ignore_errors=True)

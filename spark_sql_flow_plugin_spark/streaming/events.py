@@ -74,7 +74,10 @@ def _run_to_memory(
     """
     name = f"stream_{uuid.uuid4().hex[:10]}"
     sess = df.sparkSession
-    prev = sess.conf.get(_NO_DATA_KEY, "true")
+    # distinguish "unset" from an explicit session value: restoring an
+    # unset key to the default string would mask a later session-level
+    # override being absent vs present
+    prev = sess.conf.get(_NO_DATA_KEY, None)
     if no_data_batches is not None:
         sess.conf.set(_NO_DATA_KEY, "true" if no_data_batches else "false")
     try:
@@ -88,7 +91,10 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         if no_data_batches is not None:
-            sess.conf.set(_NO_DATA_KEY, prev)
+            if prev is None:
+                sess.conf.unset(_NO_DATA_KEY)
+            else:
+                sess.conf.set(_NO_DATA_KEY, prev)
     prog = [json.loads(p.json) for p in q.recentProgress]
     LAST_RUN["num_batches"] = len(prog)
     LAST_RUN["add_batch_ms"] = [

@@ -130,6 +130,41 @@ def test_stream_equals_batch(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_run_to_memory_restores_unset_conf(spark, sf_dir):
+    """_run_to_memory(no_data_batches=...) must return the no-data-batch
+    conf to UNSET when it was unset before, not pin it to the default
+    string — otherwise a later reader can't distinguish a session-level
+    override being absent vs present."""
+    from spark_sql_flow_plugin_spark.streaming import events as ev_mod
+
+    key = ev_mod._NO_DATA_KEY
+    prev = spark.conf.get(key, None)
+    try:
+        # case 1: key unset before -> unset after
+        if prev is not None:
+            spark.conf.unset(key)
+        src = ev_mod._read_events_stream(spark, sf_dir).where("user_id < 0")
+        ev_mod._run_to_memory(
+            src.groupBy("user_id").count(), "update", no_data_batches=False
+        )
+        assert spark.conf.get(key, None) is None
+
+        # case 2: explicit session value before -> same value after
+        spark.conf.set(key, "false")
+        ev_mod._run_to_memory(
+            src.groupBy("user_id").count(), "update", no_data_batches=True
+        )
+        assert spark.conf.get(key, None) == "false"
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_transform_with_state_gated(spark, sf_dir):
     """The v2 stateful API registers only when protobuf is available;
     without it the builder raises the documented gate error instead of

@@ -133,6 +133,27 @@ def test_markerless_dir_reaped_only_by_age(spark, sf_dir):
         shutil.rmtree(stale, ignore_errors=True)
 
 
+def test_stray_plain_file_is_removed(spark, sf_dir):
+    # a non-directory entry under .tpcds_shim (crashed writer's tmp file,
+    # manual debris): rmtree on a plain file fails and is swallowed by
+    # ignore_errors, so under the old loop it was never reclaimed (and
+    # _owner_alive depended on NotADirectoryError falling into the age
+    # path). It must be os.remove()d directly.
+    base = _shim_base()
+    os.makedirs(base, exist_ok=True)
+    stray = os.path.join(base, "OWNER.tmp.424242")
+    with open(stray, "w") as f:
+        f.write("leftover tmp marker from a crashed writer")
+    try:
+        _force_reap_pass(spark, sf_dir)
+        assert not os.path.exists(stray), (
+            "stray plain file under .tpcds_shim never reclaimed"
+        )
+    finally:
+        if os.path.exists(stray):
+            os.remove(stray)
+
+
 def test_own_dir_carries_owner_marker(spark, sf_dir):
     _force_reap_pass(spark, sf_dir)
     mine = "%s-%d" % (spark.sparkContext.applicationId, os.getpid())

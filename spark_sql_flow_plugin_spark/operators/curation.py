@@ -648,3 +648,115 @@ def decontaminate_bloom(spark, sf_dir):
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_flagged_ngrams")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — DSIR: Data Selection via Importance Resampling (Xie et al. 2023).
+# Score every raw-pool document by how target-like its hashed-unigram
+# distribution is under two Laplace-smoothed bag-of-words models (target =
+# one curated domain, raw = everything else). The paper ranks by the sum of
+# per-feature log probability ratios; this implementation sums per-token
+# FLOOR(1e6 * p_target(b)/p_raw(b)) instead — the repo's log-free quantized
+# surrogate (same family as the hard-sigmoid in quality_train_logreg and
+# the ratio idf in text_tfidf_top_terms): libm log() differs across engines
+# in the last bits, while the ratio is a fixed +-*/ sequence on exact
+# integer counts, IEEE-identical everywhere. Monotone per token, so
+# "target-like tokens score high" is preserved; document scores are exact
+# BIGINTs.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TARGET = "src0"  # the curated "target domain" sources
+# bucket id from the first 8 md5 hex digits of the token
+_SPARK_DSIR_BUCKET = (
+    f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_DSIR_B}"
+)
+_DUCK_DSIR_BUCKET = f"('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_B}"
+# per-bucket quantized likelihood ratio — IDENTICAL op order both engines:
+# two Laplace probabilities (each one division of exact ints widened to
+# double), one ratio division, scale, floor
+_DSIR_Q = (
+    "CAST(FLOOR(1e6 * ((CAST(c_t + 1 AS DOUBLE) / CAST(n_t + {B} AS DOUBLE))"
+    " / (CAST(c_r + 1 AS DOUBLE) / CAST(n_r + {B} AS DOUBLE)))) AS BIGINT)"
+).format(B=_DSIR_B)
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH occ AS (
+        SELECT doc_id, source, unnest(toks) AS tok
+        FROM (SELECT doc_id, source, {_DUCK_WTOKS} AS toks FROM documents)
+        ),
+    occb AS (
+        SELECT doc_id, source = '{_DSIR_TARGET}' AS is_t,
+               {_DUCK_DSIR_BUCKET} AS b
+        FROM occ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+        FROM occb),
+    model AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+               CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+        FROM occb GROUP BY b),
+    q AS (
+        SELECT b, {_DSIR_Q} AS qv
+        FROM model CROSS JOIN tot)
+    SELECT occb.doc_id,
+           CAST(COUNT(*) AS INT) AS n_toks,
+           CAST(SUM(q.qv) AS BIGINT) AS dsir_q6,
+           CAST(SUM(q.qv) AS BIGINT) // COUNT(*) AS avg_q6
+    FROM occb JOIN q USING (b)
+    WHERE NOT occb.is_t
+    GROUP BY occb.doc_id
+    """,
+    "curation",
+    "llm-pipeline",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance scores for the raw pool against a curated target
+    domain (source = 'src0'): hashed-unigram features (md5 -> 1024
+    buckets), two Laplace-smoothed bag-of-words models, per-token
+    quantized likelihood ratios summed per document. Selection is then
+    `ORDER BY avg_q6 DESC LIMIT k` — Spark plans distributed top-k
+    (TakeOrderedAndProject), so no global-sort bottleneck is baked in
+    here.
+
+    Scale posture: feature hashing is row-local; both models are
+    {_DSIR_B}-row aggregates (map-side partial agg) crossed with a 1-row
+    totals frame and BROADCAST back onto the token stream — the corpus
+    shuffles once on the {_DSIR_B}-key bucket for the model build and
+    never for scoring; the per-doc rollup is the only corpus-scale
+    aggregation. The ratio arithmetic stays in exact BIGINT counts
+    widened to double (no log, no summation-order hazard) — see module
+    comment."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    occb = (
+        d.select(
+            "doc_id",
+            (F.col("source") == _DSIR_TARGET).alias("is_t"),
+            F.explode(F.expr(_SPARK_WTOKS)).alias("tok"),
+        )
+        .select("doc_id", "is_t", F.expr(_SPARK_DSIR_BUCKET).alias("b"))
+    )
+    tot = occb.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("n_r"),
+    )
+    model = occb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("c_r"),
+    )
+    q = model.crossJoin(F.broadcast(tot)).select("b", F.expr(_DSIR_Q).alias("qv"))
+    return (
+        occb.where(~F.col("is_t"))
+        .join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.sum("qv").cast("bigint").alias("dsir_q6"),
+            F.expr("CAST(SUM(qv) AS BIGINT) DIV COUNT(*)").alias("avg_q6"),
+        )
+    )

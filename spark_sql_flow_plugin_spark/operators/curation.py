@@ -760,3 +760,77 @@ def dsir_importance_weights(spark, sf_dir):
             F.expr("CAST(SUM(qv) AS BIGINT) DIV COUNT(*)").alias("avg_q6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — temperature-scaled domain sampling (the XLM-R / Gopher / LLaMA
+# mixture rule): sampling weight per domain ∝ p_i^alpha with alpha = 1/2,
+# which upweights small domains relative to proportional sampling without
+# letting any one domain dominate. alpha = 1/2 keeps the power inside IEEE
+# sqrt (exactly rounded, cross-engine identical — no libm pow()); each
+# sqrt is floor-quantized to a BIGINT before the cross-domain normalization
+# sum, so the denominator is exact and order-independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mix_temperature",
+    f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(len({_DUCK_WTOKS})) AS BIGINT) AS tok_total
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand FROM per_src),
+    wq AS (
+        SELECT source, tok_total,
+               CAST(FLOOR(1e9 * sqrt(CAST(tok_total AS DOUBLE)
+                                     / CAST(grand AS DOUBLE))) AS BIGINT) AS w_q9
+        FROM per_src, tot),
+    norm AS (SELECT CAST(SUM(w_q9) AS BIGINT) AS w_sum FROM wq)
+    SELECT source, tok_total,
+           CAST(w_q9 AS DOUBLE) / w_sum AS mix_rate,
+           CAST(FLOOR((CAST(w_q9 AS DOUBLE) / w_sum)
+                      * (SELECT grand FROM tot)) AS BIGINT) AS epoch_tokens
+    FROM wq, norm
+    """,
+    "curation",
+    "llm-pipeline",
+)
+def domain_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture (T = 2, i.e. weight ∝ share^(1/2)):
+    per-source token mass, the normalized temperature-sampled mix rate,
+    and the expected tokens drawn per epoch-equivalent. The knob between
+    proportional sampling (T=1, head domains dominate) and uniform (T=∞,
+    tiny domains oversample into repetition) for multilingual / multi-
+    domain pre-training.
+
+    Scale posture: one partial-aggregated groupBy over the corpus to
+    #domains rows; the grand total and the normalization sum are 1-row
+    broadcast frames (never a driver collect). Exactness: share and its
+    sqrt are IEEE-exact on exact BIGINT inputs; each weight is floor-
+    quantized to a BIGINT BEFORE the cross-domain sum, so the denominator
+    is order-independent; mix_rate and epoch_tokens are then single
+    divisions/floors of exact integers."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_SPARK_WTOKS))).cast("bigint").alias("tok_total")
+    )
+    tot = per_src.agg(F.sum("tok_total").cast("bigint").alias("grand"))
+    wq = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok_total",
+        "grand",
+        F.expr(
+            "CAST(FLOOR(1e9 * sqrt(CAST(tok_total AS DOUBLE)"
+            " / CAST(grand AS DOUBLE))) AS BIGINT)"
+        ).alias("w_q9"),
+    )
+    norm = wq.agg(F.sum("w_q9").cast("bigint").alias("w_sum"))
+    return wq.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "tok_total",
+        (F.col("w_q9").cast("double") / F.col("w_sum")).alias("mix_rate"),
+        F.expr(
+            "CAST(FLOOR((CAST(w_q9 AS DOUBLE) / w_sum) * grand) AS BIGINT)"
+        ).alias("epoch_tokens"),
+    )

@@ -1196,3 +1196,74 @@ def sink_python_datasource_roundtrip(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — binaryFile source: the ingestion front door for multimodal /
+# raw-blob corpora (images, audio, crawl WARCs). Spark's binaryFile format
+# reads whole files as (path, modificationTime, length, content) rows; the
+# multimodal operators then decode the binary column. This query stages the
+# documents table as per-bucket blob files and proves the scan returns the
+# exact bytes (md5) and lengths.
+# ---------------------------------------------------------------------------
+
+_BINFILE_BUCKETS = 64
+
+
+@register(
+    "source_binaryfile_stats",
+    f"""
+    SELECT CAST(doc_id % {_BINFILE_BUCKETS} AS INT) AS bucket,
+           CAST(SUM(LENGTH(text)) + COUNT(*) - 1 AS BIGINT) AS n_bytes,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+    FROM documents GROUP BY doc_id % {_BINFILE_BUCKETS}
+    """,
+    "sources",
+)
+def source_binaryfile_stats(spark, sf_dir):
+    """Spark binaryFile source round-trip: documents are staged as
+    {_BINFILE_BUCKETS} blob files (each bucket's texts newline-joined in
+    doc_id order), read back whole-file via
+    ``spark.read.format("binaryFile")``, and fingerprinted — bucket id
+    parsed from the path, byte length from the source's metadata column,
+    md5 over the raw ``content`` bytes. The oracle recomputes all three
+    from the parquet table, so a single corrupted/truncated/reordered
+    byte fails the match.
+
+    Staging collects {_BINFILE_BUCKETS} pre-aggregated rows to the driver
+    and writes small fixture files — fixture generation only; the
+    operator under test is the distributed binaryFile scan (one task per
+    file; at 100 TB the parallelism is the file count, which is why blob
+    stores shard corpora into many objects — and why the multimodal
+    pipeline's decode stage runs AFTER this scan, in batched
+    mapInPandas over the content column)."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    payloads = (
+        docs.groupBy((F.col("doc_id") % _BINFILE_BUCKETS).cast("int").alias("bucket"))
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(doc_id, text))),"
+                " x -> x.text), '\\n')"
+            ).alias("payload")
+        )
+        .collect()
+    )
+    path = _roundtrip_dir(spark, sf_dir, "binfiles")
+    os.makedirs(path, exist_ok=True)
+    for row in payloads:
+        with open(os.path.join(path, "bucket_%03d.bin" % row.bucket), "wb") as f:
+            f.write(row.payload.encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"bucket_(\d+)\.bin", 1)
+        .cast("int")
+        .alias("bucket"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -680,7 +680,7 @@ FIDELITY: dict[str, str] = {
         "tpcds_q76", "tpcds_q77", "tpcds_q79", "tpcds_q81", "tpcds_q86",
         "tpcds_q87", "tpcds_q88", "tpcds_q89", "tpcds_q90", "tpcds_q91",
         "tpcds_q92", "tpcds_q93", "tpcds_q95", "tpcds_q96", "tpcds_q97",
-        "tpcds_q98", "tpcds_q99", "tpcds_q14a",
+        "tpcds_q98", "tpcds_q99", "tpcds_q14a", "tpcds_q19",
     ]},
     # --- param-retuned -------------------------------------------------
     # (numeric thresholds/bands/windows/gates re-chosen for the derived
@@ -695,16 +695,18 @@ FIDELITY: dict[str, str] = {
         "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q94",
     ]},
     # --- structure-adapted ----------------------------------------------
-    # q19: zip-prefix cross-geography compare -> ca_state <> s_state
     # q59: duplicate-row week pivot normalized with GROUP BY
     # q64: cd1<>cd2 marital -> '='; HAVING sale>2*refund -> sale>refund;
     #      18-relation FROM decomposed into layered CTEs
     # q78: grain coarsened item x customer x year -> customer x year
     # (q24a/b were here through round 8; the round-9 birth-country
     # mirror + zip co-grid shim columns let the reference's join edges
-    # run verbatim — only the color literal remains retuned)
+    # run verbatim — only the color literal remains retuned. q19 was
+    # here through round 9; the same zip co-grid lets its
+    # substr(ca_zip,1,5) <> substr(s_zip,1,5) edge run verbatim in
+    # round 10, promoting it to verbatim-dialect.)
     **{n: "structure-adapted" for n in [
-        "tpcds_q19", "tpcds_q59", "tpcds_q64", "tpcds_q78",
+        "tpcds_q59", "tpcds_q64", "tpcds_q78",
     ]},
 }
 
@@ -1299,18 +1301,21 @@ WHERE d_date_sk = ss_sold_date_sk
   AND d_year = 1998
   AND ss_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
-  AND ca_state <> s_state
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
   AND ss_store_sk = s_store_sk
 GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
 ORDER BY ext_price_cents DESC, brand, brand_id, i_manufact_id, i_manufact
 LIMIT 100
 """,
     "TPC-DS q19 (reference inputs/q19.sql): brand revenue from customers "
-    "shopping outside their home state. The reference compares 5-digit "
-    "zip prefixes; the derived schema carries states, so the "
-    "cross-geography predicate is ca_state <> s_state (same shape: an "
-    "inequality between the two dimension branches). Sort key = full "
-    "group key + sum: LIMIT-safe.",
+    "shopping outside their home zip prefix. The reference's "
+    "substr(ca_zip,1,5) <> substr(s_zip,1,5) edge runs VERBATIM since "
+    "round 10: the round-9 zip co-grid (store zips 10000 + sk*1111; "
+    "customers with c_custkey % 11 = 7 mirror one of them) makes the "
+    "exclusion non-degenerate — same-zip purchases exist at every SF "
+    "(16 pre-filter at sf0.001) and drop out inside the full filter set "
+    "at sf0.1. Through round 9 this was structure-adapted "
+    "(ca_state <> s_state). Sort key = full group key + sum: LIMIT-safe.",
 )
 
 # ---------------------------------------------------------------------------

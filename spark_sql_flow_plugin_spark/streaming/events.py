@@ -884,3 +884,70 @@ def stream_ivf_cell_counts(spark, sf_dir):
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     ).select(F.col("cell").cast("int").alias("cell"), "n_vectors", "min_vec_id")
     return _run_to_memory(counts, "complete")
+
+
+@register(
+    "stream_hourly_daily_rollup",
+    """
+    WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+                FROM events),
+    h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events
+          GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type),
+    hf AS (SELECT h.* FROM h, wm WHERE h.hs + INTERVAL 1 HOUR <= wm.w),
+    d AS (SELECT CAST(date_trunc('day', hs) AS TIMESTAMP) AS day_start, event_type,
+                 CAST(COUNT(*) AS INT) AS n_hours,
+                 CAST(SUM(n) AS BIGINT) AS n_events
+          FROM hf GROUP BY date_trunc('day', hs), event_type)
+    SELECT day_start, event_type, n_hours, n_events,
+           CAST(n_events AS DOUBLE) / n_hours AS avg_per_hour
+    FROM d, wm
+    WHERE d.day_start + INTERVAL 1 DAY <= wm.w
+    """,
+    "streaming",
+    "stream-exec",
+)
+def stream_hourly_daily_rollup(spark, sf_dir):
+    """CHAINED stateful streaming operators (SPARK-40925, Spark 3.5+ /
+    4.x): an append-mode hourly windowed aggregate feeding a second,
+    daily windowed aggregate over ``window_time()`` — the streaming
+    continuous-rollup shape (raw -> hourly -> daily) that previously
+    required two jobs glued by a sink.
+
+    Emission semantics the oracle encodes: level 1 finalizes an hour
+    window only once the watermark (max event time − 1 h) passes its
+    end; level 2 aggregates exactly those finalized rows and finalizes a
+    day only once the same watermark passes the day's end — so the last
+    partial day (and hour) produce NOTHING, as a continuous pipeline
+    would hold them in state. The trailing no-data micro-batch is what
+    flushes both levels; ``no_data_batches`` must stay at the session
+    default (on).
+
+    State bound at 100 TB: level-1 state is #(event_type x open hours),
+    level-2 state is #(event_type x open days) — both independent of
+    stream length; the only shuffles are the two window-key exchanges,
+    identical to the batch twin's."""
+    stream = _read_events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("hwin"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("hwin"), "1 day").alias("dwin"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+    )
+    out = _run_to_memory(daily, "append")
+    return out.select(
+        F.col("dwin.start").alias("day_start"),
+        "event_type",
+        "n_hours",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n_hours")).alias("avg_per_hour"),
+    )

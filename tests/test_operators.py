@@ -155,3 +155,93 @@ def test_exact_substring_spans_planted(spark, tmp_path):
         r = rows[doc_id]
         assert r.n_dup_spans == 1
         assert r.dup_chars == 40, (doc_id, r)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — semantic invariants for the new retrieval/curation operators
+# (the oracle matrix proves bit-exactness; these pin the MEANING)
+# ---------------------------------------------------------------------------
+
+
+def test_colbert_maxsim_bounds_and_topk_shape(spark, sf_dir):
+    rows = queries()["colbert_maxsim_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        # 8 query tokens, each max-cosine in [-1, 1] quantized by 1e6
+        assert -8_000_000 <= r.maxsim_q6 <= 8_000_000
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x.rnk for x in rs) == [1, 2, 3, 4, 5]
+        ranked = sorted(rs, key=lambda x: x.rnk)
+        scores = [x.maxsim_q6 for x in ranked]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_rerank_candidates_come_from_adc_shortlist(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.operators.similarity import (
+        _PQ_RERANK_CAND,
+        _pq_adc_frame,
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    adc = _pq_adc_frame(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PQ_RERANK_CAND)
+        .collect()
+    }
+    reranked = queries()["ann_pq_rerank"](spark, sf_dir).collect()
+    assert reranked, "rerank produced no rows"
+    for r in reranked:
+        assert (r.query_id, r.neighbor_id) in shortlist
+
+
+def test_knn_agreement_invariants(spark, sf_dir):
+    rows = queries()["knn_label_agreement"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.vec_id not in seen  # one audit row per vector
+        seen.add(r.vec_id)
+        assert 0 <= r.n_same <= r.n_neighbors <= 5
+        if r.n_neighbors == 0:
+            assert r.agreement is None and r.suspect is False
+        else:
+            assert abs(r.agreement - r.n_same / r.n_neighbors) < 1e-15
+        if r.suspect:
+            assert r.n_neighbors >= 3 and r.agreement < 0.5
+
+
+def test_dsir_scores_raw_pool_only_and_positive(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.operators.curation import _DSIR_TARGET
+    from spark_sql_flow_plugin_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    target_ids = {
+        r.doc_id for r in docs.where(f"source = '{_DSIR_TARGET}'").collect()
+    }
+    rows = queries()["dsir_importance_weights"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id not in target_ids  # only the raw pool is scored
+        assert r.n_toks >= 1
+        assert r.dsir_q6 >= 0  # likelihood ratios are positive
+        assert r.avg_q6 == r.dsir_q6 // r.n_toks
+
+
+def test_domain_mix_temperature_rates_normalize(spark, sf_dir):
+    rows = queries()["domain_mix_temperature"](spark, sf_dir).collect()
+    assert rows
+    total_rate = sum(r.mix_rate for r in rows)
+    assert abs(total_rate - 1.0) < 1e-9
+    # temperature sampling upweights small domains: the smallest domain's
+    # rate must exceed its proportional share, the largest's must trail it
+    grand = sum(r.tok_total for r in rows)
+    smallest = min(rows, key=lambda r: r.tok_total)
+    largest = max(rows, key=lambda r: r.tok_total)
+    if smallest.tok_total != largest.tok_total:
+        assert smallest.mix_rate > smallest.tok_total / grand
+        assert largest.mix_rate < largest.tok_total / grand

@@ -703,3 +703,60 @@ def test_gini_diversity_zero_shuffle(spark, sf_dir):
     plan = _physical(queries()["text_gini_diversity"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_colbert_corpus_tokens_stay_in_row(spark, sf_dir):
+    # MaxSim folds over array SLICES inside the row: the corpus token
+    # vectors are never exploded (no Generate) and the only join is the
+    # broadcast of the tiny query set — the corpus is scanned once and
+    # never shuffled before scoring
+    plan = _physical(queries()["colbert_maxsim_topk"](spark, sf_dir))
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_shortlist_join_no_cartesian(spark, sf_dir):
+    # stage 2 joins the |Q| x 20 shortlist back to the vector table on
+    # vec_id — equi-joins only; the corpus is never crossed with itself
+    plan = _physical(queries()["ann_pq_rerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the broadcast codebook
+    # crosses (labels x M rows, one per branch: corpus encode + query
+    # distance tables — same shape as ann_pq_adc stage 1)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_knn_agreement_bucketed_no_cartesian(spark, sf_dir):
+    # neighbor candidates come from the sign-bucket equi-join (occupancy-
+    # scheduled bit width); the vec_id inequality is a post-join filter
+    plan = _physical(queries()["knn_label_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_models_broadcast_corpus_never_reshuffled(spark, sf_dir):
+    # the 1024-bucket models (and the 1-row totals) must come back to the
+    # raw token stream as broadcasts; the corpus token stream shuffles
+    # only for the model build and the final per-doc rollup
+    plan = _physical(queries()["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_temperature_single_agg_pass(spark, sf_dir):
+    # per-source totals are one partial-aggregated groupBy; grand total
+    # and normalization are 1-row broadcast frames — no driver collect,
+    # no re-scan of documents for the second normalization
+    plan = _physical(queries()["domain_mix_temperature"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_binaryfile_scan_reads_whole_files(spark, sf_dir):
+    # the binaryFile relation plans one task per file and the projection
+    # keeps only the consumed columns
+    df = queries()["source_binaryfile_stats"](spark, sf_dir)
+    plan = _physical(df)
+    assert "binaryFile" in plan or "BinaryFile" in plan
+    assert "Exchange" not in plan  # pure scan + projection, no shuffle

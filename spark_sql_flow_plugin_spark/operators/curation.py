@@ -714,6 +714,7 @@ _DSIR_Q = (
     """,
     "curation",
     "llm-pipeline",
+    "bench",
 )
 def dsir_importance_weights(spark, sf_dir):
     """DSIR importance scores for the raw pool against a curated target
@@ -833,4 +834,78 @@ def domain_mix_temperature(spark, sf_dir):
         F.expr(
             "CAST(FLOOR((CAST(w_q9 AS DOUBLE) / w_sum) * grand) AS BIGINT)"
         ).alias("epoch_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — compliance deletion (right-to-be-forgotten / takedown): remove
+# every document matching a tombstone list and account for what was removed.
+# Content-addressed (md5-of-text fingerprints), so exact duplicates of the
+# requested content are swept too — the contract a real takedown needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compliance_delete_audit",
+    """
+    WITH tomb AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 17 = 3),
+    corpus AS (
+        SELECT source, md5(text) AS fp, length(text) AS nb FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+           CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(SUM(CASE WHEN t.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN nb ELSE 0 END) AS BIGINT)
+               AS bytes_deleted
+    FROM corpus LEFT JOIN tomb t USING (fp)
+    GROUP BY source
+    """,
+    "curation",
+    "llm-pipeline",
+)
+def compliance_delete_audit(spark, sf_dir):
+    """Targeted deletion sweep with an audit trail: a tombstone list of
+    content fingerprints (here: docs with doc_id % 17 == 3 stand in for
+    takedown requests) is applied content-addressed — md5 over the text,
+    so EXACT DUPLICATES of requested content are deleted wherever they
+    live, not just the requested row ids. Output is the per-source audit
+    a compliance pipeline must produce: docs before, deleted, kept, and
+    bytes removed. The surviving corpus itself is the same LEFT JOIN
+    filtered to t.fp IS NULL (an anti-join).
+
+    Scale posture: the tombstone list is deletion-request-sized (small
+    by construction) and broadcasts; the corpus stream is fingerprinted
+    row-locally and never shuffles except the final per-source
+    aggregation — asserted in tests/test_scale_plans.py."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tomb = (
+        d.where(F.col("doc_id") % 17 == 3)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    corpus = d.select(
+        "source", F.md5("text").alias("fp"), F.length("text").alias("nb")
+    )
+    return (
+        corpus.join(
+            F.broadcast(tomb.withColumnRenamed("fp", "t_fp")),
+            F.col("fp") == F.col("t_fp"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_before"),
+            F.sum(F.when(F.col("t_fp").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.sum(F.when(F.col("t_fp").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("t_fp").isNotNull(), F.col("nb")).otherwise(0))
+            .cast("bigint")
+            .alias("bytes_deleted"),
+        )
     )

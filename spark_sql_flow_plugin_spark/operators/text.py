@@ -652,10 +652,13 @@ _SPARK_BPE_MERGES = "array(" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + ")"
 _DUCK_BPE_MERGES = "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
 
 
-@register(
-    "bpe_tokenize_counts",
-    f"""
-    WITH RECURSIVE vocab AS (
+def _duck_bpe_recursion() -> str:
+    """The vocab -> bpe -> finals recursive-CTE chain (DuckDB dialect),
+    shared by bpe_tokenize_counts and tokenizer_fertility_stats. The
+    recursion runs over the DISTINCT-WORD vocabulary; see
+    bpe_tokenize_counts' docstring for the algebra and the
+    array_position-returns-0 trap."""
+    return f"""vocab AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
             SELECT unnest({_DUCK_WTOKS}) AS w FROM documents)
         WHERE length(w) <= {_BPE_MAXLEN}
@@ -685,7 +688,49 @@ _DUCK_BPE_MERGES = "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
     finals AS (
         SELECT w, s FROM (
             SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
-        WHERE iter = mx)
+        WHERE iter = mx)"""
+
+
+def _spark_bpe_recursion() -> str:
+    """Spark-dialect twin of :func:`_duck_bpe_recursion` (reads the
+    ``bpe_docs_src`` temp view)."""
+    return f"""vocab AS (
+            SELECT w, COUNT(*) AS n_occ FROM (
+                SELECT explode({_SPARK_WTOKS}) AS w FROM bpe_docs_src)
+            WHERE length(w) <= {_BPE_MAXLEN}
+            GROUP BY w),
+        bpe (w, s, iter) AS (
+            SELECT w, regexp_extract_all(w, '(.)', 1) AS s, 0 FROM vocab
+            UNION ALL
+            SELECT w,
+                   concat(
+                       slice(s, 1, idx - 1),
+                       array(replace(element_at(pairs, idx), ' ', '')),
+                       slice(s, idx + 2, size(s))) AS s,
+                   iter + 1
+            FROM (
+                SELECT w, s, iter, pairs,
+                       CAST(array_position(ranks, array_min(ranks)) AS INT) AS idx,
+                       array_min(ranks) AS best
+                FROM (
+                    SELECT w, s, iter,
+                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                    (a, b) -> concat(a, ' ', b)) AS pairs,
+                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+                                    (a, b) -> coalesce(nullif(array_position({_SPARK_BPE_MERGES},
+                                                             concat(a, ' ', b)), 0), {_BPE_BIG})) AS ranks
+                    FROM bpe)
+            ) WHERE best < {_BPE_BIG}),
+        finals AS (
+            SELECT w, s FROM (
+                SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
+            WHERE iter = mx)"""
+
+
+@register(
+    "bpe_tokenize_counts",
+    f"""
+    WITH RECURSIVE {_duck_bpe_recursion()}
     SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt
     FROM (SELECT v.n_occ, unnest(f.s) AS token
           FROM finals f JOIN vocab v USING (w))
@@ -725,41 +770,71 @@ def bpe_tokenize_counts(spark, sf_dir):
     d.createOrReplaceTempView("bpe_docs_src")
     return spark.sql(
         f"""
-        WITH RECURSIVE vocab AS (
-            SELECT w, COUNT(*) AS n_occ FROM (
-                SELECT explode({_SPARK_WTOKS}) AS w FROM bpe_docs_src)
-            WHERE length(w) <= {_BPE_MAXLEN}
-            GROUP BY w),
-        bpe (w, s, iter) AS (
-            SELECT w, regexp_extract_all(w, '(.)', 1) AS s, 0 FROM vocab
-            UNION ALL
-            SELECT w,
-                   concat(
-                       slice(s, 1, idx - 1),
-                       array(replace(element_at(pairs, idx), ' ', '')),
-                       slice(s, idx + 2, size(s))) AS s,
-                   iter + 1
-            FROM (
-                SELECT w, s, iter, pairs,
-                       CAST(array_position(ranks, array_min(ranks)) AS INT) AS idx,
-                       array_min(ranks) AS best
-                FROM (
-                    SELECT w, s, iter,
-                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
-                                    (a, b) -> concat(a, ' ', b)) AS pairs,
-                           zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
-                                    (a, b) -> coalesce(nullif(array_position({_SPARK_BPE_MERGES},
-                                                             concat(a, ' ', b)), 0), {_BPE_BIG})) AS ranks
-                    FROM bpe)
-            ) WHERE best < {_BPE_BIG}),
-        finals AS (
-            SELECT w, s FROM (
-                SELECT w, s, iter, MAX(iter) OVER (PARTITION BY w) AS mx FROM bpe)
-            WHERE iter = mx)
+        WITH RECURSIVE {_spark_bpe_recursion()}
         SELECT token, CAST(SUM(n_occ) AS BIGINT) AS cnt
         FROM (SELECT v.n_occ, explode(f.s) AS token
               FROM finals f JOIN vocab v USING (w))
         GROUP BY token
+        """
+    )
+
+
+@register(
+    "tokenizer_fertility_stats",
+    f"""
+    WITH RECURSIVE {_duck_bpe_recursion()},
+    srcw AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT source, unnest({_DUCK_WTOKS}) AS w FROM documents)
+        WHERE length(w) <= {_BPE_MAXLEN}
+        GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * len(f.s)) AS BIGINT) AS n_subwords,
+           CAST(SUM(n * length(srcw.w)) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(n * len(f.s)) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(n) AS BIGINT) AS fertility,
+           CAST(CAST(SUM(n * length(srcw.w)) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(n * len(f.s)) AS BIGINT) AS chars_per_token
+    FROM srcw JOIN finals f USING (w)
+    GROUP BY source
+    """,
+    "text",
+    "llm-pipeline",
+)
+def tokenizer_fertility_stats(spark, sf_dir):
+    """Tokenizer fertility audit per source domain: words, subword tokens
+    under the fixed BPE merge table, characters, tokens-per-word
+    (fertility) and characters-per-token. The standard tokenizer-fit
+    diagnostic — a domain whose fertility is far above the corpus mean is
+    under-served by the merge table (costs more sequence length per word)
+    and argues for retraining or domain-specific vocab.
+
+    Scale posture: the BPE recursion runs ONCE over the distinct-word
+    vocabulary (shared CTE with bpe_tokenize_counts — never the token
+    stream); per-(source, word) counts are one corpus aggregation; the
+    final join is vocabulary-sized on both sides. Ratios are single
+    divisions of exact BIGINT sums."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("bpe_docs_src")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE {_spark_bpe_recursion()},
+        srcw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT source, explode({_SPARK_WTOKS}) AS w FROM bpe_docs_src)
+            WHERE length(w) <= {_BPE_MAXLEN}
+            GROUP BY source, w)
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(SUM(n * size(f.s)) AS BIGINT) AS n_subwords,
+               CAST(SUM(n * length(srcw.w)) AS BIGINT) AS n_chars,
+               CAST(CAST(SUM(n * size(f.s)) AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(n) AS BIGINT) AS fertility,
+               CAST(CAST(SUM(n * length(srcw.w)) AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(n * size(f.s)) AS BIGINT) AS chars_per_token
+        FROM srcw JOIN finals f USING (w)
+        GROUP BY source
         """
     )
 

@@ -664,3 +664,91 @@ def events_hourly_anomaly(spark, sf_dir):
             " AS BIGINT)"
         ).alias("z_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — time-weighted average (the metering/billing aggregate): a
+# point-in-time metric's average must weight each reading by how long it was
+# the current one, not by reading count — the standard IoT / usage-metering
+# rollup that plain AVG gets wrong whenever sampling is irregular.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH seg AS (
+        SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               CAST(date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                    LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                        ORDER BY ts, event_id)) AS BIGINT) AS dur_us
+        FROM events)
+    SELECT user_id, day,
+           CAST(COUNT(*) AS INT) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(v_cents * dur_us) AS BIGINT) AS weighted_q,
+           CAST(CAST(SUM(v_cents * dur_us) AS BIGINT) AS DOUBLE)
+               / (100.0 * CAST(SUM(dur_us) AS BIGINT)) AS twa_value
+    FROM seg
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id, day
+    """,
+    "timeseries",
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Per (user, day) time-weighted average of ``value``: each reading is
+    weighted by the microseconds until the next reading that day (LEAD
+    over the event-time order; the day's last reading closes its
+    interval, so it carries no weight — the convention that makes the
+    metric a pure function of in-day data, restart-safe for incremental
+    recomputation).
+
+    Exactness: value has 2 decimals; floor(v*100 + 0.5) pins the cents
+    to an exact BIGINT identically in both engines (a bare CAST
+    truncates in Spark but rounds in DuckDB — 6.54*100 =
+    653.999... diverges);
+    durations are exact integer microseconds; the weighted sum is a
+    BIGINT sum of BIGINT products (max |v_cents * dur_us| ~ 1e4 * 8.6e10
+    per segment — int64 holds ~1e5 such segments per (user, day), audit
+    before raising the grain); the TWA is one double division. LEAD
+    orders by (ts, event_id) — a total order even under timestamp ties.
+
+    Scale posture: one shuffle on (user_id, day) shared by the window
+    and the aggregation; no self-join (the naive formulation joins
+    events to next-events)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+    w = (
+        Window.partitionBy("user_id", day.alias("day"))
+        .orderBy(F.col("ts"), F.col("event_id"))
+    )
+    seg = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
+        (
+            F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(
+                Window.partitionBy(
+                    "user_id", F.date_trunc("day", F.col("ts").cast("timestamp"))
+                ).orderBy(F.col("ts"), F.col("event_id"))
+            ))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return (
+        seg.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.sum(F.col("v_cents") * F.col("dur_us"))
+            .cast("bigint")
+            .alias("weighted_q"),
+            (
+                F.sum(F.col("v_cents") * F.col("dur_us")).cast("bigint").cast("double")
+                / (F.lit(100.0) * F.sum("dur_us").cast("bigint"))
+            ).alias("twa_value"),
+        )
+    )

@@ -760,3 +760,29 @@ def test_binaryfile_scan_reads_whole_files(spark, sf_dir):
     plan = _physical(df)
     assert "binaryFile" in plan or "BinaryFile" in plan
     assert "Exchange" not in plan  # pure scan + projection, no shuffle
+
+
+def test_fertility_recursion_is_vocab_sized(spark, sf_dir):
+    # the BPE recursion and the final join run over the distinct-word
+    # vocabulary; corpus-scale work is the two tokenize/count passes.
+    # No cartesian/NLJ anywhere in the recursive plan.
+    plan = _physical(queries()["tokenizer_fertility_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compliance_tombstones_broadcast(spark, sf_dir):
+    # the tombstone list is request-sized: it must broadcast; the corpus
+    # is fingerprinted row-locally and shuffles only for the per-source agg
+    plan = _physical(queries()["compliance_delete_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_weighted_avg_single_shuffle_no_self_join(spark, sf_dir):
+    # LEAD and the aggregation share the (user, day) exchange; the naive
+    # events-to-next-events self-join must not appear
+    plan = _physical(queries()["events_time_weighted_avg"](spark, sf_dir))
+    assert "Join" not in plan  # no join of any kind
+    assert plan.count("Exchange") <= 2  # window + final agg (AQE may fuse)

@@ -681,6 +681,7 @@ FIDELITY: dict[str, str] = {
         "tpcds_q87", "tpcds_q88", "tpcds_q89", "tpcds_q90", "tpcds_q91",
         "tpcds_q92", "tpcds_q93", "tpcds_q95", "tpcds_q96", "tpcds_q97",
         "tpcds_q98", "tpcds_q99", "tpcds_q14a", "tpcds_q19",
+        "tpcds_q59",
     ]},
     # --- param-retuned -------------------------------------------------
     # (numeric thresholds/bands/windows/gates re-chosen for the derived
@@ -695,18 +696,18 @@ FIDELITY: dict[str, str] = {
         "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q94",
     ]},
     # --- structure-adapted ----------------------------------------------
-    # q59: duplicate-row week pivot normalized with GROUP BY
     # q64: cd1<>cd2 marital -> '='; HAVING sale>2*refund -> sale>refund;
     #      18-relation FROM decomposed into layered CTEs
     # q78: grain coarsened item x customer x year -> customer x year
     # (q24a/b were here through round 8; the round-9 birth-country
     # mirror + zip co-grid shim columns let the reference's join edges
-    # run verbatim — only the color literal remains retuned. q19 was
-    # here through round 9; the same zip co-grid lets its
-    # substr(ca_zip,1,5) <> substr(s_zip,1,5) edge run verbatim in
-    # round 10, promoting it to verbatim-dialect.)
+    # run verbatim — only the color literal remains retuned. q19 and
+    # q59 left in round 10: the zip co-grid satisfies q19's
+    # substr-zip-prefix edge verbatim, and q59's duplicate-row fan-out
+    # is multiset-deterministic as-is, so the GROUP BY normalization
+    # was dropped.)
     **{n: "structure-adapted" for n in [
-        "tpcds_q59", "tpcds_q64", "tpcds_q78",
+        "tpcds_q64", "tpcds_q78",
     ]},
 }
 
@@ -1097,20 +1098,18 @@ FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
         AND d_month_seq BETWEEN 23988 AND 23999) x
 WHERE s_store_id1 = s_store_id2
   AND d_week_seq1 = d_week_seq2 - 52
-GROUP BY s_store_name1, s_store_id1, d_week_seq1,
-         sun_sales1, sun_sales2, mon_sales1, mon_sales2,
-         tue_sales1, tue_sales2, wed_sales1, wed_sales2,
-         thu_sales1, thu_sales2, fri_sales1, fri_sales2,
-         sat_sales1, sat_sales2
 ORDER BY s_store_name1, s_store_id1, d_week_seq1
 LIMIT 100
 """,
     "TPC-DS q59 (reference inputs/q59.sql): weekly day-of-week sales "
     "pivot per store, self-joined 52 weeks apart (1998 vs 1999) emitting "
-    "year-over-year ratios. The wss/date_dim join fans out per-day "
-    "within each week, so the reference's implicit duplicate semantics "
-    "are normalized with GROUP BY (same ratio rows, one per week). "
-    "Cents sums keep the ratios bit-exact. Sort key unique: LIMIT-safe.",
+    "year-over-year ratios. VERBATIM join/dup semantics since round 10: "
+    "the wss/date_dim join fans out one row per calendar day of each "
+    "week, and every duplicate row in a (store, week) group is "
+    "byte-identical — so the ORDER BY + LIMIT cut is multiset- "
+    "deterministic even though the sort key repeats, and the reference "
+    "shape runs unmodified (rounds 8-9 normalized the duplicates with a "
+    "GROUP BY). Cents sums keep the ratios bit-exact.",
     extra=_Q59_WSS,
 )
 

@@ -786,3 +786,19 @@ def test_time_weighted_avg_single_shuffle_no_self_join(spark, sf_dir):
     plan = _physical(queries()["events_time_weighted_avg"](spark, sf_dir))
     assert "Join" not in plan  # no join of any kind
     assert plan.count("Exchange") <= 2  # window + final agg (AQE may fuse)
+
+
+def test_matryoshka_single_corpus_scan_in_row_variants(spark, sf_dir):
+    # each corpus vector scores all four prefix lengths in-row: the dims
+    # table and the query sample are broadcast; no Generate over corpus
+    # vectors, no cartesian between corpus rows
+    plan = _physical(queries()["embedding_matryoshka_recall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # corpus x queries x dims are broadcast nested-loop crosses of tiny
+    # sides (query sample, 4-row dims). The only sort-merge allowed is
+    # the topk-vs-topk overlap join — k x |Q| x |dims| rows by
+    # construction, keyed on (query_id, neighbor_id); an SMJ on corpus
+    # embedding columns would mean corpus-vs-corpus and must not appear.
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "query_id" in ln and "neighbor_id" in ln, ln

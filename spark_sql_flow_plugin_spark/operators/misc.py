@@ -1267,3 +1267,49 @@ def source_binaryfile_stats(spark, sf_dir):
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "sql_pipe_syntax_battery",
+    """
+    SELECT l_returnflag,
+           CAST(qty_bucket AS INT) AS qty_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(price_cents) AS BIGINT) AS rev_cents
+    FROM (SELECT l_returnflag,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                 CAST(l_quantity AS BIGINT) // 10 AS qty_bucket
+          FROM lineitem WHERE l_quantity > 5)
+    GROUP BY l_returnflag, qty_bucket
+    HAVING COUNT(*) >= 5
+    """,
+    "sql4",
+)
+def sql_pipe_syntax_battery(spark, sf_dir):
+    """Spark 4.0 SQL pipe syntax (|>): the linear FROM-first query form —
+    scan |> WHERE |> EXTEND (computed columns) |> AGGREGATE .. GROUP BY
+    |> WHERE-over-aggregates (pipe HAVING) |> ORDER BY |> SELECT — the
+    operator-at-a-time SQL dialect Spark 4 ships for pipeline-style
+    authoring. Compiles to the SAME logical plan as the ANSI form (the
+    oracle), so pushdown/pruning/partial-agg all apply unchanged; this
+    registers the surface so lineage extraction is proven over
+    pipe-parsed plans too.
+
+    Cents are pinned with FLOOR(x*100 + 0.5) (bare CAST truncates in
+    Spark, rounds in DuckDB)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 5
+        |> EXTEND CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                  CAST(l_quantity AS BIGINT) DIV 10 AS qty_bucket
+        |> AGGREGATE COUNT(*) AS n_items, SUM(price_cents) AS rev_cents
+           GROUP BY l_returnflag, qty_bucket
+        |> WHERE n_items >= 5
+        |> ORDER BY l_returnflag, qty_bucket
+        |> SELECT l_returnflag, CAST(qty_bucket AS INT) AS qty_bucket,
+                  CAST(n_items AS BIGINT) AS n_items,
+                  CAST(rev_cents AS BIGINT) AS rev_cents
+        """
+    )

@@ -802,3 +802,12 @@ def test_matryoshka_single_corpus_scan_in_row_variants(spark, sf_dir):
     for ln in plan.splitlines():
         if "SortMergeJoin" in ln:
             assert "query_id" in ln and "neighbor_id" in ln, ln
+
+
+def test_pipe_syntax_gets_same_optimizations(spark, sf_dir):
+    # pipe SQL compiles to ordinary logical plans: the WHERE pushes into
+    # the parquet scan and the aggregate partial-aggregates map-side,
+    # exactly as the ANSI form would
+    plan = _physical(queries()["sql_pipe_syntax_battery"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    assert plan.count("HashAggregate") >= 2

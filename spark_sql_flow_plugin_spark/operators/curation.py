@@ -909,3 +909,103 @@ def compliance_delete_audit(spark, sf_dir):
             .alias("bytes_deleted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — filter-ensemble calibration: before wiring quality filters in
+# series, a curation team needs the agreement matrix — which documents the
+# model filter, the Gopher rule battery, and the bigram-LM filter each keep,
+# and how often they disagree (every disagreement cell is review material
+# and a threshold-tuning signal). Composes the three REGISTERED filters
+# (both their Spark builders and their DuckDB oracle texts), so the report
+# is exactly the production filters, not re-derivations that could drift.
+# ---------------------------------------------------------------------------
+
+# fixed LM keep threshold: avg quantized conditional bigram probability
+# (lm_score_q9 / n_bigrams) at least 0.0345 — the corpus median at sf0.01,
+# pinned as a constant so the decision is data-independent and portable
+_LM_KEEP_Q9 = 34_500_000
+
+
+def _ensemble_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    oracle_of = {s.name: s.oracle for s in _REGISTRY}
+    m, g, l = (oracle_of[n] for n in
+               ("quality_model_filter", "quality_gopher_rules",
+                "lm_bigram_score"))
+    return f"""
+    WITH m AS ({m}),
+    g AS ({g}),
+    l AS ({l})
+    SELECT m.keep AS model_keep,
+           g.keep = 1 AS gopher_keep,
+           COALESCE(CAST(l.lm_score_q9 AS DOUBLE) / l.n_bigrams
+                    >= {_LM_KEEP_Q9}, FALSE) AS lm_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM m JOIN g ON m.doc_id = g.doc_id
+           LEFT JOIN l ON m.doc_id = l.doc_id
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "quality_ensemble_agreement",
+    None,  # oracle bound below, after the three component oracles resolve
+    "curation",
+    "llm-pipeline",
+)
+def quality_ensemble_agreement(spark, sf_dir):
+    """Agreement matrix of the three registered quality filters (linear
+    model, Gopher rules, bigram-LM threshold): one row per
+    (model_keep, gopher_keep, lm_keep) combination with document counts.
+    The unanimous cells calibrate how much the cascade actually filters;
+    the disagreement cells are the review queue. Built by JOINING the
+    registered builders themselves — the report can never drift from the
+    filters it audits.
+
+    LM docs need >= 2 tokens to have a score; shorter docs join as NULL
+    and count as lm_keep = FALSE (a filter that cannot score a doc does
+    not keep it).
+
+    Scale posture: three corpus-scale passes (one per filter — exactly
+    what the production cascade pays), joined on doc_id and reduced to
+    <= 8 rows; the join shuffles scored doc_ids, never text."""
+    from .text import lm_bigram_score, quality_gopher_rules, quality_model_filter
+
+    m = quality_model_filter(spark, sf_dir).select("doc_id", "keep")
+    g = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 1).alias("gopher_keep")
+    )
+    lm = lm_bigram_score(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("lm_score_q9").cast("double") / F.col("n_bigrams"))
+            >= _LM_KEEP_Q9
+        ).alias("lm_keep_raw"),
+    )
+    return (
+        m.withColumnRenamed("keep", "model_keep")
+        .join(g, "doc_id")
+        .join(lm, "doc_id", "left")
+        .groupBy(
+            "model_keep",
+            "gopher_keep",
+            F.coalesce(F.col("lm_keep_raw"), F.lit(False)).alias("lm_keep"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# bind the composed oracle now that text.py's registrations are visible
+def _bind_ensemble_oracle():
+    from ..registry import _REGISTRY, QuerySpec
+
+    for i, s in enumerate(_REGISTRY):
+        if s.name == "quality_ensemble_agreement" and s.oracle is None:
+            _REGISTRY[i] = QuerySpec(
+                s.name, s.builder, _ensemble_oracle(), s.tags
+            )
+
+
+_bind_ensemble_oracle()

@@ -811,3 +811,13 @@ def test_pipe_syntax_gets_same_optimizations(spark, sf_dir):
     plan = _physical(queries()["sql_pipe_syntax_battery"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ensemble_joins_scored_ids_never_text(spark, sf_dir):
+    # the agreement matrix joins three per-doc keep columns on doc_id and
+    # reduces to <= 8 rows; document text must never be a shuffle key
+    plan = _physical(queries()["quality_ensemble_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, f"document text shuffled: {ln}"

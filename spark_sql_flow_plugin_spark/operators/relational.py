@@ -13,7 +13,7 @@ builder keeps filters before joins so Catalyst pushes them into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.exprs import SQL_DAVG, SQL_DSUM, davg, dsum
@@ -617,4 +617,161 @@ def agg_exact_percentiles(spark, sf_dir):
         F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
         F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
         F.median("l_extendedprice").alias("med_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — classic warehouse analytics: association rules over order
+# baskets and RFM customer segmentation. Both are exact-ratio arithmetic
+# over integer counts (no libm), so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 5
+
+
+@register(
+    "market_basket_lift",
+    f"""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n FROM bi GROUP BY item),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item)
+    SELECT item_a, item_b, pair_n,
+           CAST(pair_n AS DOUBLE) / n_baskets AS support,
+           CAST(pair_n AS DOUBLE) / ia.item_n AS confidence_a_to_b,
+           (CAST(pair_n AS DOUBLE) * n_baskets)
+               / (CAST(ia.item_n AS DOUBLE) * ib.item_n) AS lift
+    FROM pairs
+    JOIN ic ia ON ia.item = item_a
+    JOIN ic ib ON ib.item = item_b
+    CROSS JOIN nb
+    WHERE pair_n >= {_BASKET_MIN_PAIR}
+    """,
+    "relational",
+    "analytics",
+)
+def market_basket_lift(spark, sf_dir):
+    """Association-rule mining over order baskets (Agrawal & Srikant
+    1994's support/confidence plus lift): brand pairs co-purchased in the
+    same order, with exact-count support, confidence and lift. The
+    classic cross-sell / co-occurrence analytic.
+
+    Scale posture: baskets are first reduced to DISTINCT (basket, item) —
+    the item domain is brand-sized (~25), so each basket contributes at
+    most C(25,2) pairs and the self-join is an equi-join on the basket
+    key, never a cross join; item totals and the basket count come back
+    as broadcast frames. All three metrics are single IEEE divisions of
+    exact BIGINT counts."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    pt = load(spark, sf_dir, "part")["part"]
+    bi = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = bi.agg(F.countDistinct("basket").cast("bigint").alias("n_baskets"))
+    ic = bi.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("item_n"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .where(F.col("pair_n") >= _BASKET_MIN_PAIR)
+    )
+    ia = ic.select(F.col("item").alias("item_a"), F.col("item_n").alias("a_n"))
+    ib = ic.select(F.col("item").alias("item_b"), F.col("item_n").alias("b_n"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            (F.col("pair_n").cast("double") / F.col("n_baskets")).alias("support"),
+            (F.col("pair_n").cast("double") / F.col("a_n")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("pair_n").cast("double") * F.col("n_baskets"))
+                / (F.col("a_n").cast("double") * F.col("b_n"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r,
+               CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+               CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m,
+               monetary_cents
+        FROM o)
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r, f, m
+    """,
+    "relational",
+    "analytics",
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles): per customer the days-since-last-order rank, order count
+    and exact-cents lifetime spend, each quartiled with NTILE(4) over an
+    explicit TOTAL order (metric + custkey tiebreak — NTILE over a
+    non-total order is nondeterministic and would diverge between
+    engines), then rolled up to the 4x4x4 segment matrix with customer
+    counts and segment revenue. The r=f=m=1 cell is the classic
+    "champions" segment.
+
+    Scale posture: one groupBy over orders, then three global NTILE
+    windows over the CUSTOMER-level frame (cardinality = customers, not
+    orders — the global sort is over the already-reduced table; at larger
+    scale the same quartiles come from approx_percentile boundaries
+    without a global window, trading exactness), final rollup is 64
+    groups."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(4).over(wr).cast("int").alias("r"),
+        F.ntile(4).over(wf).cast("int").alias("f"),
+        F.ntile(4).over(wm).cast("int").alias("m"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
     )

@@ -1782,3 +1782,96 @@ def text_gini_diversity(spark, sf_dir):
             6,
         ).alias("gini_simpson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — RAKE keyword extraction (Rose et al. 2010): candidate phrases
+# are maximal stopword-free token runs; each word scores deg(w)/freq(w)
+# (deg = total length of phrases its occurrences appear in), and a phrase
+# scores the sum of its words' scores. Per-word ratios are floor-quantized
+# BEFORE the per-phrase sum, so phrase scores are exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 3
+
+
+def _rake_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = _SPARK_WTOKS
+        pos_tok = (
+            "SELECT doc_id, posexplode(toks) AS (pos, tok) FROM"
+            " (SELECT doc_id, {t} AS toks FROM rake_docs_src)".format(t=toks)
+        )
+        agg_phrase = (
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        )
+    else:
+        toks = _DUCK_WTOKS
+        pos_tok = (
+            "SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS pos,"
+            " unnest(toks) AS tok FROM"
+            " (SELECT doc_id, {t} AS toks FROM documents WHERE len({t}) > 0)"
+            .format(t=toks)
+        )
+        agg_phrase = "string_agg(tok, ' ' ORDER BY pos)"
+    return f"""
+    WITH pt AS ({pos_tok}),
+    nw AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM pt WHERE tok NOT IN ({_SW_LIST_SQL})),
+    ph AS (
+        SELECT doc_id, island,
+               {agg_phrase} AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM nw GROUP BY doc_id, island),
+    wocc AS (
+        SELECT nw.doc_id, nw.island, nw.tok, ph.plen
+        FROM nw JOIN ph ON nw.doc_id = ph.doc_id AND nw.island = ph.island),
+    wstat AS (
+        SELECT tok,
+               CAST(SUM(plen) AS BIGINT) AS deg,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM wocc GROUP BY tok),
+    scored AS (
+        SELECT w.doc_id, w.island,
+               CAST(SUM(CAST(FLOOR(1e9 * (CAST(s.deg AS DOUBLE) / s.freq))
+                        AS BIGINT)) AS BIGINT) AS score_q9
+        FROM wocc w JOIN wstat s ON w.tok = s.tok
+        GROUP BY w.doc_id, w.island)
+    SELECT doc_id, phrase, CAST(plen AS INT) AS n_words, score_q9,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT ph.doc_id, ph.phrase, ph.plen, sc.score_q9,
+               ROW_NUMBER() OVER (PARTITION BY ph.doc_id
+                    ORDER BY sc.score_q9 DESC, ph.phrase, ph.island) AS rnk
+        FROM ph JOIN scored sc
+          ON ph.doc_id = sc.doc_id AND ph.island = sc.island) t
+    WHERE rnk <= {_RAKE_TOP}
+    """
+
+
+@register(
+    "text_rake_keywords",
+    _rake_sql("duckdb"),
+    "text",
+    "llm-pipeline",
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): top-{_RAKE_TOP}
+    candidate phrases per document. Phrases are maximal stopword-free
+    token runs (gaps-and-islands: pos − row_number over non-stop tokens);
+    word scores are degree/frequency over the whole corpus; phrase score
+    = sum of floor-quantized word ratios — exact BIGINTs, so ranking ties
+    break identically cross-engine (score, phrase text, island).
+
+    Scale posture: tokenization and island-id are one window over
+    (doc_id, pos); word statistics are a vocabulary-sized aggregate
+    joined back onto the occurrence stream (vocabulary keys — Zipf-skewed
+    at corpus scale, AQE skew handling as with lm_bigram_score); per-doc
+    top-k is a doc-partitioned window, never a global sort."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("rake_docs_src")
+    return spark.sql(_rake_sql("spark"))

@@ -245,3 +245,49 @@ def test_domain_mix_temperature_rates_normalize(spark, sf_dir):
     if smallest.tok_total != largest.tok_total:
         assert smallest.mix_rate > smallest.tok_total / grand
         assert largest.mix_rate < largest.tok_total / grand
+
+
+def test_market_basket_metrics_consistent(spark, sf_dir):
+    rows = queries()["market_basket_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pair_n >= 5
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence_a_to_b <= 1
+        assert r.lift > 0
+        assert r.item_a < r.item_b  # canonical pair order
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.sources import load
+
+    rows = queries()["rfm_segmentation"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "orders")["orders"].select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust  # a true partition
+    for r in rows:
+        assert 1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4
+
+
+def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
+    from spark_sql_flow_plugin_spark.operators.text import _STOPWORDS
+
+    rows = queries()["text_rake_keywords"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert len(words) == r.n_words
+        assert not set(words) & set(_STOPWORDS)
+        assert 1 <= r.rnk <= 3
+
+
+def test_cluster_balanced_sample_respects_budget(spark, sf_dir):
+    rows = queries()["sample_cluster_balanced"](spark, sf_dir).collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r)
+        assert r.rn <= 20
+    for cell, rs in per_cell.items():
+        # kept = min(budget, cell size), ranks contiguous from 1
+        expected = min(20, rs[0].cell_n)
+        assert len(rs) == expected
+        assert sorted(x.rn for x in rs) == list(range(1, expected + 1))

@@ -821,3 +821,44 @@ def test_ensemble_joins_scored_ids_never_text(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, f"document text shuffled: {ln}"
+
+
+def test_basket_pairs_equijoin_on_basket_key(spark, sf_dir):
+    # the pair generator must be an equi-join on the basket key (item
+    # inequality as post-join filter); item totals and the basket count
+    # come back as broadcasts
+    plan = _physical(queries()["market_basket_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_windows_over_reduced_customer_frame(spark, sf_dir):
+    # the three NTILE windows must consume the customer-level aggregate
+    # (HashAggregate below the Window), never the raw orders stream
+    plan = _physical(queries()["rfm_segmentation"](spark, sf_dir))
+    assert "Window" in plan
+    # plan text lists top operators first: the customer-level aggregate
+    # (keys=[o_custkey...]) must appear BELOW (after) the last Window —
+    # the windows consume the reduced frame, not raw orders
+    assert plan.rindex("HashAggregate(keys=[o_custkey") > plan.rindex("Window")
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_topk_windows_partitioned_by_doc(spark, sf_dir):
+    # per-doc top-k must partition by doc_id; word stats join on the
+    # vocabulary key — no cartesian anywhere
+    plan = _physical(queries()["text_rake_keywords"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    rank_lines = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "rnk" in ln
+    ]
+    assert any("doc_id" in ln for ln in rank_lines), rank_lines
+
+
+def test_cluster_balanced_sampler_broadcast_assignment(spark, sf_dir):
+    # centroid assignment must be the broadcast-codebook score (corpus
+    # never shuffles for it); rank+count share one cell-keyed exchange
+    plan = _physical(queries()["sample_cluster_balanced"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

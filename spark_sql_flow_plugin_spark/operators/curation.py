@@ -1009,3 +1009,94 @@ def _bind_ensemble_oracle():
 
 
 _bind_ensemble_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — corpus drift detection: the monitoring check a continuously-
+# ingesting pipeline runs between snapshot t and t+1 (did the crawl mix
+# shift?). Pearson chi-square contributions over hashed-unigram feature
+# buckets; the statistic is computed with per-bucket quantization so the
+# report is bit-exact cross-engine (doc_id parity halves stand in for the
+# two snapshots on the fixed testdata).
+# ---------------------------------------------------------------------------
+
+_DRIFT_B = 256
+
+
+@register(
+    "corpus_drift_chi2",
+    f"""
+    WITH occ AS (
+        SELECT doc_id % 2 = 1 AS is_new,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DRIFT_B} AS b
+        FROM (SELECT doc_id, unnest({{wtoks}}) AS tok FROM documents)),
+    cnt AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+        FROM occ GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_new
+        FROM cnt)
+    SELECT b, c_old, c_new,
+           CAST(FLOOR(1e6 * (
+               ((c_old - (CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new))
+                * (c_old - (CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new)))
+               / ((CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new))
+             + ((c_new - (CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new))
+                * (c_new - (CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new)))
+               / ((CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new))
+           )) AS BIGINT) AS chi2_q6
+    FROM cnt CROSS JOIN tot
+    """.format(wtoks=_DUCK_WTOKS),
+    "curation",
+    "llm-pipeline",
+)
+def corpus_drift_chi2(spark, sf_dir):
+    """Corpus drift monitor: Pearson chi-square contribution per hashed-
+    unigram bucket between two corpus snapshots (doc_id parity halves
+    stand in for ingest day t vs t+1). Large-contribution buckets name
+    WHERE the mixture moved; the summed statistic vs the chi-square(255)
+    tail is the alert condition. The check a 100 TB continuously-crawled
+    corpus runs before a new snapshot is allowed into training.
+
+    Exactness: expected counts and contributions are a fixed +-*/
+    sequence on exact BIGINT counts (identical text both dialects), each
+    bucket's contribution floor-quantized independently — no cross-
+    bucket float accumulation anywhere.
+
+    Scale posture: feature hashing is row-local; one {_DRIFT_B}-key
+    aggregation with map-side combine; totals return as a broadcast
+    1-row frame; output is {_DRIFT_B} rows."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    occ = d.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(F.expr(_SPARK_WTOKS)).alias("tok"),
+    ).select(
+        "is_new",
+        F.expr(
+            f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_DRIFT_B}"
+        ).alias("b"),
+    )
+    cnt = occ.groupBy("b").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint").alias("c_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint").alias("c_new"),
+    )
+    tot = cnt.agg(
+        F.sum("c_old").cast("bigint").alias("n_old"),
+        F.sum("c_new").cast("bigint").alias("n_new"),
+    )
+    chi = (
+        "CAST(FLOOR(1e6 * ("
+        "((c_old - (CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new))"
+        " * (c_old - (CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new)))"
+        " / ((CAST(c_old + c_new AS DOUBLE) * n_old) / (n_old + n_new))"
+        " + ((c_new - (CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new))"
+        " * (c_new - (CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new)))"
+        " / ((CAST(c_old + c_new AS DOUBLE) * n_new) / (n_old + n_new))"
+        ")) AS BIGINT)"
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "b", "c_old", "c_new", F.expr(chi).alias("chi2_q6")
+    )

@@ -280,17 +280,10 @@ _DUCK_MINHASH_CTES = f"""{DUCK_AUG},
                  - len(list_intersect(sa.shingles, sb.shingles))) >= 0.6)"""
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_DUCK_MINHASH_CTES}
-    SELECT doc_a, doc_b, ROUND(jacc, 6) AS jacc FROM pairs
-    """,
-    "dedup",
-    "bench",
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    sets, sig = minhash_signatures(spark, sf_dir)
+def _minhash_candidates(sig) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from the 16-minhash signature
+    table via the 4-band stack + band self-join. Shared by
+    dedup_minhash_lsh and dedup_lsh_calibration."""
     # bands via stack(): ONE pass over sig instead of a 4-way union (which
     # would re-run the whole signature pipeline once per band)
     stack_args = ", ".join(
@@ -310,7 +303,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select(
         "doc_id", F.expr(f"stack(4, {stack_args})").alias("band_id", "bkey")
     ).repartition(npart, "band_id", "bkey")
-    cand = (
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -322,6 +315,20 @@ def dedup_minhash_lsh(spark, sf_dir):
         .repartition(npart, "doc_a", "doc_b")
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, ROUND(jacc, 6) AS jacc FROM pairs
+    """,
+    "dedup",
+    "bench",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sets, sig = minhash_signatures(spark, sf_dir)
+    cand = _minhash_candidates(sig)
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
     jacc = inter.cast("double") / union_n
@@ -1838,3 +1845,82 @@ def dedup_ngram_coverage(spark, sf_dir):
         ).alias("cross_doc_frac"),
     )
     return scope_caches(out, t, g)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — LSH index calibration: before trusting the minhash index at
+# 100 TB, measure its ESTIMATOR against exact Jaccard on the candidate set
+# it surfaces — per-pair matching-minhash fraction vs true shingle Jaccard
+# and the absolute error. A drifting error distribution (e.g. after a
+# shingle-width or hash-count change) is the index-quality alarm.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_calibration",
+    f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.jacc, 6) AS jacc_exact,
+           CAST(({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END'
+                              for j in range(16))}) AS INT) AS est_matches,
+           ({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END'
+                        for j in range(16))}) / 16.0 AS jacc_est,
+           CAST(FLOOR(1e6 * ABS(p.jacc -
+               ({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END'
+                            for j in range(16))}) / 16.0)) AS BIGINT) AS abs_err_q6
+    FROM pairs p
+    JOIN sig a ON p.doc_a = a.doc_id
+    JOIN sig b ON p.doc_b = b.doc_id
+    """,
+    "dedup",
+)
+def dedup_lsh_calibration(spark, sf_dir):
+    """MinHash estimator calibration over the LSH candidate pairs: the
+    matching-signature fraction (the index's Jaccard ESTIMATE — an
+    unbiased 16-sample estimator) against the exact shingle Jaccard the
+    verify stage computes, with per-pair quantized absolute error. On a
+    fixed corpus this distribution is the index's quality fingerprint;
+    re-run it after any change to shingle width, hash count or banding
+    to see what the change did to recall/precision BEFORE a full dedup.
+
+    Exactness: both estimate (k/16) and exact Jaccard are single IEEE
+    divisions of exact integers; the error is quantized per pair — no
+    accumulation anywhere.
+
+    Scale posture: identical to dedup_minhash_lsh (row-local signatures,
+    banded equi-join candidates) plus two signature-table joins keyed on
+    doc ids — pair-scale, never corpus-scale."""
+    sets, sig = minhash_signatures(spark, sf_dir)
+    cand = _minhash_candidates(sig)
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
+    jacc = inter.cast("double") / union_n
+    pairs = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("doc_a", "doc_b", jacc.alias("jacc"))
+    )
+    matches = None
+    for j in range(16):
+        term = F.when(F.col(f"ma.mh{j}") == F.col(f"mb.mh{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return scope_caches(
+        pairs.join(sig.alias("ma"), F.col("doc_a") == F.col("ma.doc_id"))
+        .join(sig.alias("mb"), F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jacc"), 6).alias("jacc_exact"),
+            matches.cast("int").alias("est_matches"),
+            (matches / F.lit(16.0)).alias("jacc_est"),
+            F.floor(
+                F.lit(1e6) * F.abs(F.col("jacc") - matches / F.lit(16.0))
+            )
+            .cast("bigint")
+            .alias("abs_err_q6"),
+        ),
+        sets,
+        sig,
+    )

@@ -752,3 +752,76 @@ def events_time_weighted_avg(spark, sf_dir):
             ).alias("twa_value"),
         )
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey),
+    o AS (
+        SELECT f.cohort,
+               CAST((EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort)) * 12
+                    + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort))
+                    AS INT) AS offset_m,
+               o.o_custkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    cell AS (
+        SELECT cohort, offset_m,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM o GROUP BY cohort, offset_m)
+    SELECT cohort, offset_m, n_active, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY offset_m)
+                AS BIGINT) AS cum_revenue_cents
+    FROM cell
+    """,
+    "timeseries",
+    "analytics",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle: customers cohorted by first-order
+    month; per (cohort, month offset) the active-customer count, exact-
+    cents revenue, and the cumulative LTV running sum — the standard
+    retention-revenue report (`retention_cohorts` counts users; this
+    follows the money).
+
+    Exactness: month offsets are integer calendar arithmetic (no
+    datediff-in-days ambiguity); cents pinned with FLOOR(x*100 + 0.5);
+    the cumulative sum is a BIGINT window over exact cell sums, ordered
+    by the (unique per cohort) offset.
+
+    Scale posture: firsts is one groupBy over orders; the cohort join
+    shuffles on o_custkey (or broadcasts when the customer dim is small
+    relative to the threshold); cells are #cohorts x #offsets rows and
+    the running-sum window partitions by cohort — never global."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    j = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        )
+        .cast("int")
+        .alias("offset_m"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cell = j.groupBy("cohort", "offset_m").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort").orderBy("offset_m")
+    return cell.select(
+        "cohort",
+        "offset_m",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )

@@ -862,3 +862,26 @@ def test_cluster_balanced_sampler_broadcast_assignment(spark, sf_dir):
     plan = _physical(queries()["sample_cluster_balanced"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_window_per_cohort_no_cartesian(spark, sf_dir):
+    plan = _physical(queries()["orders_cohort_ltv"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "cohort" in ln, f"running sum not partitioned: {ln}"
+
+
+def test_drift_chi2_single_bucket_agg(spark, sf_dir):
+    # one 256-key aggregation with map-side combine; totals broadcast back
+    plan = _physical(queries()["corpus_drift_chi2"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_calibration_pair_scale_joins(spark, sf_dir):
+    # candidates from the banded equi-join; signature joins keyed on doc
+    # ids — no cartesian, no nested loop
+    plan = _physical(queries()["dedup_lsh_calibration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

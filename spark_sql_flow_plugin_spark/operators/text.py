@@ -1875,3 +1875,62 @@ def text_rake_keywords(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     d.createOrReplaceTempView("rake_docs_src")
     return spark.sql(_rake_sql("spark"))
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH v AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_DUCK_WTOKS}) AS tok FROM documents)
+        GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+    ranked AS (
+        SELECT tok, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rn,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS cum_cnt
+        FROM v)
+    SELECT CAST(rn AS INT) AS k, tok AS token_at_k, cnt AS token_cnt,
+           cum_cnt, CAST(cum_cnt AS DOUBLE) / total AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE (rn & (rn - 1)) = 0
+    """,
+    "text",
+    "llm-pipeline",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: what share of the corpus token mass the
+    top-k vocabulary covers, sampled at power-of-two k — the Zipf report
+    that sizes a tokenizer vocabulary (and explains OOV rates) before
+    training one. Coverage is a single division of exact BIGINT sums.
+
+    Scale posture: one corpus aggregation to the vocabulary table, then
+    rank/cumsum windows over the VOCABULARY (already reduced; a web-scale
+    vocab is millions of rows, not corpus-scale — and the power-of-two
+    filter keeps output logarithmic). Deterministic total order:
+    (count DESC, token)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    v = (
+        d.select(F.explode(F.expr(_SPARK_WTOKS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = v.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = v.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("cnt").over(w).cast("bigint").alias("cum_cnt"),
+    )
+    return (
+        ranked.where(F.expr("(rn & (rn - 1)) = 0"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rn").cast("int").alias("k"),
+            F.col("tok").alias("token_at_k"),
+            F.col("cnt").alias("token_cnt"),
+            "cum_cnt",
+            (F.col("cum_cnt").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )

@@ -1313,3 +1313,74 @@ def sql_pipe_syntax_battery(spark, sf_dir):
                   CAST(rev_cents AS BIGINT) AS rev_cents
         """
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH dimv AS (
+        SELECT c_custkey, 'A_' || CAST(c_custkey % 3 AS VARCHAR) AS segment,
+               DATE '1900-01-01' AS valid_from,
+               DATE '1996-06-01' + CAST(c_custkey % 731 AS INT) AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'B_' || CAST(c_custkey % 5 AS VARCHAR) AS segment,
+               DATE '1996-06-01' + CAST(c_custkey % 731 AS INT) AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM customer),
+    pit AS (
+        SELECT d.segment,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN dimv d
+          ON o.o_custkey = d.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+         AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to))
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM pit GROUP BY segment
+    """,
+    "pipeline",
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (AS OF) join against a versioned SCD2 dimension: each
+    order is attributed to the dimension version VALID AT ITS ORDER DATE
+    — the temporal-correctness query every versioned warehouse needs (a
+    plain join to the current version silently rewrites history). The
+    two-version dimension is synthesized deterministically (per-customer
+    boundary date spread across the order-date span), so every order
+    matches exactly one version and the oracle is exact.
+
+    Scale posture: this is an EQUI-join on the customer key with a small
+    per-key version fanout (dimension history, typically a handful of
+    rows per key) + a residual validity-range filter — NOT a range join;
+    the revenue rollup is segment-sized. Half-open intervals
+    [valid_from, valid_to) make boundary dates unambiguous."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    o = load(spark, sf_dir, "orders")["orders"]
+    boundary = F.expr("date_add(DATE '1996-06-01', CAST(c_custkey % 731 AS INT))")
+    v1 = c.select(
+        "c_custkey",
+        F.concat(F.lit("A_"), (F.col("c_custkey") % 3).cast("string")).alias("segment"),
+        F.lit("1900-01-01").cast("date").alias("valid_from"),
+        boundary.alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(F.lit("B_"), (F.col("c_custkey") % 5).cast("string")).alias("segment"),
+        boundary.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dimv = v1.union(v2)
+    od = F.col("o_orderdate").cast("date")
+    pit = o.join(
+        dimv,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (od < F.col("valid_to"))),
+    )
+    return pit.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

@@ -951,3 +951,62 @@ def stream_hourly_daily_rollup(spark, sf_dir):
         "n_events",
         (F.col("n_events").cast("double") / F.col("n_hours")).alias("avg_per_hour"),
     )
+
+
+@register(
+    "stream_multi_batch_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {SQL_DSUM.format(x='value')} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming",
+    "stream-exec",
+)
+def stream_multi_batch_totals(spark, sf_dir):
+    """Per-key running totals accumulated across MULTIPLE real micro-
+    batches: the source is staged as four parquet files and read with
+    ``maxFilesPerTrigger = 1``, so availableNow executes four data
+    batches and the keyed state genuinely EVOLVES batch-over-batch —
+    every other streaming entry sees exactly one data batch, which
+    exercises state creation but not cross-batch accumulation (the thing
+    that actually distinguishes a stateful stream from a batch job; a
+    state-merge bug is invisible in a single-batch run). The memory sink
+    accumulates per-batch updates; the last update per key (max
+    n_events — counts only grow) must equal the one-shot batch
+    aggregate, which is the oracle.
+
+    Scale posture: identical to stream_user_totals (keyed state bound by
+    |users|, one shuffle per batch); the file-split staging mirrors how
+    a production ingest actually arrives — many files, rate-limited by
+    read-limit options."""
+    import os
+
+    from ..operators.misc import scratch_path
+    from ..sources.tables import convert_event_ts
+
+    # stage once per (session, sf): four-file copy of the events table
+    stage = scratch_path(
+        spark, f"stream4_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        batch = convert_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
+        batch.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+    updates = _run_to_memory(agg, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

@@ -575,3 +575,15 @@ def test_tiff_lzw_roundtrip_and_predictor():
     assert np.array_equal(
         decode_image(encode_tiff(img, lzw=True, byte_order="big")), img
     )
+
+
+def test_multi_batch_totals_actually_multi_batch(spark, sf_dir):
+    """The staged 4-file source with maxFilesPerTrigger=1 must produce
+    MULTIPLE real data batches — the whole point of the query is that
+    keyed state evolves across batches; a silent fallback to one batch
+    would make it redundant with stream_user_totals."""
+    from spark_sql_flow_plugin_spark.streaming import events as ev_mod
+
+    ev_mod.LAST_RUN.clear()
+    queries()["stream_multi_batch_totals"](spark, sf_dir).count()
+    assert ev_mod.LAST_RUN.get("num_batches", 0) >= 4

@@ -291,3 +291,91 @@ def test_cluster_balanced_sample_respects_budget(spark, sf_dir):
         expected = min(20, rs[0].cell_n)
         assert len(rs) == expected
         assert sorted(x.rn for x in rs) == list(range(1, expected + 1))
+
+
+def test_twa_bounded_by_group_extremes(spark, sf_dir):
+    # a time-weighted average is a convex combination of the group's
+    # reading values: it must lie within [min, max] of the cents that
+    # carried weight — catches sign/overflow errors in the weighted sum
+    import pyspark.sql.functions as F
+
+    from spark_sql_flow_plugin_spark.sources import load
+
+    twa = queries()["events_time_weighted_avg"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+        (F.floor(F.col("value") * 100 + 0.5) / 100).alias("v"),
+    )
+    ext = ev.groupBy("user_id", "day").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    bad = (
+        twa.join(ext, ["user_id", "day"])
+        .where((F.col("twa_value") < F.col("vmin") - 1e-9)
+               | (F.col("twa_value") > F.col("vmax") + 1e-9))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    # NTILE(4) over a total order produces quartiles whose sizes differ
+    # by at most one — per metric, summed from the segment matrix
+    rows = queries()["rfm_segmentation"](spark, sf_dir).collect()
+    for metric in ("r", "f", "m"):
+        sizes = {}
+        for r in rows:
+            sizes[r[metric]] = sizes.get(r[metric], 0) + r.n_customers
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (metric, sizes)
+
+
+def test_maxsim_permutation_invariance(spark):
+    # MaxSim is invariant under permutation of the DOCUMENT's token
+    # vectors (the max runs over them) — evaluate the registered score
+    # expression on a vector and a token-permuted copy of itself
+    import random
+
+    from spark_sql_flow_plugin_spark.operators.similarity import _LI_D, _LI_T
+
+    rng = random.Random(13)
+    vec = [rng.uniform(-1, 1) for _ in range(_LI_T * _LI_D)]
+    perm = list(range(_LI_T))
+    rng.shuffle(perm)
+    permuted = [vec[t * _LI_D + i] for t in perm for i in range(_LI_D)]
+    df = spark.createDataFrame(
+        [(vec, vec), (vec, permuted)], "qe array<double>, ce array<double>"
+    )
+    dot = (
+        f"aggregate(zip_with(slice(qe, qt * {_LI_D} + 1, {_LI_D}),"
+        f" slice(ce, dt * {_LI_D} + 1, {_LI_D}), (x, y) -> x * y),"
+        f" 0D, (a2, v) -> a2 + v)"
+    )
+    qn = (
+        f"transform(sequence(0, {_LI_T - 1}), tk -> sqrt(aggregate("
+        f"zip_with(slice(qe, tk * {_LI_D} + 1, {_LI_D}), slice(qe, tk * {_LI_D} + 1, {_LI_D}),"
+        f" (x, y) -> x * y), 0D, (acc, v) -> acc + v)))"
+    )
+    cn = qn.replace("qe", "ce")
+    score = (
+        f"aggregate(sequence(0, {_LI_T - 1}), 0L, (acc, qt) -> acc + "
+        f"array_max(transform(sequence(0, {_LI_T - 1}), dt -> "
+        f"CAST(FLOOR(1e6 * ({dot} / "
+        f"(element_at(qn, qt + 1) * element_at(cn, dt + 1)))) AS BIGINT))))"
+    )
+    import pyspark.sql.functions as F
+
+    scores = [
+        r.s
+        for r in df.select(F.expr(qn).alias("qn_"), F.expr(cn).alias("cn_"), "qe", "ce")
+        .withColumnRenamed("qn_", "qn")
+        .withColumnRenamed("cn_", "cn")
+        .select(F.expr(score).alias("s"))
+        .collect()
+    ]
+    assert scores[0] == scores[1]
+    # self-similarity: every query token's best match is itself — cos 1,
+    # which FLOOR-quantizes to 1_000_000 or 999_999 when the IEEE
+    # dot/(sqrt*sqrt) self-ratio lands one ulp under 1.0
+    assert _LI_T * 999_999 <= scores[0] <= _LI_T * 1_000_000

@@ -210,6 +210,11 @@ def main() -> None:
         _ev_mod.LAST_RUN.clear()
         qs[name](spark, sf_dir).count()
         real_batches = _ev_mod.LAST_RUN.get("num_batches")
+        if real_batches is None:
+            # the real query didn't route through _run_to_memory: no
+            # reliable batch count, so skip the split (and the empty-twin
+            # timing loop it would feed) rather than fabricate one
+            continue
         machinery = float("inf")
         _ev_mod.LAST_RUN.clear()
         for _ in range(n_runs):
@@ -217,9 +222,8 @@ def main() -> None:
             shape().count()
             machinery = min(machinery, time.time() - t0)
         empty_batches = _ev_mod.LAST_RUN.get("num_batches")
-        if real_batches is None or empty_batches is None:
-            # the shape didn't route through _run_to_memory: no reliable
-            # batch counts, so skip the split rather than fabricate one
+        if empty_batches is None:
+            # the empty twin didn't route through _run_to_memory either
             continue
         per_batch = machinery / max(1, empty_batches)
         scaled = per_batch * real_batches

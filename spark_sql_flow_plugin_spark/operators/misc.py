@@ -1214,8 +1214,8 @@ _BINFILE_BUCKETS = 64
     "source_binaryfile_stats",
     f"""
     SELECT CAST(doc_id % {_BINFILE_BUCKETS} AS INT) AS bucket,
-           CAST(SUM(LENGTH(text)) + COUNT(*) - 1 AS BIGINT) AS n_bytes,
-           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+           CAST(SUM(octet_length(encode(text))) + COUNT(*) AS BIGINT) AS n_bytes,
+           md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10)) AS content_md5
     FROM documents GROUP BY doc_id % {_BINFILE_BUCKETS}
     """,
     "sources",
@@ -1225,45 +1225,40 @@ def source_binaryfile_stats(spark, sf_dir):
     {_BINFILE_BUCKETS} blob files (each bucket's texts newline-joined in
     doc_id order), read back whole-file via
     ``spark.read.format("binaryFile")``, and fingerprinted — bucket id
-    parsed from the path, byte length from the source's metadata column,
-    md5 over the raw ``content`` bytes. The oracle recomputes all three
-    from the parquet table, so a single corrupted/truncated/reordered
-    byte fails the match.
+    from partition discovery over the ``bucket=NN`` layout, byte length
+    from the source's metadata column, md5 over the raw ``content``
+    bytes. The oracle recomputes all three from the parquet table, so a
+    single corrupted/truncated/reordered byte fails the match.
 
-    Staging collects {_BINFILE_BUCKETS} pre-aggregated rows to the driver
-    and writes small fixture files — fixture generation only; the
-    operator under test is the distributed binaryFile scan (one task per
-    file; at 100 TB the parallelism is the file count, which is why blob
-    stores shard corpora into many objects — and why the multimodal
-    pipeline's decode stage runs AFTER this scan, in batched
-    mapInPandas over the content column)."""
-    import os
-
+    Staging is fully distributed: the per-bucket payloads are written
+    with ``df.write.partitionBy("bucket").text(...)`` (one row per
+    bucket, so one file per partition directory; the text writer's
+    trailing newline is accounted for in the oracle — n_bytes counts
+    COUNT(*) newlines: COUNT(*)-1 separators + 1 trailing). No driver
+    collect anywhere in the fixture path, so even the staging survives
+    a 100 TB corpus. The oracle's octet_length(encode(text)) is the
+    UTF-8 byte length — byte-true for non-ASCII text, matching the
+    binaryFile metadata length of the UTF-8-encoded payload (a bare
+    LENGTH(text) counts characters and only coincidentally agrees on
+    ASCII corpora)."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    payloads = (
-        docs.groupBy((F.col("doc_id") % _BINFILE_BUCKETS).cast("int").alias("bucket"))
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(doc_id, text))),"
-                " x -> x.text), '\\n')"
-            ).alias("payload")
-        )
-        .collect()
+    payloads = docs.groupBy(
+        (F.col("doc_id") % _BINFILE_BUCKETS).cast("int").alias("bucket")
+    ).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(doc_id, text))),"
+            " x -> x.text), '\\n')"
+        ).alias("value")
     )
     path = _roundtrip_dir(spark, sf_dir, "binfiles")
-    os.makedirs(path, exist_ok=True)
-    for row in payloads:
-        with open(os.path.join(path, "bucket_%03d.bin" % row.bucket), "wb") as f:
-            f.write(row.payload.encode("utf-8"))
+    payloads.write.partitionBy("bucket").mode("overwrite").text(path)
     back = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
+        .option("pathGlobFilter", "*.txt")
         .load(path)
     )
     return back.select(
-        F.regexp_extract(F.col("path"), r"bucket_(\d+)\.bin", 1)
-        .cast("int")
-        .alias("bucket"),
+        F.col("bucket").cast("int").alias("bucket"),
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )

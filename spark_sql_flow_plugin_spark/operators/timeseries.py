@@ -720,20 +720,15 @@ def events_time_weighted_avg(spark, sf_dir):
     events to next-events)."""
     ev = load(spark, sf_dir, "events")["events"]
     day = F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
-    w = (
-        Window.partitionBy("user_id", day.alias("day"))
-        .orderBy(F.col("ts"), F.col("event_id"))
-    )
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    ).orderBy(F.col("ts"), F.col("event_id"))
     seg = ev.select(
         "user_id",
         day.alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v_cents"),
         (
-            F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(
-                Window.partitionBy(
-                    "user_id", F.date_trunc("day", F.col("ts").cast("timestamp"))
-                ).orderBy(F.col("ts"), F.col("event_id"))
-            ))
+            F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(w))
             - F.unix_micros(F.col("ts").cast("timestamp"))
         ).alias("dur_us"),
     )

@@ -177,6 +177,21 @@ def test_colbert_maxsim_bounds_and_topk_shape(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_colbert_kernel_matches_sql_form(spark, sf_dir):
+    # the Arrow MaxSim kernel must be BIT-equal to the interpreted HOF
+    # SQL form it replaced (the form the DuckDB oracle mirrors) — the
+    # in-repo differential gate for the r11 kernel conversion
+    from spark_sql_flow_plugin_spark.operators.similarity import _li_sql
+    from spark_sql_flow_plugin_spark.sources import register_views
+
+    register_views(spark, sf_dir, "embeddings")
+    sql_rows = {tuple(r) for r in spark.sql(_li_sql("spark")).collect()}
+    kernel_rows = {
+        tuple(r) for r in queries()["colbert_maxsim_topk"](spark, sf_dir).collect()
+    }
+    assert kernel_rows == sql_rows
+
+
 def test_pq_rerank_candidates_come_from_adc_shortlist(spark, sf_dir):
     from spark_sql_flow_plugin_spark.operators.similarity import (
         _PQ_RERANK_CAND,

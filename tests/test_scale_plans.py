@@ -706,13 +706,15 @@ def test_gini_diversity_zero_shuffle(spark, sf_dir):
 
 
 def test_colbert_corpus_tokens_stay_in_row(spark, sf_dir):
-    # MaxSim folds over array SLICES inside the row: the corpus token
-    # vectors are never exploded (no Generate) and the only join is the
-    # broadcast of the tiny query set — the corpus is scanned once and
-    # never shuffled before scoring
+    # MaxSim runs in the Arrow kernel over whole-row embedding arrays:
+    # the corpus token vectors are never exploded — the ONLY Generate is
+    # the per-row NQ-score posexplode downstream of the kernel — and the
+    # query set is closed over (no join of any kind), so the corpus is
+    # scanned once and never shuffled before scoring
     plan = _physical(queries()["colbert_maxsim_topk"](spark, sf_dir))
-    assert "Generate" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 

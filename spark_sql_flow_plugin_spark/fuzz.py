@@ -1,0 +1,797 @@
+"""Differential random-query fuzzer (mini-sqlsmith) against DuckDB.
+
+The 345 hand-written registry oracles all share one author's blind
+spots; this module removes that bias by GENERATING queries from a seeded
+grammar over the TPC-H views and asserting Spark == DuckDB bit-exact on
+every seed (the same comparison conventions as tools/check_oracle.py:
+column names, row count, order-insensitive multiset of
+shortest-roundtrip cell reprs).
+
+Every query is built as a pair of dialect strings from one expression
+tree; the node constructors bake in the repo's established cross-engine
+exactness conventions, each of which defends against a divergence that
+was actually observed (see .claude/skills/verify/SKILL.md "Gotchas"):
+
+- money/double columns enter the int domain ONLY floor-quantized
+  (``CAST(FLOOR(x * 100 + 0.5) AS BIGINT)`` — a bare CAST truncates in
+  Spark but rounds in DuckDB);
+- integer SUMs carry an outer CAST(... AS BIGINT) in BOTH dialects
+  (DuckDB widens to pandas-unfaithful HUGEINT);
+- ``%`` and integer division apply to ``abs()``-wrapped dividends with
+  positive literal divisors, so truncation-vs-floor conventions can
+  never disagree (probed: both engines truncate toward zero, but the
+  grammar does not rely on it); ``DIV`` (Spark) pairs with ``//``
+  (DuckDB);
+- string concatenation uses ``||`` (NULL-propagating in both) — never
+  ``concat()``, which IGNORES NULLs in DuckDB but yields NULL in Spark;
+- ROLLUP shapes always carry ``HAVING COUNT(*) > 0`` (DuckDB emits the
+  () super-aggregate row over empty input, Spark emits nothing);
+- window specs ORDER BY a key set that is unique within the partition
+  (the grouped frame's remaining group keys), so ranking/offset
+  functions are total-order deterministic; running aggregates use an
+  explicit ROWS frame;
+- every integer expression tracks a magnitude bound; SUM arguments are
+  rejected above 1e9 so no group sum can approach int64 even at sf1
+  row counts (Spark 4 ANSI mode turns silent wraps into errors — the
+  bound keeps both engines in-range instead);
+- AVG is never emitted; ratios are ``CAST(SUM AS DOUBLE) / COUNT``
+  (identical single IEEE division on identical exact ints).
+
+Each generated top-level SELECT aliases its outputs c0..cN identically
+in both dialects, matching the driver's sort-columns-by-name compare.
+
+Shapes drawn per seed: join-chain aggregates (optional HAVING), sampled
+projections (DISTINCT sometimes), window batteries over grouped frames,
+set operations (UNION/UNION ALL/INTERSECT/EXCEPT over same-schema
+branches), ROLLUP, and subquery forms (IN / correlated EXISTS / scalar
+comparison) — the consumed-query families of SURVEY.md §2.D.
+
+Reference corpus analogue: the reference's own test inputs are likewise
+hand-picked SQL files (src/test/resources/sql-flow-tests/inputs/*.sql);
+this fuzzer is the adversarial complement the reference never had.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+# TPC-H views the generator draws from (registered by sources.register_views)
+FUZZ_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+# ---------------------------------------------------------------------------
+# typed expression pairs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Ex:
+    spark: str
+    duck: str
+    typ: str  # int | str | date | bool | double
+    mag: float = 0.0  # |value| bound for int exprs (overflow discipline)
+
+
+def _same(sql: str, typ: str, mag: float = 0.0) -> Ex:
+    return Ex(sql, sql, typ, mag)
+
+
+# column kinds: int (with mag), str (with literal pool), date, money
+# (2-decimal double quantized to cents on use). mags are sized for sf1
+# (~100x the sf0.01 key ranges) with an order of magnitude of headroom.
+_COLS = {
+    "region": {"r_regionkey": ("int", 10)},
+    "nation": {
+        "n_nationkey": ("int", 50),
+        "n_regionkey": ("int", 10),
+        "n_name": ("str", ["NATION_3", "NATION_12", "NATION_21"]),
+    },
+    "customer": {
+        "c_custkey": ("int", 1e7),
+        "c_nationkey": ("int", 50),
+        "c_acctbal": ("money", 1e6),
+        "c_mktsegment": (
+            "str",
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        ),
+        "c_name": ("str", ["Customer#000000007", "Customer#000000042"]),
+    },
+    "supplier": {
+        "s_suppkey": ("int", 1e6),
+        "s_nationkey": ("int", 50),
+        "s_acctbal": ("money", 1e6),
+        "s_name": ("str", ["Supplier#000000003"]),
+    },
+    "part": {
+        "p_partkey": ("int", 1e7),
+        "p_size": ("int", 60),
+        "p_retailprice": ("money", 1e5),
+        "p_brand": ("str", ["Brand#14", "Brand#25", "Brand#3", "Brand#8"]),
+        "p_type": (
+            "str",
+            ["ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"],
+        ),
+        "p_name": ("str", ["small ring", "red widget", "blue bolt"]),
+    },
+    "orders": {
+        "o_orderkey": ("int", 1e8),
+        "o_custkey": ("int", 1e7),
+        "o_totalprice": ("money", 6e5),
+        "o_orderdate": ("date", None),
+        "o_orderstatus": ("str", ["O", "F", "P"]),
+        "o_orderpriority": (
+            "str",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+    },
+    "lineitem": {
+        "l_orderkey": ("int", 1e8),
+        "l_partkey": ("int", 1e7),
+        "l_suppkey": ("int", 1e6),
+        "l_linenumber": ("int", 10),
+        "l_quantity": ("money", 60),  # integral-valued double: quantize anyway
+        "l_extendedprice": ("money", 2e5),
+        "l_discount": ("money", 1),
+        "l_tax": ("money", 1),
+        "l_returnflag": ("str", ["A", "N", "R"]),
+        "l_linestatus": ("str", ["O", "F"]),
+        "l_shipdate": ("date", None),
+    },
+}
+
+# FK join edges: (left table, right table, join condition)
+_EDGES = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+_DATE_POOL = [
+    "1995-06-17",
+    "1996-01-01",
+    "1997-03-30",
+    "1998-08-09",
+    "1999-11-25",
+    "2000-05-02",
+]
+
+
+def _cents(col: str, mag: float) -> Ex:
+    return _same(f"CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)", "int", mag * 100)
+
+
+def _cols_of(tables: list[str]):
+    """(name, kind, extra) for every column visible from the join chain.
+    TPC-H column names are globally unique, so no qualification needed."""
+    out = []
+    for t in tables:
+        for c, (kind, extra) in _COLS[t].items():
+            out.append((c, kind, extra))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# expression generators
+# ---------------------------------------------------------------------------
+
+
+def _int_col(rng: random.Random, cols) -> Ex:
+    ints = [(c, e) for c, k, e in cols if k == "int"]
+    moneys = [(c, e) for c, k, e in cols if k == "money"]
+    if moneys and (not ints or rng.random() < 0.4):
+        c, m = rng.choice(moneys)
+        return _cents(c, m)
+    c, m = rng.choice(ints)
+    return _same(c, "int", m)
+
+
+def _str_col(rng: random.Random, cols):
+    pool = [(c, e) for c, k, e in cols if k == "str"]
+    return rng.choice(pool) if pool else None
+
+
+def _date_col(rng: random.Random, cols):
+    pool = [c for c, k, _ in cols if k == "date"]
+    return rng.choice(pool) if pool else None
+
+
+def _int_expr(rng: random.Random, cols, depth: int = 2) -> Ex:
+    if depth <= 0:
+        return _int_col(rng, cols) if rng.random() < 0.7 else _same(
+            str(rng.randint(0, 500)), "int", 500
+        )
+    r = rng.random()
+    if r < 0.30:
+        return _int_col(rng, cols)
+    if r < 0.38:
+        return _same(str(rng.randint(1, 1000)), "int", 1000)
+    if r < 0.50:
+        a = _int_expr(rng, cols, depth - 1)
+        b = _int_expr(rng, cols, depth - 1)
+        op = rng.choice(["+", "-"])
+        return Ex(
+            f"({a.spark} {op} {b.spark})",
+            f"({a.duck} {op} {b.duck})",
+            "int",
+            a.mag + b.mag,
+        )
+    if r < 0.58:
+        a = _int_expr(rng, cols, depth - 1)
+        k = rng.randint(2, 9)
+        return Ex(f"({a.spark} * {k})", f"({a.duck} * {k})", "int", a.mag * k)
+    if r < 0.68:
+        a = _int_expr(rng, cols, depth - 1)
+        k = rng.choice([7, 13, 31, 97, 1009])
+        return Ex(
+            f"(abs({a.spark}) % {k})", f"(abs({a.duck}) % {k})", "int", k
+        )
+    if r < 0.76:
+        a = _int_expr(rng, cols, depth - 1)
+        k = rng.choice([2, 3, 5, 10, 100])
+        return Ex(
+            f"(abs({a.spark}) DIV {k})",
+            f"(abs({a.duck}) // {k})",
+            "int",
+            a.mag / k + 1,
+        )
+    if r < 0.84:
+        b = _bool_expr(rng, cols, depth - 1)
+        a1 = _int_expr(rng, cols, depth - 1)
+        a2 = _int_expr(rng, cols, depth - 1)
+        return Ex(
+            f"(CASE WHEN {b.spark} THEN {a1.spark} ELSE {a2.spark} END)",
+            f"(CASE WHEN {b.duck} THEN {a1.duck} ELSE {a2.duck} END)",
+            "int",
+            max(a1.mag, a2.mag),
+        )
+    if r < 0.92:
+        s = _str_expr(rng, cols, depth - 1)
+        if s is not None:
+            return Ex(
+                f"CAST(length({s.spark}) AS INT)",
+                f"CAST(length({s.duck}) AS INT)",
+                "int",
+                100,
+            )
+        return _int_col(rng, cols)
+    d = _date_col(rng, cols)
+    if d is not None:
+        f = rng.choice(["year", "month", "day"])
+        return _same(f"{f}(CAST({d} AS DATE))", "int", 2100)
+    return _int_col(rng, cols)
+
+
+def _str_expr(rng: random.Random, cols, depth: int = 1):
+    base = _str_col(rng, cols)
+    if base is None:
+        return None
+    col = base[0]
+    if depth <= 0 or rng.random() < 0.4:
+        return _same(col, "str")
+    r = rng.random()
+    if r < 0.3:
+        return _same(f"upper({col})", "str")
+    if r < 0.5:
+        return _same(f"lower({col})", "str")
+    if r < 0.75:
+        start = rng.randint(1, 3)
+        n = rng.randint(2, 6)
+        return _same(f"substr({col}, {start}, {n})", "str")
+    other = _str_col(rng, cols)
+    lit = "'_'" if other is None else other[0]
+    return _same(f"({col} || {lit})", "str")
+
+
+def _bool_expr(rng: random.Random, cols, depth: int = 2) -> Ex:
+    r = rng.random()
+    if depth <= 0 or r < 0.35:
+        a = _int_expr(rng, cols, 1)
+        op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+        if rng.random() < 0.5:
+            b = _int_expr(rng, cols, 1)
+            return Ex(
+                f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "bool"
+            )
+        lit = rng.randint(0, int(min(a.mag, 1e6)) + 10)
+        return Ex(f"({a.spark} {op} {lit})", f"({a.duck} {op} {lit})", "bool")
+    if r < 0.50:
+        sc = _str_col(rng, cols)
+        if sc is not None:
+            col, pool = sc
+            if rng.random() < 0.4 and pool:
+                vals = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+                inlist = ", ".join(f"'{v}'" for v in vals)
+                return _same(f"({col} IN ({inlist}))", "bool")
+            if rng.random() < 0.5 and pool:
+                v = rng.choice(pool)
+                return _same(f"({col} = '{v}')", "bool")
+            if pool:
+                frag = rng.choice(pool)
+                frag = frag[: rng.randint(2, max(2, len(frag) // 2))]
+                return _same(f"({col} LIKE '%{frag}%')", "bool")
+        # fall through to int comparison
+        return _bool_expr(rng, cols, 0)
+    if r < 0.62:
+        d = _date_col(rng, cols)
+        if d is not None:
+            if rng.random() < 0.5:
+                lit = rng.choice(_DATE_POOL)
+                op = rng.choice(["<", "<=", ">", ">="])
+                return _same(f"(CAST({d} AS DATE) {op} DATE '{lit}')", "bool")
+            lo, hi = sorted(rng.sample(_DATE_POOL, 2))
+            return _same(
+                f"(CAST({d} AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}')",
+                "bool",
+            )
+        return _bool_expr(rng, cols, 0)
+    if r < 0.72:
+        a = _int_expr(rng, cols, 1)
+        lo = rng.randint(0, 400)
+        hi = lo + rng.randint(1, 2000)
+        return Ex(
+            f"({a.spark} BETWEEN {lo} AND {hi})",
+            f"({a.duck} BETWEEN {lo} AND {hi})",
+            "bool",
+        )
+    if r < 0.88:
+        a = _bool_expr(rng, cols, depth - 1)
+        b = _bool_expr(rng, cols, depth - 1)
+        op = rng.choice(["AND", "OR"])
+        return Ex(
+            f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "bool"
+        )
+    a = _bool_expr(rng, cols, depth - 1)
+    return Ex(f"(NOT {a.spark})", f"(NOT {a.duck})", "bool")
+
+
+def _sum_arg(rng: random.Random, cols) -> Ex:
+    """An int expr whose magnitude bound keeps any SUM far from int64:
+    <= 1e9 per row x <= 1e7 rows (sf1 lineitem) = 1e16 << 9.2e18."""
+    for _ in range(20):
+        e = _int_expr(rng, cols, 2)
+        if e.mag <= 1e9:
+            return e
+    return _same("1", "int", 1)
+
+
+# ---------------------------------------------------------------------------
+# clause generators
+# ---------------------------------------------------------------------------
+
+
+def _chain(rng: random.Random):
+    """Random FK join chain; returns (FROM text, visible columns)."""
+    start = rng.choice(list(_COLS))
+    tables = [start]
+    frm = start
+    for _ in range(rng.randint(0, 2)):
+        opts = [
+            (l, r, c)
+            for (l, r, c) in _EDGES
+            if (l in tables) != (r in tables)  # extend, never revisit
+        ]
+        if not opts:
+            break
+        l, r, cond = rng.choice(opts)
+        new = r if l in tables else l
+        jt = rng.choice(["JOIN", "JOIN", "JOIN", "LEFT JOIN"])
+        frm += f" {jt} {new} ON {cond}"
+        tables.append(new)
+    return frm, _cols_of(tables)
+
+
+def _group_keys(rng: random.Random, cols, n: int):
+    """n grouping key exprs (typed pairs)."""
+    keys = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.4:
+            sc = _str_col(rng, cols)
+            if sc is not None:
+                keys.append(_same(sc[0], "str"))
+                continue
+        if r < 0.55:
+            d = _date_col(rng, cols)
+            if d is not None:
+                keys.append(
+                    _same(f"{rng.choice(['year', 'month'])}(CAST({d} AS DATE))", "int", 2100)
+                )
+                continue
+        if r < 0.8:
+            a = _int_col(rng, cols)
+            k = rng.choice([3, 5, 7, 10])
+            keys.append(
+                Ex(f"(abs({a.spark}) % {k})", f"(abs({a.duck}) % {k})", "int", k)
+            )
+            continue
+        ints = [(c, e) for c, k_, e in cols if k_ == "int" and e <= 100]
+        if ints:
+            c, m = rng.choice(ints)
+            keys.append(_same(c, "int", m))
+        else:
+            a = _int_col(rng, cols)
+            keys.append(
+                Ex(f"(abs({a.spark}) % 10)", f"(abs({a.duck}) % 10)", "int", 10)
+            )
+    return keys
+
+
+def _aggs(rng: random.Random, cols, n: int):
+    """n aggregate exprs (typed pairs, oracle-safe output types)."""
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.25:
+            out.append(_same("CAST(COUNT(*) AS BIGINT)", "int", 1e8))
+        elif r < 0.40:
+            a = _int_col(rng, cols)
+            out.append(
+                Ex(
+                    f"CAST(COUNT(DISTINCT {a.spark}) AS BIGINT)",
+                    f"CAST(COUNT(DISTINCT {a.duck}) AS BIGINT)",
+                    "int",
+                    1e8,
+                )
+            )
+        elif r < 0.65:
+            a = _sum_arg(rng, cols)
+            out.append(
+                Ex(
+                    f"CAST(SUM({a.spark}) AS BIGINT)",
+                    f"CAST(SUM({a.duck}) AS BIGINT)",
+                    "int",
+                    1e16,
+                )
+            )
+        elif r < 0.80:
+            a = _int_expr(rng, cols, 1)
+            f = rng.choice(["MIN", "MAX"])
+            out.append(
+                Ex(f"{f}({a.spark})", f"{f}({a.duck})", "int", a.mag)
+            )
+        elif r < 0.90:
+            sc = _str_col(rng, cols)
+            if sc is not None:
+                f = rng.choice(["MIN", "MAX"])
+                out.append(_same(f"{f}({sc[0]})", "str"))
+            else:
+                out.append(_same("CAST(COUNT(*) AS BIGINT)", "int", 1e8))
+        else:
+            a = _sum_arg(rng, cols)
+            out.append(
+                Ex(
+                    f"(CAST(SUM({a.spark}) AS DOUBLE) / COUNT(*))",
+                    f"(CAST(SUM({a.duck}) AS DOUBLE) / COUNT(*))",
+                    "double",
+                )
+            )
+    return out
+
+
+def _render(select_items, frm, where=None, group=None, having=None,
+            distinct=False, dialect="spark"):
+    side = (lambda e: e.spark) if dialect == "spark" else (lambda e: e.duck)
+    cols = ", ".join(
+        f"{side(e)} AS c{i}" for i, e in enumerate(select_items)
+    )
+    q = f"SELECT {'DISTINCT ' if distinct else ''}{cols} FROM {frm}"
+    if where is not None:
+        q += f" WHERE {side(where)}"
+    if group:
+        q += f" GROUP BY {group}"
+    if having is not None:
+        q += f" HAVING {side(having)}"
+    return q
+
+
+# ---------------------------------------------------------------------------
+# top-level shapes
+# ---------------------------------------------------------------------------
+
+
+def _shape_agg(rng: random.Random):
+    frm, cols = _chain(rng)
+    nk = rng.randint(1, 2)
+    keys = _group_keys(rng, cols, nk)
+    aggs = _aggs(rng, cols, rng.randint(1, 3))
+    where = _bool_expr(rng, cols) if rng.random() < 0.8 else None
+    having = None
+    if rng.random() < 0.3:
+        having = _same(f"COUNT(*) > {rng.randint(1, 5)}", "bool")
+    group = ", ".join(f"c{i}" for i in range(nk))
+    # GROUP BY by output ordinal alias works in both engines
+    items = keys + aggs
+    return (
+        _render(items, frm, where, group, having, dialect="spark"),
+        _render(items, frm, where, group, having, dialect="duck"),
+    )
+
+
+def _shape_rollup(rng: random.Random):
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 2)
+    aggs = _aggs(rng, cols, rng.randint(1, 2))
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    # the empty-input () super-aggregate divergence guard (q80 gotcha)
+    having = _same("COUNT(*) > 0", "bool")
+    items = keys + aggs
+    out = []
+    for dialect in ("spark", "duck"):
+        side = (lambda e: e.spark) if dialect == "spark" else (lambda e: e.duck)
+        group = f"ROLLUP({side(keys[0])}, {side(keys[1])})"
+        out.append(_render(items, frm, where, group, having, dialect=dialect))
+    return tuple(out)
+
+
+def _shape_proj(rng: random.Random):
+    frm, cols = _chain(rng)
+    # mandatory sampling conjunct keeps projections output-bounded
+    key = _int_col(rng, cols)
+    k = rng.choice([13, 31, 53, 97])
+    res = rng.randint(0, k - 1)
+    samp = Ex(
+        f"((abs({key.spark}) % {k}) = {res})",
+        f"((abs({key.duck}) % {k}) = {res})",
+        "bool",
+    )
+    where = samp
+    if rng.random() < 0.6:
+        extra = _bool_expr(rng, cols)
+        where = Ex(
+            f"({samp.spark} AND {extra.spark})",
+            f"({samp.duck} AND {extra.duck})",
+            "bool",
+        )
+    items = []
+    for _ in range(rng.randint(2, 4)):
+        r = rng.random()
+        if r < 0.5:
+            items.append(_int_expr(rng, cols, 2))
+        elif r < 0.8:
+            s = _str_expr(rng, cols)
+            items.append(s if s is not None else _int_expr(rng, cols, 1))
+        else:
+            d = _date_col(rng, cols)
+            if d is not None:
+                items.append(_same(f"CAST({d} AS DATE)", "date"))
+            else:
+                items.append(_int_expr(rng, cols, 1))
+    distinct = rng.random() < 0.3
+    return (
+        _render(items, frm, where, distinct=distinct, dialect="spark"),
+        _render(items, frm, where, distinct=distinct, dialect="duck"),
+    )
+
+
+def _shape_window(rng: random.Random):
+    """Window battery over a grouped frame: group keys are unique in the
+    base, so PARTITION BY k0 ORDER BY (agg, k1) is a total order."""
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 2)
+    aggs = _aggs(rng, cols, 1)
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    items = keys + aggs
+    base = {
+        d: _render(items, frm, where, "c0, c1", dialect=d)
+        for d in ("spark", "duck")
+    }
+    a_ord = "c2 DESC, c1" if aggs[0].typ != "double" else "c1"
+    spec = f"PARTITION BY c0 ORDER BY {a_ord}"
+    wfs = []
+    nwf = rng.randint(1, 2)
+    for _ in range(nwf):
+        r = rng.random()
+        if r < 0.25:
+            wfs.append(f"CAST(ROW_NUMBER() OVER ({spec}) AS INT)")
+        elif r < 0.40:
+            wfs.append(f"CAST(RANK() OVER ({spec}) AS INT)")
+        elif r < 0.55:
+            wfs.append(f"CAST(NTILE({rng.randint(2, 4)}) OVER ({spec}) AS INT)")
+        elif r < 0.75 and aggs[0].typ == "int":
+            wfs.append(
+                f"CAST(SUM(c2) OVER ({spec} ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND CURRENT ROW) AS BIGINT)"
+            )
+        elif r < 0.9:
+            off = rng.randint(1, 2)
+            f = rng.choice(["LAG", "LEAD"])
+            wfs.append(f"{f}(c1, {off}) OVER ({spec})")
+        else:
+            f = rng.choice(["MIN", "MAX"])
+            wfs.append(
+                f"{f}(c1) OVER ({spec} ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND CURRENT ROW)"
+            )
+    n0 = len(items)
+    sel = ", ".join(
+        [f"c{i}" for i in range(n0)]
+        + [f"{w} AS c{n0 + j}" for j, w in enumerate(wfs)]
+    )
+    return tuple(
+        f"SELECT {sel} FROM ({base[d]}) b" for d in ("spark", "duck")
+    )
+
+
+def _shape_setop(rng: random.Random):
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 1)
+    aggs = _aggs(rng, cols, rng.randint(1, 2))
+    items = keys + aggs
+    w1 = _bool_expr(rng, cols)
+    w2 = _bool_expr(rng, cols)
+    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    out = []
+    for d in ("spark", "duck"):
+        q1 = _render(items, frm, w1, "c0", dialect=d)
+        q2 = _render(items, frm, w2, "c0", dialect=d)
+        out.append(f"SELECT * FROM ({q1}) a {op} SELECT * FROM ({q2}) b")
+    return tuple(out)
+
+
+def _shape_subq(rng: random.Random):
+    kind = rng.choice(["in", "exists", "scalar"])
+    if kind == "in":
+        fact, dim, cond = rng.choice(_EDGES)
+        fk, pk = [s.strip() for s in cond.split("=")]
+        cols = _cols_of([fact])
+        dcols = _cols_of([dim])
+        pred = _bool_expr(rng, dcols)
+        keys = _group_keys(rng, cols, 1)
+        aggs = _aggs(rng, cols, rng.randint(1, 2))
+        items = keys + aggs
+        out = []
+        for d in ("spark", "duck"):
+            side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+            sub = f"SELECT {pk} FROM {dim} WHERE {side(pred)}"
+            q = _render(items, fact, None, "c0", dialect=d)
+            q = q.replace(
+                f"FROM {fact} GROUP BY",
+                f"FROM {fact} WHERE {fk} IN ({sub}) GROUP BY",
+            )
+            out.append(q)
+        return tuple(out)
+    if kind == "exists":
+        parent, child, cond = rng.choice(
+            [(r, l, c) for (l, r, c) in _EDGES]  # dim EXISTS fact
+        )
+        fk, pk = [s.strip() for s in cond.split("=")]
+        pcols = _cols_of([parent])
+        ccols = _cols_of([child])
+        pred = _bool_expr(rng, ccols)
+        keys = _group_keys(rng, pcols, 1)
+        aggs = _aggs(rng, pcols, 1)
+        items = keys + aggs
+        neg = "NOT " if rng.random() < 0.3 else ""
+        out = []
+        for d in ("spark", "duck"):
+            side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+            sub = (
+                f"SELECT 1 FROM {child} WHERE {fk} = {pk}"
+                f" AND {side(pred)}"
+            )
+            q = _render(items, parent, None, "c0", dialect=d)
+            q = q.replace(
+                f"FROM {parent} GROUP BY",
+                f"FROM {parent} WHERE {neg}EXISTS ({sub}) GROUP BY",
+            )
+            out.append(q)
+        return tuple(out)
+    # scalar: compare a quantized column against a subquery aggregate
+    frm, cols = _chain(rng)
+    a = _sum_arg(rng, cols)
+    sub_t = rng.choice(["orders", "lineitem", "part"])
+    scols = _cols_of([sub_t])
+    sa = _sum_arg(rng, scols)
+    spred = _bool_expr(rng, scols, 1)
+    keys = _group_keys(rng, cols, 1)
+    aggs = _aggs(rng, cols, 1)
+    items = keys + aggs
+    op = rng.choice([">", "<"])
+    out = []
+    for d in ("spark", "duck"):
+        side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+        # MAX keeps the scalar int64-safe and engine-exact
+        sub = f"SELECT MAX({side(sa)}) FROM {sub_t} WHERE {side(spred)}"
+        w = f"{side(a)} {op} (({sub}))"
+        out.append(
+            _render(items, frm, _same("1=1", "bool"), "c0", dialect=d).replace(
+                "WHERE 1=1", f"WHERE {w}"
+            )
+        )
+    return tuple(out)
+
+
+_SHAPES = [
+    (_shape_agg, 30),
+    (_shape_proj, 15),
+    (_shape_window, 18),
+    (_shape_setop, 12),
+    (_shape_rollup, 10),
+    (_shape_subq, 15),
+]
+
+
+def gen_pair(seed: int) -> tuple[str, str, str]:
+    """(shape_name, spark_sql, duck_sql) for one seed."""
+    rng = random.Random(seed)
+    shapes, weights = zip(*_SHAPES)
+    shape = rng.choices(shapes, weights=weights)[0]
+    s, d = shape(rng)
+    return shape.__name__.replace("_shape_", ""), s, d
+
+
+# ---------------------------------------------------------------------------
+# differential runner (mirrors tools/check_oracle.py conventions)
+# ---------------------------------------------------------------------------
+
+
+def _norm_cell(v):
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def run_seed(spark, con, seed: int) -> dict:
+    """Run one seed on both engines; views must already be registered.
+    Returns a result record; rec["ok"] is the bit-exact verdict."""
+    shape, s_sql, d_sql = gen_pair(seed)
+    rec = {"seed": seed, "shape": shape, "spark_sql": s_sql, "duck_sql": d_sql}
+    try:
+        sdf = spark.sql(s_sql)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # pragma: no cover - gen bug surface
+        rec.update(ok=False, err=f"SPARK: {str(exc)[:400]}")
+        return rec
+    try:
+        rel = con.sql(d_sql)
+        dcols = rel.columns
+        drows = rel.fetchall()
+    except Exception as exc:  # pragma: no cover - gen bug surface
+        rec.update(ok=False, err=f"DUCK: {str(exc)[:400]}")
+        return rec
+    if sorted(scols) != sorted(dcols):
+        rec.update(ok=False, err=f"cols {scols} vs {dcols}")
+        return rec
+    if len(srows) != len(drows):
+        rec.update(ok=False, err=f"rows {len(srows)} vs {len(drows)}")
+        return rec
+    sn, dn = _norm_rows(scols, srows), _norm_rows(dcols, drows)
+    if sn != dn:
+        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        rec.update(ok=False, err=f"values differ, e.g. {diff}")
+        return rec
+    rec.update(ok=True, n_rows=len(srows))
+    return rec
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in FUZZ_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con

@@ -1,0 +1,63 @@
+"""Differential random-query fuzzer gate (round-11 verdict item #1).
+
+Runs 200 seeded generated queries over the TPC-H views on Spark AND
+DuckDB and asserts bit-exact equality on every one (check_oracle
+conventions: column names, row counts, order-insensitive multiset of
+shortest-roundtrip reprs). The grammar (spark_sql_flow_plugin_spark/
+fuzz.py) covers the SURVEY §2.D consumed-query families — join chains,
+aggregates, HAVING, windows over grouped frames, set ops, ROLLUP,
+IN/EXISTS/scalar subqueries — with the repo's cross-engine exactness
+conventions baked into the node constructors.
+
+Any seed that ever diverges must be added to _REGRESSION_SEEDS below
+(pinned forever) and its root cause recorded as an oracle-gotcha memory
+entry + SKILL.md gotcha.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_sql_flow_plugin_spark import fuzz
+from spark_sql_flow_plugin_spark.sources import register_views
+
+N_SEEDS = 200
+
+# seeds that exposed a real cross-engine divergence at some point; kept
+# green forever (none found in rounds 11+ so far: 500 seeds x 2 SFs clean)
+_REGRESSION_SEEDS: list[int] = []
+
+
+@pytest.fixture(scope="module")
+def duck_con(sf_dir):
+    con = fuzz.duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_generator_is_deterministic():
+    for seed in (0, 7, 123):
+        assert fuzz.gen_pair(seed) == fuzz.gen_pair(seed)
+
+
+def test_generator_covers_all_shapes():
+    shapes = {fuzz.gen_pair(s)[0] for s in range(N_SEEDS)}
+    assert shapes == {"agg", "proj", "window", "setop", "rollup", "subq"}
+
+
+def test_differential_fuzz_200_seeds(spark, sf_dir, duck_con):
+    register_views(spark, sf_dir, *fuzz.FUZZ_TABLES)
+    failures = []
+    n_nonempty = 0
+    for seed in list(range(N_SEEDS)) + _REGRESSION_SEEDS:
+        rec = fuzz.run_seed(spark, duck_con, seed)
+        if not rec["ok"]:
+            failures.append(
+                f"seed={seed} shape={rec['shape']}: {rec['err']}\n"
+                f"  spark: {rec['spark_sql']}\n  duck:  {rec['duck_sql']}"
+            )
+        elif rec["n_rows"]:
+            n_nonempty += 1
+    assert not failures, "\n".join(failures[:5])
+    # the run must actually exercise values, not just empty schemas
+    assert n_nonempty >= N_SEEDS // 2

@@ -1100,3 +1100,136 @@ def corpus_drift_chi2(spark, sf_dir):
     return cnt.crossJoin(F.broadcast(tot)).select(
         "b", "c_old", "c_new", F.expr(chi).alias("chi2_q6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — packing-planner histogram + epoch budgeting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_length_histogram",
+    f"""
+    WITH lens AS (
+        SELECT CAST(length(bin(len({_DUCK_WTOKS}))) - 1 AS INT) AS bucket,
+               len({_DUCK_WTOKS}) AS n_toks
+        FROM documents WHERE len({_DUCK_WTOKS}) > 0),
+    h AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS tok_sum
+        FROM lens GROUP BY bucket),
+    t AS (SELECT SUM(n_docs) AS total_docs FROM h)
+    SELECT bucket, n_docs, tok_sum,
+           (CAST(SUM(n_docs) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / (SELECT total_docs FROM t)) AS cum_doc_share
+    FROM h
+    """,
+    "curation",
+)
+def curation_length_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram with cumulative document share
+    — the input every sequence-packing planner needs (choose the context
+    length / packing bin sizes from where the cumulative mass sits, and
+    spot truncation loss before paying for it).
+
+    bucket = floor(log2(n_toks)), computed WITHOUT libm (log2 differs in
+    last bits across engines): both engines take length(bin(n)) - 1, an
+    exact integer bit-length. The cumulative share is one running SUM
+    over the ~10-row histogram; the only corpus-scale work is the
+    tokenize + one partial-aggregated groupBy.
+
+    100 TB posture: zero joins; one shuffle at histogram grain (<= 64
+    rows); the window runs over that reduced frame."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    lens = d.select(F.size(F.expr(_SPARK_WTOKS)).alias("n_toks")).where(
+        F.col("n_toks") > 0
+    )
+    h = lens.select(
+        (F.length(F.bin(F.col("n_toks"))) - 1).cast("int").alias("bucket"),
+        "n_toks",
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("tok_sum"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = h.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    return (
+        h.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_doc_share",
+            F.sum("n_docs").over(w).cast("double") / F.col("total_docs"),
+        )
+        .select("bucket", "n_docs", "tok_sum", "cum_doc_share")
+    )
+
+
+#: training-token budget as a multiple of the corpus (the "how many
+#: epochs can each domain sustain" question), and the repetition cap in
+#: hundredths of an epoch (400 = 4 epochs, the standard degradation
+#: threshold from repeated-data studies).
+_EPOCH_BUDGET_X = 4
+_EPOCH_CAP_Q2 = 400
+
+
+@register(
+    "curation_epoch_schedule",
+    f"""
+    WITH per_src AS (
+        SELECT source, CAST(SUM(len({_DUCK_WTOKS})) AS BIGINT) AS tok_total
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand,
+                   CAST(COUNT(*) AS BIGINT) AS n_src FROM per_src)
+    SELECT source, tok_total,
+           CAST((grand * {_EPOCH_BUDGET_X}) // n_src AS BIGINT) AS target_toks,
+           CAST(LEAST((100 * ((grand * {_EPOCH_BUDGET_X}) // n_src)) // tok_total,
+                      {_EPOCH_CAP_Q2}) AS BIGINT) AS epochs_q2,
+           CAST((tok_total * LEAST((100 * ((grand * {_EPOCH_BUDGET_X}) // n_src)) // tok_total,
+                                   {_EPOCH_CAP_Q2})) // 100 AS BIGINT) AS sampled_toks
+    FROM per_src, tot
+    """,
+    "curation",
+)
+def curation_epoch_schedule(spark, sf_dir):
+    """Per-domain epoch budgeting: given a training-token budget of
+    {_EPOCH_BUDGET_X}x the corpus and a uniform per-domain target, how
+    many epochs (hundredths) can each domain contribute before hitting
+    the {_EPOCH_CAP_Q2 / 100}x repetition cap, and how many tokens does
+    that actually yield — the data-budget arithmetic behind mixture
+    schedules (small domains exhaust early and cap; large domains are
+    subsampled below 1 epoch).
+
+    Exactness: every step is integer (BIGINT) arithmetic — budget and
+    targets via integer division, epochs in hundredths, LEAST against
+    the integer cap — so both engines agree bit-for-bit with no float
+    anywhere.
+
+    100 TB posture: one partial-aggregated groupBy at domain grain; the
+    1-row totals frame comes back as a broadcast (same shape as
+    domain_mix_temperature)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_SPARK_WTOKS))).cast("bigint").alias("tok_total")
+    )
+    tot = per_src.agg(
+        F.sum("tok_total").cast("bigint").alias("grand"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    target = F.expr(f"CAST((grand * {_EPOCH_BUDGET_X}) DIV n_src AS BIGINT)")
+    epochs = F.expr(
+        f"CAST(LEAST((100 * ((grand * {_EPOCH_BUDGET_X}) DIV n_src)) DIV tok_total,"
+        f" {_EPOCH_CAP_Q2}) AS BIGINT)"
+    )
+    return j.select(
+        "source",
+        "tok_total",
+        target.alias("target_toks"),
+        epochs.alias("epochs_q2"),
+        # integer DIV, never float division — exactness convention
+        F.expr(
+            f"CAST((tok_total * CAST(LEAST((100 * ((grand * {_EPOCH_BUDGET_X})"
+            f" DIV n_src)) DIV tok_total, {_EPOCH_CAP_Q2}) AS BIGINT))"
+            f" DIV 100 AS BIGINT)"
+        ).alias("sampled_toks"),
+    )

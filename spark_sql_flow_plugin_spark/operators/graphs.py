@@ -175,3 +175,62 @@ def graph_pagerank_centrality(spark, sf_dir):
         )
     )
     return scope_caches(out, edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — triangle counting / clustering on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT e1.i AS a, e1.j AS b, e2.j AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.i = e1.j
+        JOIN pairs e3 ON e3.i = e1.i AND e3.j = e2.j),
+    verts AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM verts GROUP BY node
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRI_SQL,
+    "graph",
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation counts on the co-purchase graph
+    (parts bought together in one order) — the standard graph-quality /
+    community-density signal (clustering coefficient's numerator), used
+    in curation to spot template-generated link farms vs organically
+    dense neighborhoods.
+
+    Graph construction: per-order part pairs with ``i < j`` ordering
+    (each undirected edge stored once, orientation by key). Per-order
+    fanout is bounded (a TPC-H order has <= 7 lineitems), so edge
+    generation is order-local with no skew. Triangle enumeration is the
+    textbook two-join shape: wedges = edges joined on the middle vertex,
+    closed by an equi-join back to the edge set — equi-joins only, never
+    a cartesian. The i<j<k orientation counts each triangle exactly
+    once.
+
+    100 TB posture: co-purchase degree is bounded by order size x
+    orders-per-part, so wedge counts scale linearly with data. For
+    power-law graphs the classic refinement is DEGREE ordering (orient
+    edges low-degree -> high-degree before the wedge join, Schank &
+    Wagner 2005) — one extra degree-aggregation + broadcast join away;
+    key ordering suffices for this bounded-degree graph and keeps the
+    oracle identical.
+
+    Both engines run the identical SQL text (equi-joins, DISTINCT,
+    UNION ALL, integer counts — no dialect split needed)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_TRI_SQL)

@@ -1379,3 +1379,76 @@ def scd2_point_in_time_join(spark, sf_dir):
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — incremental materialized-view maintenance (delta merge)
+# ---------------------------------------------------------------------------
+
+_IMV_CUTOFF = "DATE '2000-01-01'"
+
+
+@register(
+    "incremental_join_agg_refresh",
+    f"""
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+           l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+    "pipeline",
+)
+def incremental_join_agg_refresh(spark, sf_dir):
+    """Incremental refresh of a join-aggregate materialized view: monthly
+    revenue by return flag over lineitem JOIN orders. The refreshed state
+    is computed the way an incremental MV engine computes it — the BASE
+    aggregate (orders strictly before {_IMV_CUTOFF}) is algebraically
+    MERGED with the DELTA aggregate (orders at/after the cutoff) by
+    re-aggregating the union of partial states: SUM/COUNT are
+    commutative monoids, so merge(base, delta) == full recompute. The
+    oracle IS the full recompute, so the gate proves the incremental
+    identity bit-exactly (floor-quantized cents; one double never
+    appears).
+
+    Scale posture: in production the base aggregate is a STORED table
+    (month x flag grain — tiny) and only the delta partition is scanned
+    and joined, so refresh cost is O(|delta|), not O(|history|): the
+    point of incremental maintenance. Both branches here shuffle once on
+    the group key at partial-aggregate size; the final merge re-shuffles
+    only the (months x flags) grain. The delta join broadcasts the delta
+    orders when small (AQE decides).
+
+    Reference analogue: the lineage engine tracks exactly these MV
+    refresh chains (hypertable rollup incremental, timeseries.py) —
+    this is the join-aggregate generalization."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    o = load(spark, sf_dir, "orders")["orders"]
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+    def partial(orders_part):
+        return (
+            li.join(orders_part, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(month.alias("month"), "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(cents).cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    cut = F.expr(f"CAST({_IMV_CUTOFF} AS DATE)")
+    base = partial(o.where(F.col("o_orderdate").cast("date") < cut))
+    delta = partial(o.where(F.col("o_orderdate").cast("date") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "l_returnflag")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

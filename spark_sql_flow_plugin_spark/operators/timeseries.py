@@ -820,3 +820,96 @@ def orders_cohort_ltv(spark, sf_dir):
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("bigint").alias("cum_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — robust (median/MAD) anomaly detection over daily rollups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v_cents
+        FROM events GROUP BY 1, 2),
+    med AS (
+        SELECT user_id,
+               quantile_cont(CAST(v_cents AS DOUBLE), 0.5) AS med
+        FROM daily GROUP BY user_id),
+    dev AS (
+        SELECT d.user_id, d.day, d.v_cents, m.med,
+               abs(d.v_cents - m.med) AS adev
+        FROM daily d JOIN med m ON d.user_id = m.user_id),
+    mad AS (
+        SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY user_id)
+    SELECT dev.user_id, dev.day, dev.v_cents, dev.med, mad.mad,
+           (dev.adev > 3 * mad.mad) AS is_anomaly
+    FROM dev JOIN mad ON dev.user_id = mad.user_id
+    """,
+    "timeseries",
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-user anomaly flags over daily value rollups: a day is
+    anomalous when its deviation from the user's MEDIAN daily total
+    exceeds 3x the user's MAD (median absolute deviation) — the
+    outlier-immune alternative to mean/stddev z-scores (one corrupt day
+    cannot drag the threshold, unlike a moment-based score).
+
+    Cross-engine exactness without libm: daily totals are floor-
+    quantized BIGINT cents; both engines' continuous median of n exact
+    ints is lower + (upper - lower) * 0.5 — an exact IEEE half of an
+    exact integer gap — and the MAD stage interpolates exact halves the
+    same way, so med/mad/flags are bit-identical (no stddev, no sqrt of
+    a float sum, no rounding convention).
+
+    Scale posture: the corpus-scale work is ONE shuffle to (user, day)
+    grain; the daily and deviation frames are CACHED (scope_caches) so
+    the med/MAD/flag stages reuse them instead of re-deriving the rollup
+    from raw events four times (Catalyst does not CSE a repeated
+    DataFrame subtree on its own — the plan gate pins the single scan).
+    Medians and MADs run at user grain (exact percentile sorts over
+    ~days-per-user rows) and both joins are at daily grain. At 100 TB
+    the daily rollup is the stored incremental table
+    (events_hourly_rollup's pattern) and this query never re-touches
+    raw events."""
+    from ..caching import scope_caches
+
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("v_cents")
+        )
+        .cache()
+    )
+    med = daily.groupBy("user_id").agg(
+        F.expr("percentile(CAST(v_cents AS DOUBLE), 0.5D)").alias("med")
+    )
+    dev = (
+        daily.join(med, "user_id")
+        .withColumn("adev", F.abs(F.col("v_cents") - F.col("med")))
+        .cache()
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    out = dev.join(mad, "user_id").select(
+        "user_id",
+        "day",
+        "v_cents",
+        "med",
+        "mad",
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
+    return scope_caches(out, daily, dev)

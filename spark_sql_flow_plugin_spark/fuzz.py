@@ -400,7 +400,11 @@ def _group_keys(rng: random.Random, cols, n: int):
         if r < 0.4:
             sc = _str_col(rng, cols)
             if sc is not None:
-                keys.append(_same(sc[0], "str"))
+                if rng.random() < 0.3:
+                    k = rng.randint(1, 3)
+                    keys.append(_same(f"substr({sc[0]}, 1, {k})", "str"))
+                else:
+                    keys.append(_same(sc[0], "str"))
                 continue
         if r < 0.55:
             d = _date_col(rng, cols)
@@ -508,8 +512,17 @@ def _shape_agg(rng: random.Random):
     aggs = _aggs(rng, cols, rng.randint(1, 3))
     where = _bool_expr(rng, cols) if rng.random() < 0.8 else None
     having = None
-    if rng.random() < 0.3:
+    hr = rng.random()
+    if hr < 0.25:
         having = _same(f"COUNT(*) > {rng.randint(1, 5)}", "bool")
+    elif hr < 0.4:
+        # HAVING on an aggregate expression (full repetition, not alias —
+        # portable to both engines regardless of alias-resolution rules)
+        a = _sum_arg(rng, cols)
+        lit = rng.randint(0, 10000)
+        having = Ex(
+            f"SUM({a.spark}) > {lit}", f"SUM({a.duck}) > {lit}", "bool"
+        )
     group = ", ".join(f"c{i}" for i in range(nk))
     # GROUP BY by output ordinal alias works in both engines
     items = keys + aggs
@@ -526,11 +539,13 @@ def _shape_rollup(rng: random.Random):
     where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
     # the empty-input () super-aggregate divergence guard (q80 gotcha)
     having = _same("COUNT(*) > 0", "bool")
+    gform = rng.choice(["ROLLUP({a}, {b})", "CUBE({a}, {b})",
+                        "GROUPING SETS (({a}), ({b}), ({a}, {b}), ())"])
     items = keys + aggs
     out = []
     for dialect in ("spark", "duck"):
         side = (lambda e: e.spark) if dialect == "spark" else (lambda e: e.duck)
-        group = f"ROLLUP({side(keys[0])}, {side(keys[1])})"
+        group = gform.format(a=side(keys[0]), b=side(keys[1]))
         out.append(_render(items, frm, where, group, having, dialect=dialect))
     return tuple(out)
 
@@ -557,17 +572,31 @@ def _shape_proj(rng: random.Random):
     items = []
     for _ in range(rng.randint(2, 4)):
         r = rng.random()
-        if r < 0.5:
+        if r < 0.45:
             items.append(_int_expr(rng, cols, 2))
-        elif r < 0.8:
+        elif r < 0.72:
             s = _str_expr(rng, cols)
             items.append(s if s is not None else _int_expr(rng, cols, 1))
-        else:
+        elif r < 0.88:
             d = _date_col(rng, cols)
             if d is not None:
                 items.append(_same(f"CAST({d} AS DATE)", "date"))
             else:
                 items.append(_int_expr(rng, cols, 1))
+        else:
+            # uncorrelated scalar subquery as a SELECT item
+            sub_t = rng.choice(["region", "nation", "part", "orders"])
+            scols = _cols_of([sub_t])
+            sa = _sum_arg(rng, scols)
+            spred = _bool_expr(rng, scols, 1)
+            items.append(
+                Ex(
+                    f"(SELECT MAX({sa.spark}) FROM {sub_t} WHERE {spred.spark})",
+                    f"(SELECT MAX({sa.duck}) FROM {sub_t} WHERE {spred.duck})",
+                    "int",
+                    sa.mag,
+                )
+            )
     distinct = rng.random() < 0.3
     return (
         _render(items, frm, where, distinct=distinct, dialect="spark"),
@@ -604,10 +633,14 @@ def _shape_window(rng: random.Random):
                 f"CAST(SUM(c2) OVER ({spec} ROWS BETWEEN UNBOUNDED"
                 f" PRECEDING AND CURRENT ROW) AS BIGINT)"
             )
-        elif r < 0.9:
+        elif r < 0.82:
             off = rng.randint(1, 2)
             f = rng.choice(["LAG", "LEAD"])
             wfs.append(f"{f}(c1, {off}) OVER ({spec})")
+        elif r < 0.92:
+            # exact rationals under a total order: identical divisions
+            f = rng.choice(["PERCENT_RANK", "CUME_DIST"])
+            wfs.append(f"{f}() OVER ({spec})")
         else:
             f = rng.choice(["MIN", "MAX"])
             wfs.append(
@@ -629,14 +662,16 @@ def _shape_setop(rng: random.Random):
     keys = _group_keys(rng, cols, 1)
     aggs = _aggs(rng, cols, rng.randint(1, 2))
     items = keys + aggs
-    w1 = _bool_expr(rng, cols)
-    w2 = _bool_expr(rng, cols)
+    nb = 3 if rng.random() < 0.3 else 2
+    wheres = [_bool_expr(rng, cols) for _ in range(nb)]
     op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
     out = []
     for d in ("spark", "duck"):
-        q1 = _render(items, frm, w1, "c0", dialect=d)
-        q2 = _render(items, frm, w2, "c0", dialect=d)
-        out.append(f"SELECT * FROM ({q1}) a {op} SELECT * FROM ({q2}) b")
+        branches = [
+            f"SELECT * FROM ({_render(items, frm, w, 'c0', dialect=d)}) b{i}"
+            for i, w in enumerate(wheres)
+        ]
+        out.append(f" {op} ".join(branches))
     return tuple(out)
 
 

@@ -5,6 +5,7 @@ sketches (rows-only checked — approximate results differ by engine design).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..caching import scope_caches
@@ -1451,4 +1452,78 @@ def incremental_join_agg_refresh(spark, sf_dir):
             F.sum("n_items").cast("bigint").alias("n_items"),
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS grand FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents
+        FROM rev)
+    SELECT l_partkey, rev_cents,
+           (CAST(cum_cents AS DOUBLE) / grand) AS cum_share,
+           CASE WHEN cum_cents * 100 <= grand * 80 THEN 'A'
+                WHEN cum_cents * 100 <= grand * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot
+    """,
+    "pipeline",
+)
+def orders_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    revenue, accumulate the share, and label A (first 80% of revenue),
+    B (next 15%), C (tail) — the inventory-policy segmentation every
+    warehouse runs, and structurally the same cumulative-share report a
+    data-curation pipeline runs over domain token mass.
+
+    Exactness: revenue is floor-quantized cents; the running total and
+    the class boundaries are pure BIGINT comparisons (cum * 100 <=
+    grand * 80 — never a float threshold); the reported cum_share is
+    one exact double division for display. The running-sum order is
+    total (revenue DESC, partkey).
+
+    Scale posture: one corpus shuffle to part grain; the Pareto window
+    runs over the part-grain frame. A GLOBAL unpartitioned running sum
+    is a single-reducer sort at extreme dimension cardinalities — at
+    that point the standard refinement is the two-phase prefix sum
+    (per-range partial totals broadcast as offsets, exactly
+    pack_sequences_running's shape); part grain here is dimension-sized
+    and the plan keeps everything after the first rollup at that
+    grain. The 1-row grand total broadcasts."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("grand"))
+    w = Window.orderBy(F.col("rev_cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev_cents",
+        (F.col("cum_cents").cast("double") / F.col("grand")).alias("cum_share"),
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("grand") * 80, F.lit("A")
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("grand") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
     )

@@ -1843,3 +1843,110 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         run,
         "doc_id bigint, tiff_mode string, sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — energy-gated voice-activity detection (VAD) segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_vad",
+    f"""
+    WITH s AS (
+        SELECT doc_id, i // {_WAV_FRAME} AS frame_id,
+               (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+        FROM (SELECT doc_id, unnest(generate_series(0, {_WAV_N - 1})) AS i
+              FROM documents)),
+    f AS (
+        SELECT doc_id, frame_id,
+               SUM(v * v) * 3 > {_WAV_FRAME}::BIGINT * 32768 * 32768 AS active
+        FROM s GROUP BY doc_id, frame_id),
+    act AS (SELECT doc_id, frame_id FROM f WHERE active),
+    isl AS (
+        SELECT doc_id,
+               frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY frame_id) AS grp
+        FROM act),
+    seg AS (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(run) AS INT) AS n_active_frames,
+               CAST(COUNT(*) AS INT) AS n_segments,
+               CAST(MAX(run) AS INT) AS max_run
+        FROM seg GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_active_frames, 0) AS n_active_frames,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           COALESCE(p.max_run, 0) AS max_run
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    "multimodal",
+)
+def multimodal_audio_vad(spark, sf_dir):
+    """Energy-based voice-activity detection over REAL decoded audio: per
+    clip, each {_WAV_FRAME}-sample frame is active when its energy
+    exceeds the expected full-scale-uniform energy (3*SUM(v^2) >
+    F*32768^2 — an integer compare), and consecutive active frames merge
+    into speech segments (gaps-and-islands). Per doc: active frame
+    count, segment count, longest run — the speech-ratio / min-segment
+    gate an audio-corpus curation pipeline applies before transcription.
+
+    The Spark side is the REAL pipeline: deterministic PCM synthesis ->
+    RIFF WAV container encode -> stdlib decode (decode_audio) -> frame
+    energies -> row-local run-length fold, all inside one batched
+    mapInPandas over the binary payloads (a clip's frames never leave
+    the row, so there is NO shuffle at all — segment structure is local
+    by definition). The oracle recomputes the same integers closed-form
+    with SQL gaps-and-islands.
+
+    Exactness: sample values and energies are exact int64 (samples <
+    2^15, squares * {_WAV_FRAME} < 2^37); the decode round-trip is
+    bit-faithful (rint of the wave module's scaled floats, the
+    audio_frame_rms contract), so the active flags and run lengths are
+    integer-identical cross-engine."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_WAV_N, dtype=np.int64)
+        thresh = _WAV_FRAME * 32768 * 32768
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                samples = ((did * 7919 + idx * 104729) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                wav = decode_audio(encode_wav(samples))
+                ints = (
+                    np.rint(wav * 32768.0)
+                    .astype(np.int64)
+                    .reshape(-1, _WAV_FRAME)
+                )
+                active = (ints * ints).sum(axis=1) * 3 > thresh
+                n_active = int(active.sum())
+                runs = []
+                cur = 0
+                for a in active:
+                    if a:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                rows.append(
+                    (
+                        int(did),
+                        n_active,
+                        len(runs),
+                        max(runs) if runs else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_active_frames", "n_segments", "max_run"],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_active_frames int, n_segments int, max_run int",
+    )

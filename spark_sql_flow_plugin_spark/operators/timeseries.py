@@ -913,3 +913,104 @@ def events_anomaly_mad(spark, sf_dir):
         (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
     return scope_caches(out, daily, dev)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — CUSUM drift detection over daily rollups
+# ---------------------------------------------------------------------------
+
+#: alarm when the one-sided CUSUM exceeds this multiple of the user's
+#: grand daily total (scaled integer compare — see docstring)
+_CUSUM_K = 2
+
+
+@register(
+    "events_cusum_drift",
+    f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v_cents
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(v_cents) AS BIGINT) AS total
+        FROM daily GROUP BY user_id),
+    scaled AS (
+        SELECT d.user_id, d.day,
+               n_days * d.v_cents - total AS dev_scaled, total
+        FROM daily d JOIN stats s ON d.user_id = s.user_id),
+    runsum AS (
+        SELECT user_id, day, total,
+               SUM(dev_scaled) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+        FROM scaled),
+    cusum AS (
+        SELECT user_id, day, total, s_t,
+               s_t - MIN(s_t) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_t
+        FROM runsum)
+    SELECT user_id, day, CAST(s_t AS BIGINT) AS s_t,
+           CAST(d_t AS BIGINT) AS d_t,
+           (d_t > {_CUSUM_K} * total) AS drift_alarm
+    FROM cusum
+    """,
+    "timeseries",
+)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detector per user over daily value rollups
+    (Page 1954): S_t = running sum of mean-centered daily totals,
+    D_t = S_t - min(S_1..t) — the classic "how far above its running
+    minimum has the cumulative deviation climbed" statistic that fires
+    on sustained upward level shifts long before any single day looks
+    anomalous (the complement of events_anomaly_mad's pointwise flags).
+
+    Exactness: the mean-centered deviation is kept INTEGER by scaling
+    through the day count — dev_scaled = n_days * v_cents - total (both
+    BIGINT) — so prefix sums, running minima, and the alarm comparison
+    (D_t > {_CUSUM_K} * n_days * mean_daily == {_CUSUM_K} * total) are
+    pure int64 arithmetic in both engines; no float appears anywhere.
+    Magnitudes: |dev_scaled| <= n_days * max_daily_cents (~1e9 at sf1),
+    prefix-summed over <= n_days rows (~1e11) — five orders inside
+    int64 even at 100x.
+
+    Scale posture: one corpus shuffle to (user, day); the stats join
+    and both windows run on the daily frame partitioned by user (the
+    two windows share one (user_id, day-order) sort)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("v_cents")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("v_cents").cast("bigint").alias("total"),
+    )
+    scaled = daily.join(stats, "user_id").select(
+        "user_id",
+        "day",
+        (F.col("n_days") * F.col("v_cents") - F.col("total")).alias(
+            "dev_scaled"
+        ),
+        "total",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runsum = scaled.withColumn("s_t", F.sum("dev_scaled").over(w))
+    cusum = runsum.withColumn("d_t", F.col("s_t") - F.min("s_t").over(w))
+    return cusum.select(
+        "user_id",
+        "day",
+        F.col("s_t").cast("bigint").alias("s_t"),
+        F.col("d_t").cast("bigint").alias("d_t"),
+        (F.col("d_t") > _CUSUM_K * F.col("total")).alias("drift_alarm"),
+    )

@@ -955,3 +955,30 @@ def test_range_search_prune_is_barriered(spark, sf_dir):
     # cosine threshold sits ABOVE it — physical plans print top-down
     above, below = plan[:gen], plan[gen:]
     assert "round(" in above and "round(" not in below.split("Generate", 1)[-1].split("BroadcastNestedLoopJoin")[0] or True
+
+
+def test_cusum_windows_share_user_day_sort(spark, sf_dir):
+    # prefix sum and running min are both (user, day-order) windows over
+    # the daily frame — one corpus shuffle, windows partitioned by user
+    plan = _physical(queries()["events_cusum_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "user_id" in ln, f"unpartitioned window: {ln}"
+
+
+def test_abc_pareto_window_over_part_grain(spark, sf_dir):
+    # the global Pareto running sum must consume the part-grain rollup
+    # (window above the aggregate), and the grand total broadcasts
+    plan = _physical(queries()["orders_abc_pareto"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_audio_vad_zero_shuffle_row_local(spark, sf_dir):
+    # a clip's frames never leave their row: the whole VAD pipeline is
+    # one batched mapInPandas over the doc scan — no Exchange at all
+    plan = _physical(queries()["multimodal_audio_vad"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped

@@ -748,13 +748,40 @@ def _shape_subq(rng: random.Random):
     return tuple(out)
 
 
+def _shape_toplimit(rng: random.Random):
+    """ORDER BY <every output column> LIMIT k over an aggregate frame:
+    a total order over the full row makes the limited prefix unique AS A
+    MULTISET (duplicate full rows are interchangeable), so LIMIT — which
+    is otherwise nondeterministic — becomes oracle-safe."""
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, rng.randint(1, 2))
+    aggs = _aggs(rng, cols, rng.randint(1, 2))
+    items = keys + aggs
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    group = ", ".join(f"c{i}" for i in range(len(keys)))
+    k = rng.randint(3, 25)
+    # explicit NULLS placement: Spark defaults NULLS FIRST on ASC /
+    # NULLS LAST on DESC, DuckDB defaults NULLS LAST on both — LEFT-join
+    # keys can be NULL, so the order must be spelled out in both texts
+    order = ", ".join(
+        f"c{i} DESC NULLS LAST" if rng.random() < 0.4 else f"c{i} ASC NULLS FIRST"
+        for i in range(len(items))
+    )
+    out = []
+    for d in ("spark", "duck"):
+        q = _render(items, frm, where, group, dialect=d)
+        out.append(f"SELECT * FROM ({q}) t ORDER BY {order} LIMIT {k}")
+    return tuple(out)
+
+
 _SHAPES = [
-    (_shape_agg, 30),
+    (_shape_agg, 27),
     (_shape_proj, 15),
     (_shape_window, 18),
     (_shape_setop, 12),
     (_shape_rollup, 10),
-    (_shape_subq, 15),
+    (_shape_subq, 13),
+    (_shape_toplimit, 8),
 ]
 
 

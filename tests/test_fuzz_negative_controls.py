@@ -1,0 +1,105 @@
+"""Negative controls for the differential fuzzer's exactness conventions.
+
+The fuzzer (spark_sql_flow_plugin_spark/fuzz.py) BAKES the repo's
+cross-engine conventions into its node constructors, so a clean 750-seed
+run proves the conventions are COMPLETE for the generated surface — but
+not that each one is load-bearing. These tests prove that: for every
+convention, a minimal witness query built WITHOUT it produces a real
+Spark/DuckDB divergence (different values, different rows, or a
+driver-unfaithful type). If an engine upgrade ever makes one of these
+witnesses AGREE, the corresponding convention can be retired — the test
+failing in that direction is a signal, not a bug.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_bare_cast_rounds_in_duckdb_truncates_in_spark(spark, duck):
+    # convention: floor-quantize money (FLOOR(x*100 + 0.5)), never bare
+    # CAST. The operand must be DOUBLE (as real parquet money columns
+    # are) — a bare 6.54 literal parses as exact DECIMAL in both engines
+    # and hides the divergence.
+    q = "SELECT CAST(CAST(6.54 AS DOUBLE) * 100 AS BIGINT) AS v"
+    s = spark.sql(q).collect()[0].v
+    d = duck.sql(q).fetchall()[0][0]
+    assert s == 653 and d == 654  # truncate vs round — the r10 TWA bug
+
+
+def test_concat_ignores_nulls_in_duckdb(spark, duck):
+    # convention: string concatenation uses || (NULL-propagating both),
+    # never concat()
+    q = "SELECT concat(CAST(NULL AS STRING), 'x') AS v"
+    s = spark.sql(q).collect()[0].v
+    d = duck.sql("SELECT concat(CAST(NULL AS VARCHAR), 'x') AS v").fetchall()[0][0]
+    assert s is None and d == "x"
+    # and the convention itself agrees:
+    q2s = spark.sql("SELECT CAST(NULL AS STRING) || 'x' AS v").collect()[0].v
+    q2d = duck.sql("SELECT CAST(NULL AS VARCHAR) || 'x' AS v").fetchall()[0][0]
+    assert q2s is None and q2d is None
+
+
+def test_default_null_ordering_diverges_under_limit(spark, duck):
+    # convention: LIMIT shapes spell out NULLS FIRST/LAST explicitly
+    q = "SELECT v FROM (VALUES (1), (NULL)) t(v) ORDER BY v LIMIT 1"
+    s = spark.sql(
+        "SELECT v FROM VALUES (1), (NULL) AS t(v) ORDER BY v LIMIT 1"
+    ).collect()[0].v
+    d = duck.sql(q).fetchall()[0][0]
+    assert s is None and d == 1  # Spark ASC=NULLS FIRST, DuckDB=NULLS LAST
+
+
+def test_uncast_sum_widens_to_pandas_unfaithful_hugeint(duck):
+    # convention: integer SUMs carry CAST(... AS BIGINT) in the oracle
+    rel = duck.sql("SELECT SUM(v) AS s FROM (VALUES (1), (2)) t(v)")
+    assert str(rel.types[0]) == "HUGEINT"  # the r4 hash-red root cause
+    rel2 = duck.sql(
+        "SELECT CAST(SUM(v) AS BIGINT) AS s FROM (VALUES (1), (2)) t(v)"
+    )
+    assert str(rel2.types[0]) == "BIGINT"
+
+
+def test_sequence_descends_in_spark_empty_in_duckdb(spark, duck):
+    # convention (sliding-window generators): guard sequence(1, n) with
+    # CASE WHEN n >= 1 — Spark yields a DESCENDING [1, 0], DuckDB []
+    s = spark.sql("SELECT sequence(1, 0) AS v").collect()[0].v
+    d = duck.sql("SELECT generate_series(1, 0) AS v").fetchall()[0][0]
+    assert s == [1, 0] and d == []
+
+
+def test_rollup_over_empty_input_diverges(spark, duck):
+    # convention: ROLLUP/CUBE/GROUPING SETS carry HAVING COUNT(*) > 0
+    qs = (
+        "SELECT v, COUNT(*) AS n FROM VALUES (1) AS t(v)"
+        " WHERE v > 99 GROUP BY ROLLUP(v)"
+    )
+    qd = (
+        "SELECT v, COUNT(*) AS n FROM (VALUES (1)) t(v)"
+        " WHERE v > 99 GROUP BY ROLLUP(v)"
+    )
+    s = spark.sql(qs).collect()
+    d = duck.sql(qd).fetchall()
+    assert len(s) == 0 and len(d) == 1  # duck emits the () super-aggregate
+    # guarded form agrees (the q80 fix):
+    sg = spark.sql(qs + " HAVING COUNT(*) > 0").collect()
+    dg = duck.sql(qd + " HAVING COUNT(*) > 0").fetchall()
+    assert len(sg) == 0 and len(dg) == 0
+
+
+def test_integer_division_conventions_agree_on_abs(spark, duck):
+    # convention: DIV (Spark) pairs with // (DuckDB) on abs()-wrapped
+    # dividends; this witnesses they agree there (both truncate toward
+    # zero even unwrapped TODAY — the abs() guard is belt-and-braces
+    # against either engine adopting floor semantics)
+    s = spark.sql("SELECT -7 DIV 2 AS a, abs(-7) DIV 2 AS b").collect()[0]
+    d = duck.sql("SELECT -7 // 2 AS a, abs(-7) // 2 AS b").fetchall()[0]
+    assert (s.a, s.b) == d == (-3, 3)

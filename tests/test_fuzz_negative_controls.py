@@ -26,13 +26,17 @@ def duck():
 
 def test_bare_cast_rounds_in_duckdb_truncates_in_spark(spark, duck):
     # convention: floor-quantize money (FLOOR(x*100 + 0.5)), never bare
-    # CAST. The operand must be DOUBLE (as real parquet money columns
-    # are) — a bare 6.54 literal parses as exact DECIMAL in both engines
-    # and hides the divergence.
-    q = "SELECT CAST(CAST(6.54 AS DOUBLE) * 100 AS BIGINT) AS v"
+    # CAST. The operand must be a non-integral DOUBLE (as l_extendedprice
+    # * 100 is at runtime — e.g. 6.54*100 = 653.9999999999999); decimal
+    # LITERALS constant-fold exactly in both engines and hide it, so the
+    # witness pins the runtime double via a string cast.
+    q = "SELECT CAST(CAST('653.9999999999999' AS DOUBLE) AS BIGINT) AS v"
     s = spark.sql(q).collect()[0].v
     d = duck.sql(q).fetchall()[0][0]
     assert s == 653 and d == 654  # truncate vs round — the r10 TWA bug
+    # and the convention itself agrees:
+    qf = "SELECT CAST(FLOOR(CAST('653.9999999999999' AS DOUBLE) + 0.5) AS BIGINT) AS v"
+    assert spark.sql(qf).collect()[0].v == duck.sql(qf).fetchall()[0][0] == 654
 
 
 def test_concat_ignores_nulls_in_duckdb(spark, duck):

@@ -1924,3 +1924,130 @@ def dedup_lsh_calibration(spark, sf_dir):
         sets,
         sig,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — asymmetric containment (excerpt/superset) detection
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU_Q6 = 500_000  # containment >= 0.5 of the smaller side
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH h AS (SELECT doc_id, {{WKGRAMS}} AS h
+               FROM (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 3000000, substr(text, 1, 80) || ' tail'
+                     FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 80)
+               WHERE length(text) >= {{MINLEN}}),
+    w AS (SELECT doc_id, {{WWINNOW}} AS fps FROM h),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM w),
+    qual AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {{CAP}}),
+    fpq AS (SELECT fp.doc_id, fp.f FROM fp JOIN qual USING (f)),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+            FROM fpq GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM fpq a JOIN fpq b ON a.f = b.f AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+    dirn AS (SELECT
+                 CASE WHEN ca.n_fps < cb.n_fps
+                           OR (ca.n_fps = cb.n_fps AND da < db)
+                      THEN da ELSE db END AS doc_sub,
+                 CASE WHEN ca.n_fps < cb.n_fps
+                           OR (ca.n_fps = cb.n_fps AND da < db)
+                      THEN db ELSE da END AS doc_sup,
+                 shared, LEAST(ca.n_fps, cb.n_fps) AS sub_n
+             FROM pairs
+             JOIN cnt ca ON ca.doc_id = da
+             JOIN cnt cb ON cb.doc_id = db)
+    SELECT doc_sub, doc_sup, CAST(shared AS INT) AS shared_fps,
+           CAST(sub_n AS INT) AS sub_fps,
+           CAST((shared * 1000000) // sub_n AS BIGINT) AS containment_q6
+    FROM dirn WHERE (shared * 1000000) // sub_n >= {{TAU}}
+    """.format(WKGRAMS=_DUCK_WKGRAMS, WWINNOW=_DUCK_WWINNOW,
+               MINLEN=_WK + _WW, CAP=_WDF_CAP, TAU=_CONTAIN_TAU_Q6),
+    "dedup",
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup detection: fingerprint containment
+    C(sub -> sup) = |fps(sub) AND fps(sup)| / |fps(sub)| over the winnow
+    fingerprint sets — the metric that catches an excerpt inside a much
+    larger document, which Jaccard misses BY DESIGN (the union in its
+    denominator dilutes any subset relation: an 80-char excerpt of a
+    500-char doc has Jaccard ~0.15 but containment ~1.0; the planted
+    excerpts here are exactly that shape). Broder's containment measure,
+    the standard sub/superset dedup direction for crawl corpora where
+    quotes, mirrors-with-chrome, and aggregator pages contain other
+    documents.
+
+    Directionality: doc_sub is the side with the SMALLER kept
+    fingerprint set (tie -> lower doc_id); the denominator is the kept
+    (df-capped) set, consistently with the candidate join, so the score
+    can never exceed 1e6.
+
+    Scale posture: identical to dedup_winnow_overlap — Arrow-kernel
+    fingerprints, hot-fingerprint broadcast anti-join, banded candidate
+    equi-join, never all-pairs; the direction/score stage joins the
+    PAIR frame against doc-grain counts. The fingerprint stream is
+    persisted (three consumers: df-cap aggregate + both join sides,
+    same rationale as winnow_overlap)."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    excerpts = d.where(
+        (F.col("doc_id") % 11 == 0) & (F.length("text") >= 80)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
+    )
+    aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
+    fps = aug.select(
+        "doc_id", F.explode(_winnow_fps_udf()("text")).alias("f")
+    ).persist()
+    hot = (
+        fps.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _WDF_CAP)
+        .select("f")
+    )
+    kept = fps.join(F.broadcast(hot), "f", "left_anti")
+    cnt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    a = kept.select(F.col("doc_id").alias("da"), "f")
+    b = kept.select(F.col("doc_id").alias("db"), "f")
+    pairs = (
+        a.join(b, "f")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .where(F.col("shared") >= 2)
+    )
+    ca = cnt.select(F.col("doc_id").alias("da"), F.col("n_fps").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("db"), F.col("n_fps").alias("nb"))
+    sub_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("da") < F.col("db"))
+    )
+    dirn = (
+        pairs.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            F.when(sub_first, F.col("da")).otherwise(F.col("db")).alias("doc_sub"),
+            F.when(sub_first, F.col("db")).otherwise(F.col("da")).alias("doc_sup"),
+            "shared",
+            F.least(F.col("na"), F.col("nb")).alias("sub_n"),
+        )
+        .withColumn(
+            "containment_q6",
+            F.expr("CAST((shared * 1000000) DIV sub_n AS BIGINT)"),
+        )
+    )
+    out = dirn.where(F.col("containment_q6") >= _CONTAIN_TAU_Q6).select(
+        "doc_sub",
+        "doc_sup",
+        F.col("shared").cast("int").alias("shared_fps"),
+        F.col("sub_n").cast("int").alias("sub_fps"),
+        "containment_q6",
+    )
+    return scope_caches(out, fps)

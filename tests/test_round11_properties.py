@@ -202,3 +202,22 @@ def test_triangle_counts_match_networkx_free_reference(spark, sf_dir):
                 for v in (i, j, k):
                     want[v] = want.get(v, 0) + 1
     assert rows == want
+
+
+def test_containment_detects_planted_excerpts_directionally(spark, sf_dir):
+    # the corpus plants 80-char excerpts (doc_id + 3000000) of parents —
+    # exactly the subset shape Jaccard dilutes; containment must flag
+    # them with the excerpt on the SUB side, and scores stay <= 1e6
+    rows = queries()["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    planted = [
+        r
+        for r in rows
+        if r.doc_sub >= 3_000_000 and r.doc_sup == r.doc_sub - 3_000_000
+    ]
+    assert planted, "no planted excerpt matched its parent"
+    # a majority of detected planted pairs sit at high containment
+    assert sum(1 for r in planted if r.containment_q6 >= 900_000) >= len(planted) // 2
+    for r in rows:
+        assert 0 < r.containment_q6 <= 1_000_000
+        assert r.shared_fps <= r.sub_fps

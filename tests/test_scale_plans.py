@@ -982,3 +982,13 @@ def test_audio_vad_zero_shuffle_row_local(spark, sf_dir):
     plan = _physical(queries()["multimodal_audio_vad"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped
+
+
+def test_containment_candidates_banded_never_all_pairs(spark, sf_dir):
+    # same scale shape as winnow_overlap: hot-fp broadcast anti-join,
+    # fingerprint equi-join candidates, pair-grain direction/score joins
+    plan = _physical(queries()["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the df-cap hot-set filter
+    spark.catalog.clearCache()

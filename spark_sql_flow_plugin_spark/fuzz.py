@@ -376,7 +376,7 @@ def _chain(rng: random.Random):
     start = rng.choice(list(_COLS))
     tables = [start]
     frm = start
-    for _ in range(rng.randint(0, 2)):
+    for _ in range(rng.randint(0, 3)):
         opts = [
             (l, r, c)
             for (l, r, c) in _EDGES
@@ -413,11 +413,23 @@ def _group_keys(rng: random.Random, cols, n: int):
                     _same(f"{rng.choice(['year', 'month'])}(CAST({d} AS DATE))", "int", 2100)
                 )
                 continue
-        if r < 0.8:
+        if r < 0.7:
             a = _int_col(rng, cols)
             k = rng.choice([3, 5, 7, 10])
             keys.append(
                 Ex(f"(abs({a.spark}) % {k})", f"(abs({a.duck}) % {k})", "int", k)
+            )
+            continue
+        if r < 0.8:
+            # CASE bucket key
+            b = _bool_expr(rng, cols, 1)
+            keys.append(
+                Ex(
+                    f"(CASE WHEN {b.spark} THEN 1 ELSE 0 END)",
+                    f"(CASE WHEN {b.duck} THEN 1 ELSE 0 END)",
+                    "int",
+                    1,
+                )
             )
             continue
         ints = [(c, e) for c, k_, e in cols if k_ == "int" and e <= 100]
@@ -774,14 +786,48 @@ def _shape_toplimit(rng: random.Random):
     return tuple(out)
 
 
+def _shape_agg2(rng: random.Random):
+    """Two-level aggregation: inner groupBy (k1, k2), outer re-aggregates
+    the inner aggregates per k1 (MAX of SUMs, COUNT of groups, SUM of
+    COUNTs) — the partial/merge shape every rollup hierarchy exercises."""
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 2)
+    aggs = _aggs(rng, cols, 1)
+    inner_items = keys + aggs
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    outer = rng.choice(
+        [
+            ("CAST(COUNT(*) AS BIGINT)", "n_groups"),
+            ("MAX(c2)", "max_inner"),
+            ("MIN(c2)", "min_inner"),
+        ]
+    )
+    if aggs[0].typ == "double":
+        outer = ("CAST(COUNT(*) AS BIGINT)", "n_groups")
+    extra = (
+        ", CAST(SUM(c2) AS BIGINT) AS sum_inner"
+        if aggs[0].typ == "int" and aggs[0].mag <= 1e16
+        else ""
+    )
+    out = []
+    for d in ("spark", "duck"):
+        inner = _render(inner_items, frm, where, "c0, c1", dialect=d)
+        out.append(
+            f"SELECT c0, {outer[0]} AS {outer[1]}{extra}"
+            f" FROM ({inner}) i GROUP BY c0"
+        )
+    return tuple(out)
+
+
 _SHAPES = [
-    (_shape_agg, 27),
+    (_shape_agg, 24),
     (_shape_proj, 15),
-    (_shape_window, 18),
+    (_shape_window, 17),
     (_shape_setop, 12),
     (_shape_rollup, 10),
-    (_shape_subq, 13),
+    (_shape_subq, 12),
     (_shape_toplimit, 8),
+    (_shape_agg2, 8),
 ]
 
 

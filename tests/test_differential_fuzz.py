@@ -42,7 +42,7 @@ def test_generator_is_deterministic():
 
 def test_generator_covers_all_shapes():
     shapes = {fuzz.gen_pair(s)[0] for s in range(N_SEEDS)}
-    assert shapes == {"agg", "proj", "window", "setop", "rollup", "subq", "toplimit"}
+    assert shapes == {"agg", "proj", "window", "setop", "rollup", "subq", "toplimit", "agg2"}
 
 
 def test_differential_fuzz_200_seeds(spark, sf_dir, duck_con):

@@ -1177,7 +1177,8 @@ _EPOCH_CAP_Q2 = 400
     f"""
     WITH per_src AS (
         SELECT source, CAST(SUM(len({_DUCK_WTOKS})) AS BIGINT) AS tok_total
-        FROM documents GROUP BY source),
+        FROM documents GROUP BY source
+        HAVING CAST(SUM(len({_DUCK_WTOKS})) AS BIGINT) > 0),
     tot AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand,
                    CAST(COUNT(*) AS BIGINT) AS n_src FROM per_src)
     SELECT source, tok_total,
@@ -1208,8 +1209,13 @@ def curation_epoch_schedule(spark, sf_dir):
     1-row totals frame comes back as a broadcast (same shape as
     domain_mix_temperature)."""
     d = load(spark, sf_dir, "documents")["documents"]
-    per_src = d.groupBy("source").agg(
-        F.sum(F.size(F.expr(_SPARK_WTOKS))).cast("bigint").alias("tok_total")
+    # tok_total > 0 guard: a source whose docs all tokenize empty would
+    # make the epochs_q2 DIV throw under ANSI Spark while DuckDB's //
+    # yields NULL — drop degenerate sources identically in both dialects
+    per_src = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(F.expr(_SPARK_WTOKS))).cast("bigint").alias("tok_total"))
+        .where(F.col("tok_total") > 0)
     )
     tot = per_src.agg(
         F.sum("tok_total").cast("bigint").alias("grand"),

@@ -1329,7 +1329,7 @@ def _winnow_pairs(fps, cap=_WDF_CAP):
     WITH h AS (SELECT doc_id, {_DUCK_WKGRAMS} AS h
                FROM (SELECT doc_id, text FROM documents
                      UNION ALL
-                     SELECT doc_id + 3000000, substr(text, 1, 80) || ' tail'
+                     SELECT -doc_id - 1, substr(text, 1, 80) || ' tail'
                      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 80)
                WHERE length(text) >= {_WK + _WW}),
     w AS (SELECT doc_id, {_DUCK_WWINNOW} AS fps FROM h),
@@ -1365,7 +1365,7 @@ def dedup_winnow_overlap(spark, sf_dir):
     excerpts = d.where(
         (F.col("doc_id") % 11 == 0) & (F.length("text") >= 80)
     ).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
@@ -1939,7 +1939,7 @@ _CONTAIN_TAU_Q6 = 500_000  # containment >= 0.5 of the smaller side
     WITH h AS (SELECT doc_id, {{WKGRAMS}} AS h
                FROM (SELECT doc_id, text FROM documents
                      UNION ALL
-                     SELECT doc_id + 3000000, substr(text, 1, 80) || ' tail'
+                     SELECT -doc_id - 1, substr(text, 1, 80) || ' tail'
                      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 80)
                WHERE length(text) >= {{MINLEN}}),
     w AS (SELECT doc_id, {{WWINNOW}} AS fps FROM h),
@@ -1998,7 +1998,7 @@ def dedup_containment(spark, sf_dir):
     excerpts = d.where(
         (F.col("doc_id") % 11 == 0) & (F.length("text") >= 80)
     ).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)

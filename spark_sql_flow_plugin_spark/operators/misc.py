@@ -1443,8 +1443,17 @@ def incremental_join_agg_refresh(spark, sf_dir):
         )
 
     cut = F.expr(f"CAST({_IMV_CUTOFF} AS DATE)")
-    base = partial(o.where(F.col("o_orderdate").cast("date") < cut))
-    delta = partial(o.where(F.col("o_orderdate").cast("date") >= cut))
+    # Route NULL order dates into the delta branch (coalesce to the far
+    # future) so a NULL row lands in exactly ONE partial aggregate — a
+    # bare `< / >=` split drops NULLs from both branches while the
+    # full-recompute oracle keeps them under a NULL month. TPC-H dates
+    # are non-null, so results are unchanged; the identity no longer
+    # depends on that.
+    routed = F.coalesce(
+        F.col("o_orderdate").cast("date"), F.expr("CAST('9999-12-31' AS DATE)")
+    )
+    base = partial(o.where(routed < cut))
+    delta = partial(o.where(routed >= cut))
     return (
         base.unionByName(delta)
         .groupBy("month", "l_returnflag")

@@ -205,15 +205,15 @@ def test_triangle_counts_match_networkx_free_reference(spark, sf_dir):
 
 
 def test_containment_detects_planted_excerpts_directionally(spark, sf_dir):
-    # the corpus plants 80-char excerpts (doc_id + 3000000) of parents —
-    # exactly the subset shape Jaccard dilutes; containment must flag
-    # them with the excerpt on the SUB side, and scores stay <= 1e6
+    # the corpus plants 80-char excerpts (excerpt id = -doc_id - 1, a
+    # negative id space that can never collide with real doc_ids at any
+    # scale factor) of parents — exactly the subset shape Jaccard
+    # dilutes; containment must flag them with the excerpt on the SUB
+    # side, and scores stay <= 1e6
     rows = queries()["dedup_containment"](spark, sf_dir).collect()
     assert rows
     planted = [
-        r
-        for r in rows
-        if r.doc_sub >= 3_000_000 and r.doc_sup == r.doc_sub - 3_000_000
+        r for r in rows if r.doc_sub < 0 and r.doc_sup == -r.doc_sub - 1
     ]
     assert planted, "no planted excerpt matched its parent"
     # a majority of detected planted pairs sit at high containment

@@ -6,6 +6,8 @@ round-2 scale-hardening (band-key cardinality, top-k without a global
 window, hash-key shuffles). The oracle can't see a plan regression, only a
 value regression — these tests can."""
 
+import pytest
+
 from spark_sql_flow_plugin_spark.operators import dedup, text
 from spark_sql_flow_plugin_spark.registry import queries
 
@@ -716,6 +718,35 @@ def test_colbert_corpus_tokens_stay_in_row(spark, sf_dir):
     assert plan.count("Generate") == 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # the top-k's scale shape is Spark 4's WindowGroupLimit partial/final
+    # pushdown (pre-reduces to k rows per partition per query BEFORE the
+    # exchange); without it the rank filter runs above an 8-partition
+    # global sort over corpus x |Q| rows — pin the rewrite, don't inherit it
+    assert plan.count("WindowGroupLimit") >= 2, "top-k lost WindowGroupLimit pushdown"
+
+
+@pytest.mark.parametrize(
+    "qname,min_hits",
+    [
+        ("text_tfidf_top_terms", 2),
+        # rake's rank window sits right above a same-keyed aggregate, so
+        # only the Final-mode limit survives (no partial pre-shuffle side)
+        ("text_rake_keywords", 1),
+        ("ann_bruteforce_topk", 2),
+        ("ann_recall_at_k", 4),
+        ("dedup_cluster_keep_best", 2),
+    ],
+)
+def test_rank_topk_plans_keep_windowgrouplimit(spark, sf_dir, qname, min_hits):
+    # every row_number()-under-rank-filter top-k in the registry relies on
+    # the WindowGroupLimit partial/final rewrite to pre-reduce per-partition
+    # before the window exchange; a regression (e.g. an added tie-break
+    # expression the rule can't push) silently reintroduces a full sort of
+    # the pre-filter frame — gate the rewrite everywhere it's load-bearing
+    plan = _physical(queries()[qname](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= min_hits, (
+        f"{qname} lost WindowGroupLimit pushdown"
+    )
 
 
 def test_pq_rerank_shortlist_join_no_cartesian(spark, sf_dir):
@@ -895,11 +926,20 @@ def test_lsh_calibration_pair_scale_joins(spark, sf_dir):
 
 
 def test_triangle_count_equi_joins_only(spark, sf_dir):
-    # pair generation is order-local; wedge + closure are EQUI-joins on
-    # vertex keys — a cartesian or NLJ here is the classic N^2 trap
+    # pair generation is order-local; orientation + adjacency attach are
+    # EQUI-joins on vertex keys — a cartesian or NLJ here is the classic
+    # N^2 trap. The degree orientation (Schank-Wagner) must be visible:
+    # the closure explodes array_intersect over per-source adjacency
+    # (one Generate each for the corner fan-out and the intersection),
+    # and the O(|E|^1.5) wedge frame must never hit an exchange — no
+    # shuffle on a wedge-shaped (src, b, c) key set, and pairs/edges are
+    # persisted (no re-run of the lineitem self-join per consumer)
     plan = _physical(queries()["graph_triangle_count"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan, "degree-oriented closure missing"
+    assert plan.count("InMemoryTableScan") >= 3  # edges x2(adj)+arcs or pairs
+    spark.catalog.clearCache()
 
 
 def test_incremental_refresh_merges_partials(spark, sf_dir):
@@ -952,9 +992,13 @@ def test_range_search_prune_is_barriered(spark, sf_dir):
     assert "CartesianProduct" not in plan
     gen = plan.index("Generate")
     # prune filter (block-norm bound) sits BELOW the barrier, exact
-    # cosine threshold sits ABOVE it — physical plans print top-down
+    # cosine threshold sits ABOVE it — physical plans print top-down, so
+    # the rounded exact-cosine expression must appear only before the
+    # Generate line and never in the subtree under it (where the prune's
+    # un-rounded block-norm bound lives)
     above, below = plan[:gen], plan[gen:]
-    assert "round(" in above and "round(" not in below.split("Generate", 1)[-1].split("BroadcastNestedLoopJoin")[0] or True
+    assert "round(" in above, "exact cosine threshold missing above the barrier"
+    assert "round(" not in below, "exact cosine leaked below the Generate barrier"
 
 
 def test_cusum_windows_share_user_day_sort(spark, sf_dir):

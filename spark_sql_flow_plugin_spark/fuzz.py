@@ -42,9 +42,18 @@ in both dialects, matching the driver's sort-columns-by-name compare.
 
 Shapes drawn per seed: join-chain aggregates (optional HAVING), sampled
 projections (DISTINCT sometimes), window batteries over grouped frames,
-set operations (UNION/UNION ALL/INTERSECT/EXCEPT over same-schema
-branches), ROLLUP, and subquery forms (IN / correlated EXISTS / scalar
-comparison) — the consumed-query families of SURVEY.md §2.D.
+set operations (UNION/UNION ALL over aggregate branches;
+INTERSECT/EXCEPT over DISTINCT key projections — aggregate tuples from
+differently-filtered branches are near-always disjoint, which checks
+nothing), ROLLUP, subquery forms (IN / correlated EXISTS / scalar
+comparison), and the Generate surface (explode/unnest of split() and
+collect_set/list(DISTINCT) arrays, posexplode-with-ordinality zipped to
+DuckDB's parallel unnest()s, stack() unpivot vs its UNION ALL
+desugaring) — the consumed-query families of SURVEY.md §2.D. Predicates
+in emptiness-prone positions (subquery filters, set-op branches) draw
+from a satisfiability-biased family most of the time, so each shape's
+seeds mostly compare POPULATED results (per-shape floors are asserted
+in tests/test_differential_fuzz.py).
 
 Reference corpus analogue: the reference's own test inputs are likewise
 hand-picked SQL files (src/test/resources/sql-flow-tests/inputs/*.sql);
@@ -354,6 +363,45 @@ def _bool_expr(rng: random.Random, cols, depth: int = 2) -> Ex:
         )
     a = _bool_expr(rng, cols, depth - 1)
     return Ex(f"(NOT {a.spark})", f"(NOT {a.duck})", "bool")
+
+
+def _sat_bool(rng: random.Random, cols) -> Ex:
+    """A predicate biased toward SATISFIABILITY (>= ~1/3 of rows in
+    expectation): subquery/set-op shapes that draw fully-random
+    predicates skew toward empty results at small scale factors, and an
+    empty-vs-empty agreement checks less than a populated one (round-11
+    verdict #1). Comparison structure still varies; only the selectivity
+    is pinned high."""
+    r = rng.random()
+    if r < 0.45:
+        a = _int_col(rng, cols)
+        k = rng.choice([3, 4, 5])
+        j = rng.randint(k // 2, k - 1)  # keeps >= half the residues
+        return Ex(
+            f"((abs({a.spark}) % {k}) <= {j})",
+            f"((abs({a.duck}) % {k}) <= {j})",
+            "bool",
+        )
+    if r < 0.70:
+        sc = _str_col(rng, cols)
+        if sc is not None and sc[1]:
+            col, pool = sc
+            n = max(1, len(pool) - 1)  # most of the pool
+            vals = rng.sample(pool, rng.randint(max(1, n - 1), n))
+            inlist = ", ".join(f"'{v}'" for v in vals)
+            return _same(f"({col} IN ({inlist}))", "bool")
+    d = _date_col(rng, cols)
+    if d is not None and rng.random() < 0.6:
+        # one wide half-open range (the pool spans the data's range)
+        if rng.random() < 0.5:
+            return _same(
+                f"(CAST({d} AS DATE) >= DATE '{_DATE_POOL[0]}')", "bool"
+            )
+        return _same(
+            f"(CAST({d} AS DATE) <= DATE '{_DATE_POOL[-1]}')", "bool"
+        )
+    a = _int_col(rng, cols)
+    return Ex(f"({a.spark} >= 0)", f"({a.duck} >= 0)", "bool")
 
 
 def _sum_arg(rng: random.Random, cols) -> Ex:
@@ -671,12 +719,37 @@ def _shape_window(rng: random.Random):
 
 def _shape_setop(rng: random.Random):
     frm, cols = _chain(rng)
+    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    nb = 3 if rng.random() < 0.3 else 2
+    if op in ("INTERSECT", "EXCEPT"):
+        # key-set semantics, not aggregate rows: INTERSECT/EXCEPT over
+        # (key, SUM) tuples from differently-filtered branches is
+        # near-always empty (the agg values differ even when keys
+        # match) — checking nothing. DISTINCT key projections under
+        # satisfiable filters actually intersect (round-11 verdict #1).
+        items = _group_keys(rng, cols, rng.randint(1, 2))
+        wheres = [
+            _sat_bool(rng, cols) if rng.random() < 0.8
+            else _bool_expr(rng, cols)
+            for _ in range(nb)
+        ]
+        out = []
+        for d in ("spark", "duck"):
+            branches = [
+                "SELECT * FROM ("
+                + _render(items, frm, w, distinct=True, dialect=d)
+                + f") b{i}"
+                for i, w in enumerate(wheres)
+            ]
+            out.append(f" {op} ".join(branches))
+        return tuple(out)
     keys = _group_keys(rng, cols, 1)
     aggs = _aggs(rng, cols, rng.randint(1, 2))
     items = keys + aggs
-    nb = 3 if rng.random() < 0.3 else 2
-    wheres = [_bool_expr(rng, cols) for _ in range(nb)]
-    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    wheres = [
+        _sat_bool(rng, cols) if rng.random() < 0.5 else _bool_expr(rng, cols)
+        for _ in range(nb)
+    ]
     out = []
     for d in ("spark", "duck"):
         branches = [
@@ -694,7 +767,12 @@ def _shape_subq(rng: random.Random):
         fk, pk = [s.strip() for s in cond.split("=")]
         cols = _cols_of([fact])
         dcols = _cols_of([dim])
-        pred = _bool_expr(rng, dcols)
+        # satisfiability bias (round-11 verdict #1): an unsatisfiable dim
+        # predicate empties the whole IN result; keep 30% adversarial
+        pred = (
+            _sat_bool(rng, dcols) if rng.random() < 0.7
+            else _bool_expr(rng, dcols)
+        )
         keys = _group_keys(rng, cols, 1)
         aggs = _aggs(rng, cols, rng.randint(1, 2))
         items = keys + aggs
@@ -716,7 +794,10 @@ def _shape_subq(rng: random.Random):
         fk, pk = [s.strip() for s in cond.split("=")]
         pcols = _cols_of([parent])
         ccols = _cols_of([child])
-        pred = _bool_expr(rng, ccols)
+        pred = (
+            _sat_bool(rng, ccols) if rng.random() < 0.7
+            else _bool_expr(rng, ccols)
+        )
         keys = _group_keys(rng, pcols, 1)
         aggs = _aggs(rng, pcols, 1)
         items = keys + aggs
@@ -741,7 +822,10 @@ def _shape_subq(rng: random.Random):
     sub_t = rng.choice(["orders", "lineitem", "part"])
     scols = _cols_of([sub_t])
     sa = _sum_arg(rng, scols)
-    spred = _bool_expr(rng, scols, 1)
+    spred = (
+        _sat_bool(rng, scols) if rng.random() < 0.7
+        else _bool_expr(rng, scols, 1)
+    )
     keys = _group_keys(rng, cols, 1)
     aggs = _aggs(rng, cols, 1)
     items = keys + aggs
@@ -819,6 +903,157 @@ def _shape_agg2(rng: random.Random):
     return tuple(out)
 
 
+# (table, string column, separator) pools for the Generate shapes —
+# every listed column is non-null in TPC-H, so explode/unnest row counts
+# agree without null-handling conventions
+_SPLIT_POOL = [
+    ("part", "p_name", " "),
+    ("orders", "o_orderpriority", "-"),
+    ("customer", "c_name", "#"),
+    ("nation", "n_name", "_"),
+]
+
+
+def _samp_conjunct(rng: random.Random, cols) -> Ex:
+    """Mandatory sampling conjunct (the proj shape's device) bounding raw
+    row-stream outputs."""
+    key = _int_col(rng, cols)
+    k = rng.choice([13, 31, 53, 97])
+    res = rng.randint(0, k - 1)
+    return Ex(
+        f"((abs({key.spark}) % {k}) = {res})",
+        f"((abs({key.duck}) % {k}) = {res})",
+        "bool",
+    )
+
+
+def _shape_explode(rng: random.Random):
+    """Generate surface #1: explode/unnest of split() token arrays and of
+    grouped collect_set/list(DISTINCT) arrays — the reference corpus
+    leans on explode (SQLFlow.scala:386-399 is a dedicated Generate
+    lineage rule), and the grammar previously never emitted one."""
+    if rng.random() < 0.55:
+        tbl, scol, sep = rng.choice(_SPLIT_POOL)
+        cols = _cols_of([tbl])
+        if rng.random() < 0.5:
+            # token-count aggregate: output bounded by vocabulary
+            where = (
+                _sat_bool(rng, cols) if rng.random() < 0.5 else None
+            )
+            out = []
+            for d in ("spark", "duck"):
+                gen = (
+                    f"explode(split({scol}, '{sep}'))"
+                    if d == "spark"
+                    else f"unnest(string_split({scol}, '{sep}'))"
+                )
+                w = (
+                    f" WHERE {getattr(where, d)}" if where is not None else ""
+                )
+                out.append(
+                    f"SELECT c0, CAST(COUNT(*) AS BIGINT) AS c1 FROM "
+                    f"(SELECT {gen} AS c0 FROM {tbl}{w}) g GROUP BY c0"
+                )
+            return tuple(out)
+        # raw token stream, sampled to bound output
+        samp = _samp_conjunct(rng, cols)
+        out = []
+        for d in ("spark", "duck"):
+            gen = (
+                "explode(split(s, '" + sep + "'))"
+                if d == "spark"
+                else "unnest(string_split(s, '" + sep + "'))"
+            )
+            side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+            out.append(
+                f"SELECT c0, {gen} AS c1 FROM "
+                f"(SELECT {scol} AS s, CAST(length({scol}) AS INT) AS c0 "
+                f"FROM {tbl} WHERE {side(samp)}) b"
+            )
+        return tuple(out)
+    # grouped collect_set / list(DISTINCT) round-trip through explode:
+    # the IS NOT NULL conjunct keeps conventions aligned (collect_set
+    # drops NULLs, DuckDB list(DISTINCT) keeps them)
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 1)
+    a = _int_col(rng, cols)
+    k = rng.choice([5, 7, 13])
+    elem = Ex(
+        f"(abs({a.spark}) % {k})", f"(abs({a.duck}) % {k})", "int", k
+    )
+    where = _sat_bool(rng, cols) if rng.random() < 0.6 else None
+    out = []
+    for d in ("spark", "duck"):
+        side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+        coll = (
+            f"collect_set({side(elem)})"
+            if d == "spark"
+            else f"list(DISTINCT {side(elem)})"
+        )
+        gen = "explode(arr)" if d == "spark" else "unnest(arr)"
+        w = f"{side(elem)} IS NOT NULL"
+        if where is not None:
+            w += f" AND {side(where)}"
+        inner = (
+            f"SELECT {side(keys[0])} AS c0, {coll} AS arr FROM {frm} "
+            f"WHERE {w} GROUP BY c0"
+        )
+        out.append(f"SELECT c0, {gen} AS c1 FROM ({inner}) g")
+    return tuple(out)
+
+
+def _shape_posexplode(rng: random.Random):
+    """Generate surface #2: posexplode with ordinality arithmetic. The
+    DuckDB pairing zips two parallel unnest()s positionally (its
+    WITH-ORDINALITY substitute; generate_series(1, len) matches Spark's
+    0-based pos + 1)."""
+    tbl, scol, sep = rng.choice(_SPLIT_POOL)
+    cols = _cols_of([tbl])
+    samp = _samp_conjunct(rng, cols)
+    mul = rng.randint(2, 9)
+    spark_q = (
+        f"SELECT c0, CAST(p + 1 AS INT) AS c1, tok AS c2, "
+        f"CAST((p + 1) * (length(tok) + {mul}) AS INT) AS c3 "
+        f"FROM (SELECT {scol} AS s, CAST(length({scol}) AS INT) AS c0 "
+        f"FROM {tbl} WHERE {samp.spark}) b "
+        f"LATERAL VIEW posexplode(split(s, '{sep}')) t AS p, tok"
+    )
+    duck_q = (
+        f"SELECT c0, CAST(p AS INT) AS c1, tok AS c2, "
+        f"CAST(p * (length(tok) + {mul}) AS INT) AS c3 FROM "
+        f"(SELECT CAST(length({scol}) AS INT) AS c0, "
+        f"unnest(generate_series(1, len(string_split({scol}, '{sep}')))) AS p, "
+        f"unnest(string_split({scol}, '{sep}')) AS tok "
+        f"FROM {tbl} WHERE {samp.duck}) b"
+    )
+    return spark_q, duck_q
+
+
+def _shape_stack(rng: random.Random):
+    """Generate surface #3: stack() unpivot (Spark) vs the two-branch
+    UNION ALL it desugars to (DuckDB has no stack)."""
+    frm, cols = _chain(rng)
+    samp = _samp_conjunct(rng, cols)
+    e1 = _int_expr(rng, cols, 1)
+    e2 = _int_expr(rng, cols, 1)
+    key = _int_col(rng, cols)
+    spark_q = (
+        f"SELECT {key.spark} AS c0, c1, CAST(c2 AS BIGINT) AS c2 "
+        f"FROM {frm} "
+        f"LATERAL VIEW stack(2, 'a', CAST({e1.spark} AS BIGINT), "
+        f"'b', CAST({e2.spark} AS BIGINT)) s AS c1, c2 "
+        f"WHERE {samp.spark}"
+    )
+    duck_q = (
+        f"SELECT {key.duck} AS c0, 'a' AS c1, "
+        f"CAST({e1.duck} AS BIGINT) AS c2 FROM {frm} WHERE {samp.duck} "
+        f"UNION ALL "
+        f"SELECT {key.duck} AS c0, 'b' AS c1, "
+        f"CAST({e2.duck} AS BIGINT) AS c2 FROM {frm} WHERE {samp.duck}"
+    )
+    return spark_q, duck_q
+
+
 _SHAPES = [
     (_shape_agg, 24),
     (_shape_proj, 15),
@@ -828,6 +1063,9 @@ _SHAPES = [
     (_shape_subq, 12),
     (_shape_toplimit, 8),
     (_shape_agg2, 8),
+    (_shape_explode, 10),
+    (_shape_posexplode, 6),
+    (_shape_stack, 6),
 ]
 
 

@@ -40,24 +40,51 @@ def test_generator_is_deterministic():
         assert fuzz.gen_pair(seed) == fuzz.gen_pair(seed)
 
 
+ALL_SHAPES = {
+    "agg",
+    "proj",
+    "window",
+    "setop",
+    "rollup",
+    "subq",
+    "toplimit",
+    "agg2",
+    "explode",
+    "posexplode",
+    "stack",
+}
+
+
 def test_generator_covers_all_shapes():
     shapes = {fuzz.gen_pair(s)[0] for s in range(N_SEEDS)}
-    assert shapes == {"agg", "proj", "window", "setop", "rollup", "subq", "toplimit", "agg2"}
+    assert shapes == ALL_SHAPES
 
 
 def test_differential_fuzz_200_seeds(spark, sf_dir, duck_con):
     register_views(spark, sf_dir, *fuzz.FUZZ_TABLES)
     failures = []
-    n_nonempty = 0
+    total: dict[str, int] = {}
+    nonempty: dict[str, int] = {}
     for seed in list(range(N_SEEDS)) + _REGRESSION_SEEDS:
         rec = fuzz.run_seed(spark, duck_con, seed)
+        total[rec["shape"]] = total.get(rec["shape"], 0) + 1
         if not rec["ok"]:
             failures.append(
                 f"seed={seed} shape={rec['shape']}: {rec['err']}\n"
                 f"  spark: {rec['spark_sql']}\n  duck:  {rec['duck_sql']}"
             )
         elif rec["n_rows"]:
-            n_nonempty += 1
+            nonempty[rec["shape"]] = nonempty.get(rec["shape"], 0) + 1
     assert not failures, "\n".join(failures[:5])
-    # the run must actually exercise values, not just empty schemas
-    assert n_nonempty >= N_SEEDS // 2
+    # PER-SHAPE non-empty floor (round-11 verdict #1): an empty-vs-empty
+    # agreement checks less than a populated one, and a single global
+    # floor lets one shape quietly go near-vacuous. Every shape must
+    # mostly compare populated results.
+    weak = {
+        sh: f"{nonempty.get(sh, 0)}/{n}"
+        for sh, n in total.items()
+        if nonempty.get(sh, 0) < max(1, n // 4)
+    }
+    assert not weak, f"near-vacuous shapes (nonempty/total): {weak}"
+    # and the run overall must exercise values, not just empty schemas
+    assert sum(nonempty.values()) >= N_SEEDS // 2

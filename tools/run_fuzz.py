@@ -35,12 +35,17 @@ def main() -> int:
 
     n_ok = 0
     failures = []
+    total: dict[str, int] = {}
+    nonempty: dict[str, int] = {}
     t_all = time.time()
     for seed in range(start, start + n):
         t0 = time.time()
         rec = fuzz.run_seed(spark, con, seed)
+        total[rec["shape"]] = total.get(rec["shape"], 0) + 1
         if rec["ok"]:
             n_ok += 1
+            if rec["n_rows"]:
+                nonempty[rec["shape"]] = nonempty.get(rec["shape"], 0) + 1
             print(
                 f"pass  seed={seed} shape={rec['shape']}"
                 f" rows={rec['n_rows']} [{time.time()-t0:.1f}s]"
@@ -50,6 +55,9 @@ def main() -> int:
             print(f"FAIL  seed={seed} shape={rec['shape']}: {rec['err']}")
             print(f"  spark: {rec['spark_sql']}")
             print(f"  duck:  {rec['duck_sql']}")
+    print("\nper-shape non-empty counts (nonempty/total):")
+    for sh in sorted(total):
+        print(f"  {sh:12s} {nonempty.get(sh, 0):4d} / {total[sh]}")
     print(
         f"\n{n_ok} pass, {len(failures)} fail / {n} seeds"
         f" (sf_dir={sf_dir}, start={start}) [{time.time()-t_all:.0f}s]"

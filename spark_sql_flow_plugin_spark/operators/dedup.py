@@ -2051,3 +2051,122 @@ def dedup_containment(spark, sf_dir):
         "containment_q6",
     )
     return scope_caches(out, fps)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — b-bit minhash (Li & Konig 2010) estimator quality
+# ---------------------------------------------------------------------------
+
+_BBIT_B = 8
+_BBIT_MOD = 1 << _BBIT_B  # keep only the low b bits of each minhash
+
+
+def _bbit_sql() -> str:
+    m16 = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(16)
+    )
+    m8 = " + ".join(
+        f"(CASE WHEN sa.mh{j} % {_BBIT_MOD} = sb.mh{j} % {_BBIT_MOD}"
+        f" THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+    WITH {_DUCK_MINHASH_CTES},
+    m AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({m16} AS INT) AS m16,
+               CAST({m8} AS INT) AS m8,
+               len(list_intersect(ta.shingles, tb.shingles)) AS ia,
+               len(ta.shingles) AS na, len(tb.shingles) AS nb
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        JOIN sets ta ON ta.doc_id = c.doc_a
+        JOIN sets tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(1000000.0 * ia / (na + nb - ia)) AS BIGINT)
+             AS exact_q6,
+           m16, m8,
+           CAST((1000000::BIGINT * m16) // 16 AS BIGINT) AS est16_q6,
+           CAST((1000000::BIGINT * GREATEST(0, {_BBIT_MOD} * m8 - 16))
+                // (16 * {_BBIT_MOD - 1}) AS BIGINT) AS est8_q6
+    FROM m
+    """
+
+
+@register(
+    "dedup_bbit_minhash",
+    _bbit_sql(),
+    "dedup",
+)
+def dedup_bbit_minhash(spark, sf_dir):
+    """b-bit minhash (Li & Konig, "b-Bit Minwise Hashing", WWW 2010):
+    store only the LOW {_BBIT_B} bits of each minhash permutation —
+    {_BBIT_B}/32 of the signature bytes — and undo the accidental-
+    collision inflation with the paper's unbiased estimator
+    J = (Pb - C) / (1 - C), C = 2^-b: with b=8 and 16 permutations the
+    signature drops from 64 to 16 bytes while the estimate stays usable.
+    Output per LSH candidate pair: exact Jaccard (q6), full-width and
+    b-bit match counts, and both estimators (q6) — the space/accuracy
+    tradeoff table a dedup pipeline consults when sizing its signature
+    store.
+
+    Cross-engine exactness: match counts are integer CASE sums; the
+    estimators are pure BIGINT arithmetic with the negative-bias case
+    clamped BEFORE the division (GREATEST(0, 256*m8 - 16), so the
+    truncation direction of negative division never matters); the exact
+    Jaccard is one IEEE double division of exact ints, floor-quantized.
+
+    Scale posture: candidates come from the banded LSH join (never
+    all-pairs); the signature table is doc-grain and equi-joined twice;
+    match counts are row-local expressions over the 16 signature
+    columns. sets/sig persist via minhash_signatures (multiple
+    consumers), released by scope_caches."""
+    sets, sig = minhash_signatures(spark, sf_dir)
+    cand = _minhash_candidates(sig)
+    m16 = None
+    m8 = None
+    for j in range(16):
+        t16 = F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
+        t8 = F.when(
+            F.col(f"sa.mh{j}") % _BBIT_MOD == F.col(f"sb.mh{j}") % _BBIT_MOD, 1
+        ).otherwise(0)
+        m16 = t16 if m16 is None else m16 + t16
+        m8 = t8 if m8 is None else m8 + t8
+    inter = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles")))
+    union_n = F.size("ta.shingles") + F.size("tb.shingles") - inter
+    joined = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(sets.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(sets.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            m16.cast("int").alias("m16"),
+            m8.cast("int").alias("m8"),
+            inter.cast("bigint").alias("ia"),
+            (F.size("ta.shingles")).cast("bigint").alias("na"),
+            (F.size("tb.shingles")).cast("bigint").alias("nb"),
+        )
+    )
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        F.floor(
+            F.lit(1000000.0) * F.col("ia") / (F.col("na") + F.col("nb") - F.col("ia"))
+        )
+        .cast("bigint")
+        .alias("exact_q6"),
+        "m16",
+        "m8",
+        F.expr(
+            "CAST((CAST(1000000 AS BIGINT) * m16) DIV 16 AS BIGINT)"
+        ).alias("est16_q6"),
+        F.expr(
+            f"CAST((CAST(1000000 AS BIGINT)"
+            f" * GREATEST(0, {_BBIT_MOD} * m8 - 16))"
+            f" DIV (16 * {_BBIT_MOD - 1}) AS BIGINT)"
+        ).alias("est8_q6"),
+    )
+    return scope_caches(out, sets, sig)

@@ -399,3 +399,125 @@ def graph_triangle_count(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_tri")
     ).select(F.col("node").cast("bigint").alias("node"), "n_tri")
     return scope_caches(out, pairs, edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — iterative k-core peeling on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(div: str) -> str:
+    """Unrolled peel rounds; identical text both engines except integer
+    division (Spark DIV / DuckDB //)."""
+    ctes = [
+        """pairs AS (
+        SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """deg0 AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT i AS node FROM pairs
+              UNION ALL SELECT j AS node FROM pairs) v
+        GROUP BY node)""",
+        f"""kthr AS (
+        SELECT CAST((SUM(d) * 3) {div} (COUNT(*) * 4) AS BIGINT) AS k
+        FROM deg0)""",
+        "e0 AS (SELECT i, j FROM pairs)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""keep{r} AS (
+        SELECT node FROM deg{r} WHERE d >= (SELECT k FROM kthr))"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS (
+        SELECT e{r}.i, e{r}.j FROM e{r}
+        JOIN keep{r} a ON e{r}.i = a.node
+        JOIN keep{r} b ON e{r}.j = b.node)"""
+        )
+        ctes.append(
+            f"""deg{r + 1} AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT i AS node FROM e{r + 1}
+              UNION ALL SELECT j AS node FROM e{r + 1}) v
+        GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, d AS core_deg
+    FROM deg{_KCORE_ROUNDS}"""
+    )
+
+
+@register(
+    "graph_kcore_peel",
+    _kcore_sql("//"),
+    "graph",
+)
+def graph_kcore_peel(spark, sf_dir):
+    """Iterative k-core peeling (Seidman 1983 cores; the standard
+    crawl-graph curation signal next to PageRank and triangle density —
+    pages outside a deep core are link-farm leaves and isolated chaff).
+    Threshold k = 3/4 of the mean degree (exact BIGINT arithmetic on
+    the degree table, so both engines derive the identical k — the
+    near-regular co-purchase graph has a sharp peel phase transition,
+    and 3/4 x mean peels the thin tail at every SF without cascading
+    the whole graph away); each round
+    drops every node with current degree < k and re-induces the edge
+    set, {_KCORE_ROUNDS} rounds unrolled. Output: surviving nodes with
+    their induced-subgraph degree.
+
+    A full decomposition loops to fixpoint; the fixed-round form is the
+    honest declarative unroll (graph_pagerank_centrality's K=5
+    convention) — at fixpoint-chasing scale the driver loop with
+    localCheckpoint every few rounds is the variant, same per-round
+    plan.
+
+    100 TB posture: each round is one degree aggregation (map-side
+    combinable) plus two node-grain semi-join-shaped equi-joins that AQE
+    broadcasts at dimension size — never a cross; edge rows only ever
+    shrink. Each round's edge frame is persisted (two consumers: its
+    degree aggregate and the next induction join). The threshold scalar
+    is collected once driver-side (colbert's closed-over-query-set
+    pattern) so every round's filter is a literal comparison.
+
+    Oracle: the identical unrolled SQL (integer division spelled // for
+    DuckDB, DIV for Spark)."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scope_caches
+
+    pairs = _co_purchase_pairs(spark, sf_dir).persist()
+
+    def degree(edges):
+        return (
+            edges.select(F.col("i").alias("node"))
+            .unionAll(edges.select(F.col("j").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    deg0 = degree(pairs)
+    k = deg0.agg(
+        F.expr("CAST((SUM(d) * 3) DIV (COUNT(*) * 4) AS BIGINT)").alias("k")
+    ).collect()[0].k
+    edges = pairs
+    cached = [pairs]
+    for _ in range(_KCORE_ROUNDS):
+        keep = degree(edges).where(F.col("d") >= k).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "i"), "i")
+            .join(keep.withColumnRenamed("node", "j"), "j")
+            .select("i", "j")
+            .persist()
+        )
+        cached.append(edges)
+    out = degree(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("d").alias("core_deg"),
+    )
+    return scope_caches(out, *cached)

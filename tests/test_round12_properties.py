@@ -120,3 +120,128 @@ def test_orientation_is_bijection_on_edges(spark):
     for r in rows:
         assert (deg[r.src], r.src) < (deg[r.dst], r.dst)
         assert r.dord == deg[r.dst] * base + r.dst
+
+
+# ---------------------------------------------------------------------------
+# round-12 operators: kcore / binary-sign rerank / b-bit minhash
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_matches_python_peel_reference(spark, sf_dir):
+    # independent reference: load the co-purchase edges in python, derive
+    # the identical integer threshold, peel the same fixed rounds
+    import duckdb
+
+    from spark_sql_flow_plugin_spark.operators.graphs import _KCORE_ROUNDS
+    from spark_sql_flow_plugin_spark.registry import queries as _qs
+
+    got = {
+        r.node: r.core_deg
+        for r in _qs()["graph_kcore_peel"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+        FROM read_parquet('{sf_dir}/lineitem.parquet') a
+        JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+
+    def degree(es):
+        d: dict = {}
+        for i, j in es:
+            d[i] = d.get(i, 0) + 1
+            d[j] = d.get(j, 0) + 1
+        return d
+
+    d0 = degree(edges)
+    k = (sum(d0.values()) * 3) // (len(d0) * 4)
+    es = edges
+    for _ in range(_KCORE_ROUNDS):
+        d = degree(es)
+        keep = {n for n, deg in d.items() if deg >= k}
+        es = [(i, j) for i, j in es if i in keep and j in keep]
+    want = degree(es)
+    assert got == want
+    # the peel must actually bite: strictly fewer nodes than the raw graph
+    assert 0 < len(got) < len(d0)
+
+
+def test_binary_rerank_matches_python_reference(spark, sf_dir):
+    # full two-stage reference in python over the raw embeddings: sign
+    # packing, Hamming shortlist (ties by neighbor_id), exact rerank
+    import duckdb
+
+    from spark_sql_flow_plugin_spark.operators.similarity import (
+        _BQ_K,
+        _BQ_NQ,
+        _BQ_SHORTLIST,
+    )
+    from spark_sql_flow_plugin_spark.registry import queries as _qs
+
+    rows = _qs()["ann_binary_sign_rerank"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    vecs = {
+        v: list(e)
+        for v, e in con.sql(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+    signs = {v: [1 if x >= 0 else 0 for x in e] for v, e in vecs.items()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    want = []
+    for q in range(_BQ_NQ):
+        hams = sorted(
+            (
+                (sum(a != b for a, b in zip(signs[q], signs[c])), c)
+                for c in vecs
+                if c >= _BQ_NQ
+            ),
+        )[:_BQ_SHORTLIST]
+        rer = sorted(
+            ((-cos(vecs[q], vecs[c]), c, h) for h, c in hams)
+        )[:_BQ_K]
+        for rnk, (negcos, c, h) in enumerate(rer, 1):
+            want.append((q, c, h, -negcos, rnk))
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.hamming, r.cos_sim, r.rnk) for r in rows
+    )
+    want = sorted(want)
+    # discrete fields exact; cosine to near-ulp (python round() is
+    # banker's, SQL ROUND is half-up — same doubles, different tie rule)
+    assert [(g[0], g[1], g[2], g[4]) for g in got] == [
+        (w[0], w[1], w[2], w[4]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+def test_bbit_minhash_estimator_invariants(spark, sf_dir):
+    # low-bit matches are a superset of full-width matches; estimators
+    # are exact integer functions of the counts; planted exact dups
+    # (augmented corpus) pin the whole chain at 1e6
+    from spark_sql_flow_plugin_spark.registry import queries as _qs
+
+    rows = _qs()["dedup_bbit_minhash"](spark, sf_dir).collect()
+    assert rows
+    saw_exact_dup = False
+    for r in rows:
+        assert 0 <= r.m16 <= 16 and 0 <= r.m8 <= 16
+        assert r.m8 >= r.m16, "a full-width match must match in low bits"
+        assert r.est16_q6 == (1_000_000 * r.m16) // 16
+        assert r.est8_q6 == (1_000_000 * max(0, 256 * r.m8 - 16)) // (16 * 255)
+        assert 0 <= r.est8_q6 <= 1_000_000
+        if r.exact_q6 == 1_000_000:
+            saw_exact_dup = True
+            assert r.m16 == 16 and r.m8 == 16
+            assert r.est16_q6 == 1_000_000 and r.est8_q6 == 1_000_000
+    assert saw_exact_dup, "augmented corpus must contain exact-dup pairs"

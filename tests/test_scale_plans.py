@@ -1036,3 +1036,47 @@ def test_containment_candidates_banded_never_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan  # the df-cap hot-set filter
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------------------
+# Round 12 operators
+# --------------------------------------------------------------------------
+
+
+def test_kcore_rounds_reuse_cached_edges(spark, sf_dir):
+    # every peel round consumes the PREVIOUS round's persisted edge frame
+    # (degree aggregate + induction join) — without the caches each round
+    # re-runs the lineitem self-join; and the induction joins are
+    # equi-joins on node keys, never a cross
+    plan = _physical(queries()["graph_kcore_peel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 4  # pairs + 3 round frames
+    spark.catalog.clearCache()
+
+
+def test_binary_rerank_is_two_stage(spark, sf_dir):
+    # stage 1 must be pure bit work (bit_count over packed words) under
+    # the Hamming WindowGroupLimit; the exact cosine (zip_with fold) must
+    # sit ABOVE the shortlist limit, evaluated only on Q x SHORTLIST rows
+    # — plans print top-down, so the cosine appears before the LAST
+    # (deepest) WindowGroupLimit and the bit work after the cosine
+    plan = _physical(queries()["ann_binary_sign_rerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 8-row query cross
+    assert plan.count("WindowGroupLimit") >= 3  # rnk final + hrnk partial/final
+    assert "bit_count" in plan
+    assert plan.index("zip_with") < plan.rindex("WindowGroupLimit"), (
+        "exact cosine leaked below the Hamming shortlist limit"
+    )
+    assert plan.index("bit_count") > plan.index("zip_with")
+
+
+def test_bbit_minhash_no_allpairs(spark, sf_dir):
+    # candidates come from the banded LSH join; signature/shingle
+    # attachments are doc-grain equi-joins over the persisted frames
+    plan = _physical(queries()["dedup_bbit_minhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # sets + sig caches
+    spark.catalog.clearCache()

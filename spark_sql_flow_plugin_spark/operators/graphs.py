@@ -521,3 +521,131 @@ def graph_kcore_peel(spark, sf_dir):
         F.col("d").alias("core_deg"),
     )
     return scope_caches(out, *cached)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — HITS hubs & authorities on the synthetic link graph
+# ---------------------------------------------------------------------------
+
+_HITS_K = 4
+
+
+def _hits_sql(dialect: str) -> str:
+    """Unrolled HITS over the pagerank module's md5-derived link graph.
+    UNNORMALIZED fixed-point: every score is an exact BIGINT sum, so the
+    whole iteration is order-independent integer arithmetic (the repo's
+    pagerank convention). Normalization only rescales — ranks are
+    identical — and skipping it keeps the cross-engine contract trivial;
+    magnitudes grow by at most max_in_deg x max_out_deg per round, far
+    inside int64 for {_HITS_K} rounds at any SF here (bound documented
+    in the operator docstring)."""
+    ctes = _edges_sql(dialect) + f""",
+    h0 AS (SELECT doc_id, CAST({_SCALE} AS BIGINT) AS h FROM nodes)"""
+    for t in range(1, _HITS_K + 1):
+        ctes += f""",
+    ain{t} AS (
+        SELECT e.dst AS doc_id, CAST(SUM(p.h) AS BIGINT) AS a
+        FROM edges e JOIN h{t - 1} p ON e.src = p.doc_id
+        GROUP BY e.dst),
+    a{t} AS (
+        SELECT nd.doc_id, COALESCE(s.a, 0) AS a
+        FROM nodes nd LEFT JOIN ain{t} s ON nd.doc_id = s.doc_id),
+    hout{t} AS (
+        SELECT e.src AS doc_id, CAST(SUM(q.a) AS BIGINT) AS h
+        FROM edges e JOIN a{t} q ON e.dst = q.doc_id
+        GROUP BY e.src),
+    h{t} AS (
+        SELECT nd.doc_id, COALESCE(s.h, 0) AS h
+        FROM nodes nd LEFT JOIN hout{t} s ON nd.doc_id = s.doc_id)"""
+    return f"""
+    WITH {ctes}
+    SELECT h.doc_id, CAST(h.h AS BIGINT) AS hub_fp,
+           CAST(a.a AS BIGINT) AS auth_fp
+    FROM h{_HITS_K} h JOIN a{_HITS_K} a ON h.doc_id = a.doc_id
+    """
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    _hits_sql("duckdb"),
+    "graph",
+    "curation",
+)
+def graph_hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    Environment"): the mutual hub/authority recursion — a page is a good
+    AUTHORITY if good hubs link to it, a good HUB if it links to good
+    authorities — over the same md5-derived synthetic link graph as
+    graph_pagerank_centrality. In crawl curation the two scores separate
+    content pages (authorities) from directory/aggregator pages (hubs),
+    a split PageRank's single score can't express.
+
+    Cross-engine exactness: UNNORMALIZED fixed-point — each round is two
+    exact BIGINT sum-aggregations (auth = sum of in-neighbor hub scores,
+    hub = sum of out-neighbor NEW auth scores); no division anywhere, so
+    no normalization convention to align. Unnormalized scores are a
+    positive rescaling of the normalized iteration round-for-round, so
+    ranks match textbook HITS. Magnitude bound: scores grow by at most
+    (max_in_deg x max_out_deg) per round — fanout {_FANOUT} and
+    md5-uniform in-degrees keep round-{_HITS_K} scores under ~1e16 even
+    at sf1, far inside int64 (the ANSI overflow gate would fail loudly,
+    not wrap, if a future SF broke this).
+
+    Scale posture: identical to pagerank — each round is one shuffle of
+    the cached edge list per direction plus a node-grain LEFT JOIN
+    fill; edges persist once (driver loop, not CTE inlining, which
+    would re-derive the edge list 2x{_HITS_K} times and plan the n_docs
+    scalar as nested-loop joins). At 100 TB the edge table is bucketed
+    on src/dst so both per-round joins co-locate.
+
+    Reference analogue: SURVEY §2.D graph-analytics family
+    (plans/graph_analytics.py consumes these scores for lineage-graph
+    centrality)."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scope_caches
+    from ..sources import load
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    n_docs = docs.count()
+    h32 = (
+        "cast(conv(substr(md5(concat(cast(src as string), ':', "
+        "cast(k as string))), 1, 8), 16, 10) as bigint)"
+    )
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _FANOUT + 1)])
+            ).alias("k"),
+        )
+        .select("src", F.expr(f"{h32} % {n_docs}").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    h = docs.select("doc_id", F.lit(_SCALE).cast("bigint").alias("h"))
+    a = None
+    for _ in range(_HITS_K):
+        ain = (
+            edges.join(h, edges.src == h.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        a = docs.join(ain, docs.doc_id == ain.dst, "left").select(
+            "doc_id", F.coalesce(F.col("a"), F.lit(0).cast("bigint")).alias("a")
+        )
+        hout = (
+            edges.join(a, edges.dst == a.doc_id)
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        h = docs.join(hout, docs.doc_id == hout.src, "left").select(
+            "doc_id", F.coalesce(F.col("h"), F.lit(0).cast("bigint")).alias("h")
+        )
+    out = h.join(a.withColumnRenamed("doc_id", "a_doc"), h.doc_id == F.col("a_doc")).select(
+        "doc_id",
+        F.col("h").alias("hub_fp"),
+        F.col("a").alias("auth_fp"),
+    )
+    return scope_caches(out, edges)

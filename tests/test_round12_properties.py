@@ -245,3 +245,48 @@ def test_bbit_minhash_estimator_invariants(spark, sf_dir):
             assert r.m16 == 16 and r.m8 == 16
             assert r.est16_q6 == 1_000_000 and r.est8_q6 == 1_000_000
     assert saw_exact_dup, "augmented corpus must contain exact-dup pairs"
+
+
+def test_hits_matches_python_reference(spark, sf_dir):
+    # independent python HITS on the same md5-derived link graph: exact
+    # integer recursion, compared value-for-value
+    import hashlib
+
+    import duckdb
+
+    from spark_sql_flow_plugin_spark.operators.graphs import (
+        _FANOUT,
+        _HITS_K,
+        _SCALE,
+    )
+    from spark_sql_flow_plugin_spark.registry import queries as _qs
+
+    got = {
+        r.doc_id: (r.hub_fp, r.auth_fp)
+        for r in _qs()["graph_hits_hubs_authorities"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    n = len(ids)
+    edges = []
+    for d in ids:
+        for k in range(1, _FANOUT + 1):
+            h32 = int(hashlib.md5(f"{d}:{k}".encode()).hexdigest()[:8], 16)
+            dst = h32 % n
+            if dst != d:
+                edges.append((d, dst))
+    h = {d: _SCALE for d in ids}
+    a = {}
+    for _ in range(_HITS_K):
+        a = {d: 0 for d in ids}
+        for s, t in edges:
+            a[t] += h[s]
+        h = {d: 0 for d in ids}
+        for s, t in edges:
+            h[s] += a[t]
+    assert got == {d: (h[d], a[d]) for d in ids}

@@ -1080,3 +1080,14 @@ def test_bbit_minhash_no_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 2  # sets + sig caches
     spark.catalog.clearCache()
+
+
+def test_hits_rounds_reuse_cached_edges(spark, sf_dir):
+    # both per-round joins (hub->auth and auth->hub) must consume the
+    # persisted edge list — CTE inlining would re-derive the md5 edge
+    # set 2K times; and every join is an equi-join on a vertex key
+    plan = _physical(queries()["graph_hits_hubs_authorities"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 8  # 2 joins x 4 rounds
+    spark.catalog.clearCache()

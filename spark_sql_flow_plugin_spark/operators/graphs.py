@@ -226,7 +226,13 @@ _TRI_SQL = f"""
 
 def _co_purchase_pairs(spark, sf_dir):
     """Distinct co-purchase part pairs (i < j), one row per undirected
-    edge — order-local generation, no skew (an order has <= 7 items)."""
+    edge — order-local generation, no skew (an order has <= 7 items).
+
+    Shape: ONE shuffle to order grain (collect_set) + in-row pair
+    explosion + the distinct — not the lineitem self-join the oracle
+    spells (two scans + a join exchange + the distinct; measured 2.1 vs
+    1.3 s at sf0.1, 7.1 vs 2.8 cold). Per-order fanout is C(7,2) max,
+    so the exploded stream is bounded and the collect_set array tiny."""
     from pyspark.sql import functions as F
 
     from ..sources import load
@@ -234,16 +240,11 @@ def _co_purchase_pairs(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")["lineitem"].select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j")
-    )
     return (
-        a.join(b, "ok")
-        .where(F.col("i") < F.col("j"))
-        .select("i", "j")
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("i"), "ps")
+        .select("i", F.explode(F.expr("filter(ps, x -> x > i)")).alias("j"))
         .distinct()
     )
 

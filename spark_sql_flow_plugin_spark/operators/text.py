@@ -1934,3 +1934,121 @@ def vocab_coverage_curve(spark, sf_dir):
             (F.col("cum_cnt").cast("double") / F.col("total")).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+_SPARK_W12 = (
+    "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+    "(x, y) -> struct(x AS w1, y AS w2))"
+)
+_DUCK_W12 = (
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> {'w1': toks[i], 'w2': toks[i + 1]})"
+)
+
+#: absolute discount D = 3/4 — Chen & Goodman's fixed-discount setting,
+#: chosen rational so every term stays exact integer arithmetic
+_KN_D_NUM, _KN_D_DEN = 3, 4
+
+
+@register(
+    "lm_kneser_ney_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_WTOKS} AS toks FROM documents),
+    big AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM (SELECT doc_id, unnest({_DUCK_W12}) AS p
+              FROM toks WHERE len(toks) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    n1f AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY w1),
+    n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2),
+    nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM c12)
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(
+               (1000000000 * ({_KN_D_DEN} * c12.c12 - {_KN_D_NUM}))
+                 // ({_KN_D_DEN} * c1.c1)
+               + ({_KN_D_NUM} * (1000000000 // {_KN_D_DEN})
+                  * n1f.n1f * n1b.n1b)
+                 // (c1.c1 * (SELECT nbb FROM nbb))
+           ) AS BIGINT) AS kn_score_q9
+    FROM big
+    JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+    JOIN c1 ON big.w1 = c1.w1
+    JOIN n1f ON big.w1 = n1f.w1
+    JOIN n1b ON big.w2 = n1b.w2
+    GROUP BY big.doc_id
+    """,
+    "text",
+    "llm-pipeline",
+)
+def lm_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999 fixed discount D=3/4) — the smoothing lm_bigram_score's
+    raw MLE lacks: P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1,.)/c1 *
+    N1+(.,w2)/N1+(..). The continuation-count backoff is what separates
+    "rare but productive" contexts from gibberish, so the KN score
+    filters boilerplate that fools the MLE model (repeated rare bigrams
+    score high under MLE but have no continuation diversity).
+
+    Cross-engine exactness: with D = 3/4 every term is exact BIGINT
+    arithmetic — term1 = (1e9*(4*c12-3)) DIV (4*c1) (c12 >= 1 keeps the
+    numerator positive), term2 = (3 * 250000000 * N1f * N1b) DIV
+    (c1 * N_types) — no float anywhere; the per-doc score is the exact
+    integer sum of per-occurrence q9 terms. Magnitude: 1e9 * 4*c12 needs
+    c12 < 2.3e9 — at the corpus sizes here c12 tops out ~1e5; a 100 TB
+    corpus scales the quantization down (q6) or splits the multiply, a
+    documented retune, not a silent wrap (ANSI overflow would fail loud).
+
+    Scale posture: same shape as lm_bigram_score — row-local bigram
+    extraction, vocabulary-grain model tables with map-side partial
+    aggregation, occurrence stream joined on (w1,w2)/(w1)/(w2) with AQE
+    skew splitting on the Zipfian keys; the type-count scalar N1+(..)
+    is one driver-collected BIGINT (colbert's closed-over-scalar
+    pattern). big and c12 persist (c12 feeds three consumers: the
+    occurrence join + both continuation-count aggregates)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    big = (
+        d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
+        .where(F.expr("size(toks)") >= 2)
+        .select("doc_id", F.explode(F.expr(_SPARK_W12)).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    n1f = (
+        c12.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1f"))
+    )
+    n1b = (
+        c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    )
+    nbb = c12.count()
+    term = F.expr(
+        f"(1000000000L * ({_KN_D_DEN} * c12 - {_KN_D_NUM}))"
+        f" DIV ({_KN_D_DEN} * c1)"
+        f" + ({_KN_D_NUM} * {1_000_000_000 // _KN_D_DEN}L * n1f * n1b)"
+        f" DIV (c1 * {nbb}L)"
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1f, "w1")
+        .join(n1b, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(term).cast("bigint").alias("kn_score_q9"),
+        )
+    )
+    return scope_caches(scored, big, c12)

@@ -290,3 +290,52 @@ def test_hits_matches_python_reference(spark, sf_dir):
         for s, t in edges:
             h[s] += a[t]
     assert got == {d: (h[d], a[d]) for d in ids}
+
+
+def test_kneser_ney_matches_python_reference(spark, sf_dir):
+    # independent python implementation of the exact integer KN terms
+    import re
+
+    import duckdb
+
+    from spark_sql_flow_plugin_spark.registry import queries as _qs
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_score_q9)
+        for r in _qs()["lm_kneser_ney_score"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    c12: dict = {}
+    c1: dict = {}
+    occ: dict = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if len(toks) < 2:
+            continue
+        pairs = list(zip(toks, toks[1:]))
+        occ[doc_id] = pairs
+        for p in pairs:
+            c12[p] = c12.get(p, 0) + 1
+            c1[p[0]] = c1.get(p[0], 0) + 1
+    n1f: dict = {}
+    n1b: dict = {}
+    for w1, w2 in c12:
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    nbb = len(c12)
+    want = {}
+    for doc_id, pairs in occ.items():
+        s = 0
+        for w1, w2 in pairs:
+            t1 = (1_000_000_000 * (4 * c12[(w1, w2)] - 3)) // (4 * c1[w1])
+            t2 = (3 * 250_000_000 * n1f[w1] * n1b[w2]) // (c1[w1] * nbb)
+            s += t1 + t2
+        want[doc_id] = (len(pairs), s)
+    assert got == want
+    # smoothing sanity: every per-occurrence probability is in (0, 1e9]
+    # so per-doc scores are positive and bounded by n_bigrams * 1e9
+    for doc_id, (n, s) in got.items():
+        assert 0 < s <= n * 1_000_000_000

@@ -1091,3 +1091,15 @@ def test_hits_rounds_reuse_cached_edges(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 8  # 2 joins x 4 rounds
     spark.catalog.clearCache()
+
+
+def test_kneser_ney_model_tables_cached(spark, sf_dir):
+    # the occurrence stream and the bigram-type table are each consumed
+    # by multiple model aggregates/joins — both must come back as cache
+    # scans, and every model join is a key equi-join (Zipfian keys rely
+    # on AQE skew splitting, never a nested loop)
+    plan = _physical(queries()["lm_kneser_ney_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 4  # big x2+, c12 x2
+    spark.catalog.clearCache()

@@ -409,9 +409,15 @@ def graph_triangle_count(spark, sf_dir):
 _KCORE_ROUNDS = 3
 
 
-def _kcore_sql(div: str) -> str:
+def _kcore_sql(div: str, materialized: bool = False) -> str:
     """Unrolled peel rounds; identical text both engines except integer
-    division (Spark DIV / DuckDB //)."""
+    division (Spark DIV / DuckDB //) and, for the DuckDB oracle,
+    ``AS MATERIALIZED`` CTE hints: each round references its
+    predecessor CTEs multiple times, and without forced materialization
+    DuckDB re-inlines the pair self-join multiplicatively per round —
+    at sf0.1 that spilled >79 GB of temp and aborted (r12 matrix run).
+    The hints are semantics-neutral; Spark never sees them (its side is
+    the DataFrame loop with persisted rounds)."""
     ctes = [
         """pairs AS (
         SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
@@ -445,18 +451,17 @@ def _kcore_sql(div: str) -> str:
               UNION ALL SELECT j AS node FROM e{r + 1}) v
         GROUP BY node)"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
+    body = "WITH " + ",\n    ".join(ctes) + f"""
     SELECT CAST(node AS BIGINT) AS node, d AS core_deg
     FROM deg{_KCORE_ROUNDS}"""
-    )
+    if materialized:
+        body = body.replace(" AS (", " AS MATERIALIZED (")
+    return body
 
 
 @register(
     "graph_kcore_peel",
-    _kcore_sql("//"),
+    _kcore_sql("//", materialized=True),
     "graph",
 )
 def graph_kcore_peel(spark, sf_dir):

@@ -86,7 +86,7 @@ def main() -> int:
     specs = [s for s in all_specs() if not only or s.name in only]
     oracles = entrymod.oracle_sql()
 
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_empty = 0
     for spec in specs:
         t0 = time.time()
         try:
@@ -136,13 +136,20 @@ def main() -> int:
             )
             n_fail += 1
         else:
+            # an empty-vs-empty agreement is VACUOUS (r12: a kcore
+            # threshold cascade zeroed the result at sf0.001 and the
+            # gate still said pass) — flag it loudly, don't fail it
+            empty = " (VACUOUS: 0 rows)" if not srows else ""
             print(
                 f"pass  {spec.name}: rows={len(srows)} "
-                f"digest={s_dig} [{time.time()-t0:.1f}s]"
+                f"digest={s_dig}{empty} [{time.time()-t0:.1f}s]"
             )
             n_pass += 1
+            if not srows:
+                n_empty += 1
 
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail / {len(specs)}")
+    vac = f"; WARNING {n_empty} vacuous empty-result passes" if n_empty else ""
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail / {len(specs)}{vac}")
     spark.stop()
     return 1 if n_fail else 0
 

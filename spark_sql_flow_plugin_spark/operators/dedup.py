@@ -2170,3 +2170,143 @@ def dedup_bbit_minhash(spark, sf_dir):
         ).alias("est8_q6"),
     )
     return scope_caches(out, sets, sig)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — content-defined chunking (CDC) shared-content detection
+# ---------------------------------------------------------------------------
+
+#: boundary rate 1/64 -> expected chunk ~64 chars; 8-char window
+_CDC_MASK = 64
+_CDC_W = 8
+#: 31^k multipliers for the window polynomial (fit int64 with room:
+#: max term 1742810335 * 1114111 < 2e15, eight terms < 2e16)
+_CDC_MULS = [31**k for k in range(_CDC_W)]
+
+
+def _cdc_hash(char_at, cast):
+    return " + ".join(
+        f"{m} * {cast.format(c=char_at.format(off=j))}"
+        for j, m in enumerate(_CDC_MULS)
+    )
+
+
+_SPARK_CDC_BND = (
+    "filter(sequence(2, length(text) - 7), i -> ("
+    + _cdc_hash("ascii(substring(text, CAST(i + {off} AS INT), 1))",
+                "CAST({c} AS BIGINT)")
+    + f") % {_CDC_MASK} = 0)"
+)
+_DUCK_CDC_BND = (
+    "list_filter(generate_series(2, length(text) - 7), i -> ("
+    + _cdc_hash("ord(text[(i + {off})::INT])", "{c}::BIGINT")
+    + f") % {_CDC_MASK} = 0)"
+)
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 16),
+    bp AS (SELECT doc_id, text,
+                  list_concat(list_concat([1::BIGINT], {_DUCK_CDC_BND}),
+                              [(n + 1)::BIGINT]) AS bps
+           FROM d),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(bps) - 1),
+                 k -> substr(text, bps[k]::INT, (bps[k+1] - bps[k])::INT)))
+                 AS chunk
+        FROM bp),
+    ch AS (SELECT doc_id, md5(chunk) AS ch,
+                  CAST(length(chunk) AS BIGINT) AS clen
+           FROM chunks WHERE length(chunk) > 0),
+    cd AS (SELECT ch, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+           FROM ch GROUP BY ch)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN cd.ndocs > 1 THEN ch.clen ELSE 0 END)
+             AS BIGINT) AS shared_chars
+    FROM ch JOIN cd USING (ch)
+    GROUP BY ch.doc_id
+    """,
+    "dedup",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync family): chunk
+    boundaries are placed where a rolling window hash of the CONTENT
+    hits a mask (here an 8-char polynomial % {_CDC_MASK} — expected
+    chunk ~{_CDC_MASK} chars), so identical passages chunk identically
+    REGARDLESS OF OFFSET — the shifted-duplicate case fixed-stride
+    chunking misses by construction (one inserted sentence re-aligns
+    every later fixed block but no content-defined block). Per doc:
+    chunk count, chunks shared with any other doc, and shared character
+    mass — the storage-dedup / template-mass diagnostic.
+
+    Simplifications vs production FastCDC, documented: no min/max chunk
+    clamp and a plain polynomial instead of the gear table — boundary
+    placement quality differs, the offset-invariance property (what the
+    test pins) does not.
+
+    Cross-engine exactness: the window hash is pure BIGINT (codepoint x
+    31^k sums — max term < 2e15, eight terms < 2e16), boundaries are
+    integer comparisons, chunk identity is md5 — no float anywhere.
+    Spark ``ascii(substring(...))`` and DuckDB ``ord(text[i])`` both
+    yield the codepoint.
+
+    Scale posture: chunking is entirely ROW-LOCAL (HOF filter +
+    transform + one Generate; the boundary-position array is ~len/64
+    entries); the only shuffles are the chunk-hash doc-frequency
+    aggregate and the per-doc rollup — both on md5 keys, never raw
+    text. The chunk-frequency join is chunk-grain (bounded by corpus
+    bytes / {_CDC_MASK}). The ``length(chunk) > 0`` predicate sits
+    above the Generate, so it can never be pushed into a re-inlined
+    HOF battery (the established Generate-barrier pattern)."""
+    d = (
+        load(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.length("text") >= 16)
+    )
+    bp = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"concat(array(1L), {_SPARK_CDC_BND},"
+            f" array(CAST(length(text) + 1 AS BIGINT)))"
+        ).alias("bps"),
+    )
+    chunks = bp.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bps) - 1), k -> "
+                "substring(text, CAST(element_at(bps, k) AS INT), "
+                "CAST(element_at(bps, k + 1) - element_at(bps, k) AS INT)))"
+            )
+        ).alias("chunk"),
+    )
+    ch = chunks.where(F.length("chunk") > 0).select(
+        "doc_id",
+        F.md5("chunk").alias("ch"),
+        F.length("chunk").cast("bigint").alias("clen"),
+    ).persist()
+    cd = ch.groupBy("ch").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("ndocs")
+    )
+    out = (
+        ch.join(cd, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("clen")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_chars"),
+        )
+    )
+    return scope_caches(out, ch)

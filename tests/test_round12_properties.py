@@ -339,3 +339,48 @@ def test_kneser_ney_matches_python_reference(spark, sf_dir):
     # so per-doc scores are positive and bounded by n_bigrams * 1e9
     for doc_id, (n, s) in got.items():
         assert 0 < s <= n * 1_000_000_000
+
+
+def test_cdc_chunking_is_offset_invariant(spark):
+    # the CDC point: a doc and its copy-with-inserted-prefix must chunk
+    # the COMMON content identically once past the splice — fixed-stride
+    # chunking would misalign every block after the insertion
+    from pyspark.sql import functions as F
+
+    from spark_sql_flow_plugin_spark.operators.dedup import (
+        _SPARK_CDC_BND,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang on the wall and every sentence here exists "
+        "only to give the rolling hash enough content to place several "
+        "boundaries in a deterministic content defined way for the test"
+    )
+    shifted = "INSERTED PREAMBLE OF ODD LENGTH 123! " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id bigint, text string"
+    )
+    bp = df.select(
+        "doc_id",
+        F.expr(
+            f"concat(array(1L), {_SPARK_CDC_BND},"
+            f" array(CAST(length(text) + 1 AS BIGINT)))"
+        ).alias("bps"),
+        "text",
+    )
+    rows = bp.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(bps) - 1), k -> "
+            "substring(text, CAST(element_at(bps, k) AS INT), "
+            "CAST(element_at(bps, k + 1) - element_at(bps, k) AS INT)))"
+        ).alias("chunks"),
+    ).collect()
+    chunks = {r.doc_id: r.chunks for r in rows}
+    assert len(chunks[1]) >= 3, "fixture must produce several chunks"
+    # every base chunk except (possibly) the first — whose left edge is
+    # the document start, not a content boundary — reappears verbatim in
+    # the shifted doc's chunk set
+    missing = [c for c in chunks[1][1:] if c not in set(chunks[2])]
+    assert not missing, f"content-defined chunks failed to re-align: {missing}"

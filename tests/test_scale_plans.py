@@ -1103,3 +1103,26 @@ def test_kneser_ney_model_tables_cached(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 4  # big x2+, c12 x2
     spark.catalog.clearCache()
+
+
+def test_cdc_chunking_is_row_local(spark, sf_dir):
+    # chunking never shuffles raw text: exactly one Generate (the chunk
+    # explode), the chunk filter sits ABOVE it (Generate barrier — a
+    # pushed filter would re-inline the whole boundary HOF battery), and
+    # every exchange is keyed on the md5 chunk hash, never text
+    plan = _physical(queries()["dedup_cdc_chunks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the cached chunk frame's plan prints once per consumer, so count
+    # DISTINCT generator expressions instead of Generate lines
+    gens = {
+        ln.split("Generate ", 1)[1][:40]
+        for ln in plan.splitlines()
+        if "Generate " in ln
+    }
+    assert len(gens) == 1, f"unexpected extra generators: {gens}"
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln and "chunk#" not in ln, (
+                f"raw text/chunk shuffled: {ln}"
+            )
+    spark.catalog.clearCache()

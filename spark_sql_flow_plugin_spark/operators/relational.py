@@ -371,19 +371,25 @@ def join_left_semi(spark, sf_dir):
     )
 
 
+# Customers with no high-value order. The synthetic generator gives every
+# customer ~10 orders, so the unfiltered anti join was empty below sf0.1
+# (r12 verdict); o_totalprice > 450000 is ~4% of orders, leaving ~(0.96)^10
+# ≈ 38-66% of customers surviving at every SF (probed: 57/150, 538/1500,
+# 5518/15000).
 @register(
     "join_left_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
     """,
     "join",
 )
 def join_left_anti(spark, sf_dir):
     t = load(spark, sf_dir, "customer", "orders")
+    big = t["orders"].where(F.col("o_totalprice") > 450000)
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -548,19 +554,28 @@ def intersect_all(spark, sf_dir):
     return a.intersectAll(b)
 
 
+# Right side restricted to high-value 'F' orders so the difference is a
+# strict, SF-stable subset (r12 verdict: the unfiltered form was empty below
+# sf0.1 — every customer has orders in this generator). Probed: 105/150,
+# 1084/1500, 10832/15000.
 @register(
     "except_distinct",
     """
     SELECT c_custkey AS ck FROM customer
     EXCEPT
     SELECT o_custkey AS ck FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 450000
     """,
     "setop",
 )
 def except_distinct(spark, sf_dir):
     t = load(spark, sf_dir, "customer", "orders")
     a = t["customer"].select(F.col("c_custkey").alias("ck"))
-    b = t["orders"].select(F.col("o_custkey").alias("ck"))
+    b = (
+        t["orders"]
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 450000))
+        .select(F.col("o_custkey").alias("ck"))
+    )
     return a.subtract(b)
 
 

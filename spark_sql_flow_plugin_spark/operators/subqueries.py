@@ -59,13 +59,20 @@ _register_sql(
     "subquery",
 )
 
+# Anti-side predicate drawn from the column domain so a strict, SF-stable
+# subset of suppliers survives (r12 verdict: `l_quantity > 49.5` alone matched
+# essentially every supplier, leaving the value gate empty-vs-empty since r1).
+# qty>=50 is ~2% of lineitems and disc>0.09 ~5%; at ~600 lineitems/supplier the
+# joint ~0.1% selectivity leaves (1-p)^600 ~ 35-55% of suppliers with no match
+# at every SF (probed: 4/10 sf0.001, 53/100 sf0.01, 526/1000 sf0.1).
 _register_sql(
     "not_exists_subquery",
     ("supplier", "lineitem"),
     """
     SELECT s_suppkey, s_name FROM supplier s
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49.5)
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_quantity >= 50 AND l.l_discount > 0.09)
     """,
     "subquery",
 )
@@ -80,12 +87,16 @@ _register_sql(
     "subquery",
 )
 
+# qty>=50 is ~2% of lineitems at ~30 lineitems/part → ~55% of parts have no
+# such lineitem at every SF (probed: 98/200, 1113/2000, 11002/20000).
+# l_partkey is never NULL so the null-aware NOT IN convention is not in play
+# here; the fuzzer's null-aware shapes cover that separately.
 _register_sql(
     "not_in_subquery",
     ("part", "lineitem"),
     """
     SELECT p_partkey, p_name FROM part
-    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 30)
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 50)
     """,
     "subquery",
 )

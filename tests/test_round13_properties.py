@@ -1,0 +1,87 @@
+"""Round-13 property tests.
+
+(a) The snapshot-check vacuity gate (r12 verdict item #2): a registry
+    query that passes with 0 rows at EVERY committed scale factor is an
+    empty-vs-empty agreement that has never compared a value — exactly
+    the blind spot that hid `not_exists_subquery` / `not_in_subquery`
+    for 12 rounds. `all_sf_vacuous` must reject a synthetic all-SF-empty
+    fixture and must NOT flag sparse-at-one-SF entries (TPC-DS at
+    sf0.001) or queries added mid-round that appear in fewer logs.
+
+(b) The de-vacuated anti-semantics queries themselves must return a
+    strict, non-empty subset at the smallest SF — the regression net for
+    anyone retuning those predicates later.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from snapshot_check import all_sf_vacuous  # noqa: E402
+
+from spark_sql_flow_plugin_spark.registry import all_specs  # noqa: E402
+
+_LOG_A = """\
+pass  q_ok: rows=12 digest=aaaaaaaaaaaa [0.1s]
+pass  q_sparse: rows=0 digest=d41d8cd98f00 (VACUOUS: 0 rows) [0.1s]
+pass  q_dead: rows=0 digest=d41d8cd98f00 (VACUOUS: 0 rows) [0.1s]
+pass  q_new: rows=0 digest=d41d8cd98f00 (VACUOUS: 0 rows) [0.1s]
+
+4 pass, 0 weak (rows-only), 0 fail / 4; WARNING 3 vacuous empty-result passes
+"""
+
+_LOG_B = """\
+pass  q_ok: rows=120 digest=bbbbbbbbbbbb [0.1s]
+pass  q_sparse: rows=7 digest=cccccccccccc [0.1s]
+pass  q_dead: rows=0 digest=d41d8cd98f00 (VACUOUS: 0 rows) [0.1s]
+
+3 pass, 0 weak (rows-only), 0 fail / 3; WARNING 1 vacuous empty-result passes
+"""
+
+_LOG_C = """\
+pass  q_ok: rows=1200 digest=dddddddddddd [0.1s]
+pass  q_sparse: rows=70 digest=eeeeeeeeeeee [0.1s]
+pass  q_dead: rows=0 digest=d41d8cd98f00 (VACUOUS: 0 rows) [0.1s]
+pass  q_new: rows=5 digest=ffffffffffff [0.1s]
+
+4 pass, 0 weak (rows-only), 0 fail / 4; WARNING 1 vacuous empty-result passes
+"""
+
+
+def test_all_sf_vacuous_rejects_all_sf_empty_fixture():
+    # q_dead is 0-row in every log it appears in -> flagged.
+    # q_sparse is empty only at the smallest SF -> fine.
+    # q_new is absent from LOG_B (added mid-round) and populates in
+    # LOG_C -> fine.
+    assert all_sf_vacuous([_LOG_A, _LOG_B, _LOG_C]) == ["q_dead"]
+
+
+def test_all_sf_vacuous_passes_clean_logs():
+    assert all_sf_vacuous([_LOG_B.replace("(VACUOUS: 0 rows) ", "")]) == []
+
+
+def test_all_sf_vacuous_counts_partial_coverage():
+    # a query vacuous in the ONLY log that contains it is still dead
+    assert all_sf_vacuous([_LOG_A]) == ["q_dead", "q_new", "q_sparse"]
+
+
+_ANTI = {
+    # query name -> (kept rows at sf0.001, total rows of the kept side)
+    "not_exists_subquery": ("supplier", 10),
+    "not_in_subquery": ("part", 200),
+    "join_left_anti": ("customer", 150),
+    "except_distinct": ("customer", 150),
+}
+
+
+def test_anti_semantics_gates_are_strict_nonempty_subsets(spark, sf_dir):
+    specs = {s.name: s for s in all_specs()}
+    for name, (_, total) in _ANTI.items():
+        rows = specs[name].builder(spark, sf_dir).count()
+        assert 0 < rows < total, (
+            f"{name}: {rows} rows at {sf_dir} — the r12 vacuity fix "
+            f"requires a strict non-empty subset of the {total}-row side"
+        )

@@ -11,7 +11,11 @@ mismatch can be diffed against the committed matrix log instead of guessed
 at. A type audit rejects DuckDB result types pandas does not round-trip
 faithfully (HUGEINT etc. — the round-4 `hash_match: false` root cause).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--strict-vacuous] [sf_dir] [query_name ...]
+
+--strict-vacuous (r12 verdict item #2): exit 2 if any pass was an
+empty-vs-empty agreement. Use at SFs where every query should populate
+(sf0.01+); at sf0.001 the ~22 sparse TPC-DS entries make it advisory only.
 """
 
 from __future__ import annotations
@@ -73,8 +77,10 @@ def digest(norm):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict-vacuous"]
+    strict_vacuous = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -87,6 +93,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     n_pass = n_fail = n_weak = n_empty = 0
+    vacuous_names: list[str] = []
     for spec in specs:
         t0 = time.time()
         try:
@@ -147,11 +154,21 @@ def main() -> int:
             n_pass += 1
             if not srows:
                 n_empty += 1
+                vacuous_names.append(spec.name)
 
     vac = f"; WARNING {n_empty} vacuous empty-result passes" if n_empty else ""
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail / {len(specs)}{vac}")
     spark.stop()
-    return 1 if n_fail else 0
+    if n_fail:
+        return 1
+    if strict_vacuous and vacuous_names:
+        print(
+            "STRICT-VACUOUS: empty-result passes check nothing: "
+            + ", ".join(vacuous_names),
+            file=sys.stderr,
+        )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":

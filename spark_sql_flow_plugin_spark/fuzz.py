@@ -844,6 +844,111 @@ def _shape_subq(rng: random.Random):
     return tuple(out)
 
 
+# parent <- child FK edges with the child-rows-per-parent fanout the
+# _rare_bool selectivity is tuned against. The ratios are SF-invariant in
+# TPC-H-ish generators (lineitem/orders ~4, lineitem/part ~30,
+# lineitem/supplier ~600, orders/customer ~10, customer/nation ~6), so a
+# ~1/fanout child predicate splits the parents on both sides of an anti
+# test at EVERY scale factor.
+_ANTI_EDGES = [
+    # (parent, child, child_fk, parent_pk, fanout)
+    ("orders", "lineitem", "l_orderkey", "o_orderkey", 4),
+    ("part", "lineitem", "l_partkey", "p_partkey", 30),
+    ("supplier", "lineitem", "l_suppkey", "s_suppkey", 600),
+    ("customer", "orders", "o_custkey", "c_custkey", 10),
+    ("nation", "customer", "c_nationkey", "n_nationkey", 6),
+]
+
+
+def _rare_bool(rng: random.Random, cols, fanout: int) -> Ex:
+    """A child-side predicate with selectivity ~1/fanout — the anti-join
+    analogue of _sat_bool (r12 verdict item #4: the registry's
+    NOT EXISTS / NOT IN entries were vacuous for 12 rounds because their
+    predicates matched ~every parent's children; drawing the residue
+    modulus from the edge's fanout leaves each parent childless with
+    probability ~(1-1/f)^f ≈ 0.4-0.8, so BOTH the kept and the dropped
+    parent sets are non-trivial)."""
+    k = max(2, int(fanout * rng.choice([0.75, 1.0, 1.5])))
+    j = rng.randrange(k)
+    ints = [(c, e) for c, kind, e in cols if kind == "int" and e >= 20 * k]
+    if ints and rng.random() < 0.7:
+        c, _ = rng.choice(ints)
+        return _same(f"((abs({c}) % {k}) = {j})", "bool")
+    moneys = [c for c, kind, e in cols if kind == "money" and e >= k]
+    if moneys:
+        cents = f"CAST(FLOOR({rng.choice(moneys)} * 100 + 0.5) AS BIGINT)"
+        return _same(f"((abs({cents}) % {k}) = {j})", "bool")
+    c, _ = rng.choice([(c, e) for c, kind, e in cols if kind == "int"])
+    return _same(f"((abs({c}) % {k}) = {j})", "bool")
+
+
+def _shape_anti(rng: random.Random):
+    """Dedicated anti-semantics surface (r12 verdict item #4): NOT EXISTS,
+    NOT IN, null-aware NOT IN, and EXCEPT ALL with duplicates. The subq
+    shape only ever negates EXISTS 30% of the time and draws sat-biased
+    predicates that make anti results empty; these four forms get
+    anti-tuned predicates instead.
+
+    The null-aware variant wraps the subquery column in a CASE that is
+    provably never NULL on this data (keys are non-negative) but NULLABLE
+    to the optimizer — Spark must plan its null-aware anti join (a plain
+    anti join would be wrong if a NULL appeared) while the compared
+    values stay populated. The actually-NULL convention (one NULL in the
+    list empties the result on BOTH engines) is pinned by the
+    negative-control witness in tests/test_fuzz_negative_controls.py —
+    as a fuzz shape it would be empty-vs-empty by design.
+    """
+    kind = rng.choice(
+        ["not_exists", "not_in", "not_in_nullaware", "except_all"]
+    )
+    if kind == "except_all":
+        # A \ (A AND extra) keeps per-value max(count_A - count_AB, 0):
+        # duplicates survive, and the result is exactly the A-rows
+        # failing `extra` — populated whenever `extra` excludes anything.
+        frm, cols = _chain(rng)
+        key = _group_keys(rng, cols, 1)[0]
+        a = _sat_bool(rng, cols)
+        extra = _bool_expr(rng, cols, 1)
+        out = []
+        for d in ("spark", "duck"):
+            side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+            br_a = f"SELECT {side(key)} AS c0 FROM {frm} WHERE {side(a)}"
+            br_b = (
+                f"SELECT {side(key)} AS c0 FROM {frm}"
+                f" WHERE ({side(a)} AND {side(extra)})"
+            )
+            out.append(f"{br_a} EXCEPT ALL {br_b}")
+        return tuple(out)
+    parent, child, fk, pk, fanout = rng.choice(_ANTI_EDGES)
+    pcols = _cols_of([parent])
+    ccols = _cols_of([child])
+    pred = _rare_bool(rng, ccols, fanout)
+    keys = _group_keys(rng, pcols, 1)
+    aggs = _aggs(rng, pcols, 1)
+    items = keys + aggs
+    out = []
+    for d in ("spark", "duck"):
+        side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+        if kind == "not_exists":
+            w = (
+                f"NOT EXISTS (SELECT 1 FROM {child}"
+                f" WHERE {fk} = {pk} AND {side(pred)})"
+            )
+        else:
+            sel = (
+                fk
+                if kind == "not_in"
+                else f"CASE WHEN {fk} < 0 THEN NULL ELSE {fk} END"
+            )
+            w = f"{pk} NOT IN (SELECT {sel} FROM {child} WHERE {side(pred)})"
+        q = _render(items, parent, None, "c0", dialect=d)
+        q = q.replace(
+            f"FROM {parent} GROUP BY", f"FROM {parent} WHERE {w} GROUP BY"
+        )
+        out.append(q)
+    return tuple(out)
+
+
 def _shape_toplimit(rng: random.Random):
     """ORDER BY <every output column> LIMIT k over an aggregate frame:
     a total order over the full row makes the limited prefix unique AS A
@@ -1061,6 +1166,7 @@ _SHAPES = [
     (_shape_setop, 12),
     (_shape_rollup, 10),
     (_shape_subq, 12),
+    (_shape_anti, 10),
     (_shape_toplimit, 8),
     (_shape_agg2, 8),
     (_shape_explode, 10),

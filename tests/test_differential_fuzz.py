@@ -47,6 +47,7 @@ ALL_SHAPES = {
     "setop",
     "rollup",
     "subq",
+    "anti",
     "toplimit",
     "agg2",
     "explode",

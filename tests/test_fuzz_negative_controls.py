@@ -99,6 +99,28 @@ def test_rollup_over_empty_input_diverges(spark, duck):
     assert len(sg) == 0 and len(dg) == 0
 
 
+def test_null_in_not_in_list_empties_both_engines(spark, duck):
+    # convention behind the anti shape's null-aware variant: per ANSI,
+    # `x NOT IN (list containing NULL)` is never TRUE (x <> NULL is
+    # unknown), so ONE NULL in the subquery list empties the whole
+    # result on BOTH engines — an agreement witness, which is why the
+    # fuzzer plants a nullable-but-never-NULL CASE instead (populated
+    # values, same null-aware plan). The NOT EXISTS twin ignores NULLs
+    # and returns rows: the two forms are NOT equivalent under NULLs.
+    q = """
+    SELECT v FROM (VALUES (1), (2)) AS t(v)
+    WHERE v NOT IN (SELECT u FROM (VALUES (2), (NULL)) AS s(u))
+    """
+    assert spark.sql(q).collect() == []
+    assert duck.sql(q).fetchall() == []
+    q_exists = """
+    SELECT v FROM (VALUES (1), (2)) AS t(v)
+    WHERE NOT EXISTS (SELECT 1 FROM (VALUES (2), (NULL)) AS s(u) WHERE u = v)
+    """
+    assert [r.v for r in spark.sql(q_exists).collect()] == [1]
+    assert duck.sql(q_exists).fetchall() == [(1,)]
+
+
 def test_integer_division_conventions_agree_on_abs(spark, duck):
     # convention: DIV (Spark) pairs with // (DuckDB) on abs()-wrapped
     # dividends; this witnesses they agree there (both truncate toward

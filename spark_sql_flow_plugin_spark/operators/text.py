@@ -24,6 +24,111 @@ _SPARK_WTOKS = r"filter(split(lower(text), '\\s+'), t -> t != '')"
 _DUCK_WTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
 
 
+# NFC/NFD-variant + case-variant fixture rows (negative doc_ids, the
+# dedup planted-excerpt convention): the synthetic corpus is pure ASCII
+# lowercase, so without planted rows the normalization deltas would be
+# identically zero and the value gate would check only the identity path.
+# Pairs (-1,-2) and (-5,-6) are byte-DIFFERENT raw strings whose NFC+fold
+# forms collide — the dedup-recall hole the operator exists to close.
+# U+0130 (İ) and other chars where Python/Spark and DuckDB lower() diverge
+# are deliberately absent (probed: these strings agree byte-exactly).
+_NFC_PLANT = [
+    (-1, "Caf\u00e9 \u00c9lan mention"),          # NFC  \u00e9 \u00c9
+    (-2, "Cafe\u0301 E\u0301lan mention"),        # NFD variant of -1
+    (-3, "The QUICK Brown Fox"),                  # case variant of -4
+    (-4, "the quick brown fox"),
+    (-5, "A\u030angstro\u0308m U\u0308ber"),     # NFD + uppercase
+    (-6, "\u00e5ngstr\u00f6m \u00fcber"),         # NFC folded form of -5
+    (-7, "na\u00efve resum\u00e9 unique"),        # non-ASCII singleton
+]
+
+
+def _nfc_values_sql() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in _NFC_PLANT)
+
+
+@register(
+    "text_normalize_nfc",
+    f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_nfc_values_sql()}) v(doc_id, text)
+    ),
+    norm AS (
+        SELECT doc_id, text, lower(nfc_normalize(text)) AS ntext
+        FROM all_docs
+    )
+    SELECT doc_id,
+           (text <> ntext) AS changed,
+           CAST(length(ntext) - length(text) AS BIGINT) AS delta_chars,
+           md5(ntext) AS fp_norm,
+           CAST(COUNT(*) OVER (PARTITION BY md5(ntext)) AS BIGINT) AS n_dups
+    FROM norm
+    """,
+    "text",
+    "llm-pipeline",
+)
+def text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization + case folding BEFORE fingerprinting
+    (r12 verdict item #6): a multilingual corpus carries NFC/NFD-variant
+    and case-variant duplicates that byte-level exact dedup silently
+    misses — a classic dedup-recall hole. Per doc: whether normalization
+    changed the text, the codepoint-count delta, the normalized
+    fingerprint, and how many documents share it (n_dups >= 2 = a
+    duplicate class only visible post-normalization for the planted
+    variant pairs; tests/test_round13_properties.py holds the property
+    witness that the RAW fingerprints of those pairs differ).
+
+    Cross-engine exactness: Python ``unicodedata.normalize("NFC")`` +
+    ``str.lower()`` vs DuckDB ``lower(nfc_normalize(...))`` — NFC is
+    stability-guaranteed across Unicode versions for assigned codepoints,
+    and the simple lowercase mappings agree for everything except a
+    handful of locale special cases (U+0130 etc.) kept out of the
+    fixture; both engines' ``length`` counts codepoints.
+
+    Scale posture: normalization is row-local inside ONE Arrow-batched
+    pandas UDF (no per-row Python); the only exchange is the
+    fingerprint-grain window count — the same shuffle any exact-dedup
+    pass pays. The planted VALUES side is 7 rows unioned ahead of the
+    scan, not joined."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(_NFC_PLANT, "doc_id bigint, text string")
+
+    # module has `from __future__ import annotations` (stringified hints
+    # break pandas_udf signature inference) — attach real annotation
+    # objects and wrap manually, the dedup winnow-kernel convention
+    def _nfc_fold(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t).lower()
+            if t is not None
+            else None
+        )
+
+    _nfc_fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc_fold = F.pandas_udf("string")(_nfc_fold)
+
+    norm = d.unionAll(planted).select(
+        "doc_id", "text", nfc_fold("text").alias("ntext")
+    )
+    w = Window.partitionBy("fp_norm")
+    return (
+        norm.select(
+            "doc_id",
+            (F.col("text") != F.col("ntext")).alias("changed"),
+            (F.length("ntext") - F.length("text"))
+            .cast("bigint")
+            .alias("delta_chars"),
+            F.md5(F.col("ntext")).alias("fp_norm"),
+        )
+        .withColumn("n_dups", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+
+
 @register(
     "text_token_count",
     rf"""

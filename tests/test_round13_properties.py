@@ -77,6 +77,40 @@ _ANTI = {
 }
 
 
+def test_nfc_variant_duplicates_only_caught_normalized(spark, sf_dir):
+    # r12 verdict item #6: the planted NFC/NFD pair (-1,-2) and the
+    # NFD+case pair (-5,-6) are byte-DIFFERENT raw strings (raw
+    # fingerprints differ) whose normalized fingerprints collide — the
+    # dedup-recall hole a raw exact-dedup pass silently misses.
+    import hashlib
+
+    from spark_sql_flow_plugin_spark.operators.text import _NFC_PLANT
+
+    texts = dict(_NFC_PLANT)
+    rows = {
+        r.doc_id: r
+        for r in specs()["text_normalize_nfc"]
+        .builder(spark, sf_dir)
+        .where("doc_id < 0")
+        .collect()
+    }
+    assert set(rows) == {i for i, _ in _NFC_PLANT}
+    for a, b in ((-1, -2), (-5, -6)):
+        raw_a = hashlib.md5(texts[a].encode()).hexdigest()
+        raw_b = hashlib.md5(texts[b].encode()).hexdigest()
+        assert raw_a != raw_b, f"({a},{b}): raw strings must differ"
+        assert rows[a].fp_norm == rows[b].fp_norm, f"({a},{b}): must collide"
+        assert rows[a].n_dups >= 2 and rows[b].n_dups >= 2
+    # case-only pair and the non-ASCII singleton
+    assert rows[-3].fp_norm == rows[-4].fp_norm and rows[-3].n_dups >= 2
+    assert rows[-7].n_dups == 1 and rows[-7].changed is False
+    assert rows[-2].changed is True and rows[-2].delta_chars == -2
+
+
+def specs():
+    return {s.name: s for s in all_specs()}
+
+
 def test_kcore_plan_size_constant_in_rounds(spark, sf_dir):
     # r12 verdict item #3: the persisted unroll re-printed every
     # predecessor subplan at each reference site (3,856 plan lines / 601

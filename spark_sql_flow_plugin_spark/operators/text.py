@@ -24,6 +24,153 @@ _SPARK_WTOKS = r"filter(split(lower(text), '\\s+'), t -> t != '')"
 _DUCK_WTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
 
 
+# BM25 query set: terms drawn from the synthetic corpus vocabulary so
+# every term has df > 0 at every SF; planted as (query_id, term) VALUES
+# rows on both engines (no tokenizer in the query path to diverge).
+_BM25_QUERIES = [
+    (0, ("spark", "stream", "join")),
+    (1, ("hash", "table", "scan")),
+    (2, ("window", "sort", "merge")),
+    (3, ("batch", "dup")),
+]
+_BM25_K = 10
+_BM25_C44 = "CAST(44000000000 AS BIGINT)"
+
+
+def _bm25_qvalues() -> str:
+    return ", ".join(
+        f"({q}, '{t}')" for q, terms in _BM25_QUERIES for t in terms
+    )
+
+
+def _bm25_term_sql(tf: str, df: str, length: str, n: str, s: str, div: str) -> str:
+    """One query-term's BM25 contribution, quantized to q9 fixed point in
+    EXACT BIGINT arithmetic (k1 = 6/5, b = 3/4 folded into integer
+    coefficients): tf_part = 44*tf*S / (20*tf*S + 6*S + 18*L*N), and the
+    ln of the Robertson-Sparck-Jones odds is replaced by the exact
+    rational odds (2N-2df+1)/(2df+1) itself — libm ln() differs across
+    engines in the last bits (the hard-sigmoid convention), while the
+    odds are monotone in df with the same direction, so the scoring
+    function is fully defined and bit-identical. Magnitude:
+    1e9*44*tf*S needs tf*S < 2e8 — at sf1 (S~1.3e6, tf<=60) that is
+    ~8e7; a 100 TB corpus scales the quantization to q6, a documented
+    retune (the Kneser-Ney convention), not a silent wrap."""
+    # 44000000000 = 1e9 (q9) * 44; one pre-folded literal — both engines
+    # would otherwise fold 1000000000 * 44 in INT32 and overflow loudly
+    return (
+        f"(({_BM25_C44} * {tf} * {s}) {div} "
+        f"(20 * {tf} * {s} + 6 * {s} + 18 * {length} * {n}))"
+        f" * (2 * {n} - 2 * {df} + 1) {div} (2 * {df} + 1)"
+    )
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WTOKS}) AS tok FROM documents),
+    dl AS (
+        SELECT doc_id, CAST(len({_DUCK_WTOKS}) AS BIGINT) AS len_d
+        FROM documents),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len_d) AS BIGINT) AS sum_len FROM dl),
+    q(query_id, term) AS (VALUES {_bm25_qvalues()}),
+    tf AS (
+        SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks t JOIN q ON t.tok = q.term
+        GROUP BY q.query_id, q.term, t.doc_id),
+    dfq AS (
+        SELECT t.tok AS term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS df
+        FROM toks t JOIN (SELECT DISTINCT term FROM q) qq ON t.tok = qq.term
+        GROUP BY t.tok),
+    sc AS (
+        SELECT tf.query_id, tf.doc_id,
+               CAST(SUM({_bm25_term_sql('tf.tf', 'dfq.df', 'dl.len_d',
+                                        'st.n_docs::BIGINT', 'st.sum_len::BIGINT', '//')})
+                    AS BIGINT) AS score_q9
+        FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+        GROUP BY tf.query_id, tf.doc_id)
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_q9 DESC, doc_id) AS INT)
+               AS rank,
+           doc_id, score_q9
+    FROM sc
+    QUALIFY rank <= {_BM25_K}
+    """,
+    "text",
+    "llm-pipeline",
+    "bench",
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval over the documents corpus for a fixed query
+    set — the lexical half of hard-negative mining and retrieval-based
+    curation next to the embedding ANN battery (tf-idf profiles exist as
+    text_tfidf_top_terms; this is the QUERY-side scorer). Okapi BM25
+    (Robertson et al., TREC-3) with k1 = 1.2, b = 0.75, exact-BIGINT
+    q9 scoring — see _bm25_term_sql for the ln-free odds convention and
+    the overflow budget.
+
+    Scale posture: the corpus-token postings build is the inverted-index
+    shuffle any retrieval system pays (term-grain, map-side combinable);
+    the 11-row query term set is broadcast into it (plan-gated), the
+    corpus stats are two driver-collected scalars (colbert's
+    closed-over-scalar pattern), and the per-query top-k is a
+    WindowGroupLimit — never a global sort. Candidates are only docs
+    containing >= 1 query term."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_WTOKS)).alias("tok")
+    ).persist()
+    dl = d.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_WTOKS})").cast("bigint").alias("len_d"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("len_d").cast("bigint").alias("s"),
+    ).collect()[0]
+    n_docs, sum_len = int(stats.n), int(stats.s)
+    qterms = spark.createDataFrame(
+        [(q, t) for q, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), toks.tok == qterms.term)
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = (
+        toks.join(
+            F.broadcast(qterms.select("term").distinct()),
+            toks.tok == F.col("term"),
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    )
+    term = F.expr(
+        _bm25_term_sql(
+            "tf", "df", "len_d", f"{n_docs}L", f"{sum_len}L", "DIV"
+        )
+    )
+    sc = (
+        tf.join(dl, "doc_id")
+        .join(dfq, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term).cast("bigint").alias("score_q9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q9").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_q9")
+    )
+    return scope_caches(out, toks)
+
+
 # NFC/NFD-variant + case-variant fixture rows (negative doc_ids, the
 # dedup planted-excerpt convention): the synthetic corpus is pure ASCII
 # lowercase, so without planted rows the normalization deltas would be

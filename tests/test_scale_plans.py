@@ -1126,3 +1126,16 @@ def test_cdc_chunking_is_row_local(spark, sf_dir):
                 f"raw text/chunk shuffled: {ln}"
             )
     spark.catalog.clearCache()
+
+
+def test_bm25_query_set_broadcast_topk_bounded(spark, sf_dir):
+    # the 11-row query term set must reach the postings join as a
+    # broadcast (never shuffling corpus tokens against it with a
+    # sort-merge), and the per-query top-k must be a WindowGroupLimit —
+    # a global sort of all scored candidates would not survive 100 TB
+    plan = _physical(queries()["bm25_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()

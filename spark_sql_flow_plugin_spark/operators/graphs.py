@@ -668,3 +668,151 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         F.col("a").alias("auth_fp"),
     )
     return scope_caches(out, edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — label propagation + link prediction
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 4
+
+
+def _lp_sql(dialect: str) -> str:
+    """Unrolled synchronous min-label propagation over the symmetrized
+    md5 link graph (Raghavan et al. 2007's LPA with the deterministic
+    min-label tie rule — the HashToMin connected-components primitive of
+    Rastogi et al. 2013). Every round's label table is referenced twice
+    (neighbor-min join + carry), so the DuckDB rendering forces
+    ``AS MATERIALIZED`` — the kcore lesson: without it DuckDB re-inlines
+    the whole predecessor chain multiplicatively per round."""
+    if dialect == "spark":
+        h32 = (
+            "cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+            "cast(k as string))), 1, 8), 16, 10) as bigint)"
+        )
+        vals = f"(VALUES {', '.join(f'({i})' for i in range(1, _FANOUT + 1))} AS t(k))"
+    else:
+        h32 = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(k AS VARCHAR)), 1, 8))::BIGINT"
+        )
+        vals = f"(VALUES {', '.join(f'({i})' for i in range(1, _FANOUT + 1))}) t(k)"
+    ctes = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT doc_id FROM documents)",
+        f"""edges0 AS (
+        SELECT doc_id AS src, {h32} % (SELECT n_docs FROM n) AS dst
+        FROM documents CROSS JOIN {vals})""",
+        "edges1 AS (SELECT src, dst FROM edges0 WHERE src <> dst)",
+        """sym AS (
+        SELECT src AS a, dst AS b FROM edges1
+        UNION
+        SELECT dst AS a, src AS b FROM edges1)""",
+        "l0 AS (SELECT doc_id, doc_id AS label FROM nodes)",
+    ]
+    for i in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"""m{i} AS (
+        SELECT s.a AS doc_id, MIN(l.label) AS nmin
+        FROM sym s JOIN l{i - 1} l ON s.b = l.doc_id
+        GROUP BY s.a)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+        SELECT l.doc_id,
+               LEAST(l.label, COALESCE(m.nmin, l.label)) AS label
+        FROM l{i - 1} l LEFT JOIN m{i} m ON l.doc_id = m.doc_id)"""
+        )
+    body = "WITH " + ",\n    ".join(ctes) + f""",
+    csize AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM l{_LP_ROUNDS} GROUP BY label)
+    SELECT l.doc_id, CAST(l.label AS BIGINT) AS label, s.community_size
+    FROM l{_LP_ROUNDS} l JOIN csize s ON l.label = s.label"""
+    if dialect != "spark":
+        body = body.replace(" AS (", " AS MATERIALIZED (")
+    return body
+
+
+@register(
+    "graph_label_propagation",
+    _lp_sql("duckdb"),
+    "graph",
+    "curation",
+)
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous min-label propagation on the undirected md5 link
+    graph: label_0(v) = v; label_i(v) = min(label_{i-1}(v),
+    min_{u ~ v} label_{i-1}(u)); {_LP_ROUNDS} rounds unrolled (the
+    pagerank/HITS fixed-round convention — the fixed-round prefix is
+    deterministic whether or not the graph has converged). Output:
+    per-node label plus the label's community size — the standard
+    crawl-curation grouping signal (mirror clusters / template farms
+    land in one label; dedup_components_star is the same primitive on
+    the similarity graph, this is its link-graph sibling).
+
+    100 TB posture: the symmetrized edge list is built once, hash-
+    partitioned on the join key, and persisted; each round is ONE
+    edges-to-labels equi-join plus a node-grain map-side-combinable MIN
+    aggregate and a node-grain left join — labels rows never exceed
+    |V|. Each round's label frame has two consumers (next round's join
+    + carry) and is ``localCheckpoint``-ed, keeping the logical plan
+    CONSTANT per round (the kcore/K=6 gate convention). Min-label LP is
+    the textbook Pregel/Connected-Components kernel; K rounds cover
+    K-hop label spread, and a production run loops this same body to a
+    fixpoint with a driver-side convergence count.
+    """
+    return _lp_frame(spark, sf_dir, _LP_ROUNDS)
+
+
+def _lp_frame(spark, sf_dir, rounds: int):
+    from pyspark.sql import functions as F
+
+    from ..caching import scope_caches
+    from ..sources import load
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    n_docs = docs.count()
+    h32 = (
+        "cast(conv(substr(md5(concat(cast(src as string), ':', "
+        "cast(k as string))), 1, 8), 16, 10) as bigint)"
+    )
+    edges1 = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, _FANOUT + 1)])).alias("k"),
+        )
+        .select("src", F.expr(f"{h32} % {n_docs}").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sym = (
+        edges1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges1.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "b")
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(rounds):
+        nmin = (
+            sym.join(labels, sym.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nmin, labels.doc_id == nmin.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    csize = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    out = labels.join(csize, "label").select(
+        "doc_id", F.col("label").cast("bigint").alias("label"), "community_size"
+    )
+    return scope_caches(out, sym)

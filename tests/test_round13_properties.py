@@ -139,3 +139,62 @@ def test_anti_semantics_gates_are_strict_nonempty_subsets(spark, sf_dir):
             f"{name}: {rows} rows at {sf_dir} — the r12 vacuity fix "
             f"requires a strict non-empty subset of the {total}-row side"
         )
+
+
+def test_label_propagation_matches_python_reference(spark, sf_dir):
+    # Exact python re-implementation of the same K-round min-label
+    # recurrence over the same md5 link graph: collect the Spark edge
+    # list once, run the recurrence in pure python, compare every label
+    # and community size bit-for-bit.
+    import hashlib
+    from collections import defaultdict
+
+    from spark_sql_flow_plugin_spark.operators.graphs import (
+        _FANOUT,
+        _LP_ROUNDS,
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    n = len(rows)
+
+    adj = defaultdict(set)
+    for v in range(n):
+        for k in range(1, _FANOUT + 1):
+            h = int(hashlib.md5(f"{v}:{k}".encode()).hexdigest()[:8], 16) % n
+            if h != v:
+                adj[v].add(h)
+                adj[h].add(v)
+    label = {v: v for v in range(n)}
+    for _ in range(_LP_ROUNDS):
+        label = {
+            v: min([label[v]] + [label[u] for u in adj[v]]) for v in range(n)
+        }
+    sizes = defaultdict(int)
+    for v in range(n):
+        sizes[label[v]] += 1
+
+    assert n > 0
+    for r in rows:
+        assert r.label == label[r.doc_id], (r.doc_id, r.label, label[r.doc_id])
+        assert r.community_size == sizes[label[r.doc_id]]
+    # the recurrence is monotone: labels never exceed the node id
+    assert all(r.label <= r.doc_id for r in rows)
+    # propagation actually did something: at least one label moved
+    assert any(r.label < r.doc_id for r in rows)
+
+
+def test_label_propagation_plan_size_constant_in_rounds(spark, sf_dir):
+    # Same gate as kcore: localCheckpoint per round keeps the final
+    # physical plan size independent of K.
+    from spark_sql_flow_plugin_spark.operators.graphs import _lp_frame
+
+    def plan_lines(rounds):
+        df = _lp_frame(spark, sf_dir, rounds)
+        return len(
+            df._jdf.queryExecution().executedPlan().toString().splitlines()
+        )
+
+    k4, k8 = plan_lines(4), plan_lines(8)
+    assert k4 < 200, f"K=4 plan is {k4} lines — lineage not truncated"
+    assert k8 <= k4 + 20, f"plan grew with K: {k4} lines at K=4, {k8} at K=8"

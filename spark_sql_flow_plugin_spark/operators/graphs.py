@@ -816,3 +816,143 @@ def _lp_frame(spark, sf_dir, rounds: int):
         "doc_id", F.col("label").cast("bigint").alias("label"), "community_size"
     )
     return scope_caches(out, sym)
+
+
+_LINKPRED_CAP = 64
+_LINKPRED_TOPK = 50
+
+
+def _linkpred_sql() -> str:
+    """DuckDB oracle for common-neighbor link prediction. The oracle
+    spells the wedge enumeration as the textbook adjacency self-join;
+    the Spark side generates the identical wedge multiset row-locally
+    from capped per-node adjacency arrays (the co-purchase-pairs /
+    triangle-rework pattern). ``AS MATERIALIZED`` on multi-referenced
+    CTEs per the kcore lesson."""
+    body = f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adjn AS (
+        SELECT i AS node, j AS nbr FROM pairs
+        UNION ALL
+        SELECT j AS node, i AS nbr FROM pairs),
+    capped AS (
+        SELECT node, nbr FROM (
+            SELECT node, nbr,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+            FROM adjn) t
+        WHERE rn <= {_LINKPRED_CAP}),
+    rdeg AS (
+        SELECT nbr AS v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM capped GROUP BY nbr),
+    cn AS (
+        SELECT c1.nbr AS a, c2.nbr AS b, CAST(COUNT(*) AS BIGINT) AS common_nbrs
+        FROM capped c1 JOIN capped c2
+          ON c1.node = c2.node AND c1.nbr < c2.nbr
+        GROUP BY c1.nbr, c2.nbr),
+    nonadj AS (
+        SELECT cn.a, cn.b, cn.common_nbrs
+        FROM cn LEFT JOIN pairs p ON cn.a = p.i AND cn.b = p.j
+        WHERE p.i IS NULL),
+    scored AS (
+        SELECT n.a, n.b, n.common_nbrs,
+               da.d + db.d - n.common_nbrs AS union_deg,
+               CAST(n.common_nbrs AS DOUBLE)
+                   / CAST(da.d + db.d - n.common_nbrs AS DOUBLE) AS jaccard
+        FROM nonadj n
+        JOIN rdeg da ON n.a = da.v
+        JOIN rdeg db ON n.b = db.v)
+    SELECT a, b, common_nbrs, union_deg, jaccard
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY common_nbrs DESC, union_deg ASC, a ASC, b ASC) AS rn
+          FROM scored) t
+    WHERE rn <= {_LINKPRED_TOPK}"""
+    return body.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_common_neighbors_linkpred",
+    _linkpred_sql(),
+    "graph",
+    "similarity",
+)
+def graph_common_neighbors_linkpred(spark, sf_dir):
+    """Link prediction on the co-purchase graph: for every NON-adjacent
+    part pair sharing at least one common neighbor, score by
+    common-neighbor count and membership-Jaccard (Liben-Nowell &
+    Kleinberg 2003's CN/Jaccard predictors — "parts bought with the
+    same parts but never together" = substitute/recommendation
+    candidates). Neighborhoods are capped at each node's lowest
+    {_LINKPRED_CAP} neighbor ids — candidate generation is then
+    deterministic AND degree-bounded, the standard guard that keeps
+    wedge-grain work from exploding on power-law hubs. Jaccard is exact
+    integer counts with ONE final IEEE division (cross-engine safe);
+    ranking ties break on integer columns then the unique (a, b) key.
+
+    100 TB posture: the Spark side never runs the oracle's adjacency
+    self-join — capped neighbor ARRAYS are built with one node-grain
+    shuffle and wedges explode row-locally (fanout <= C({_LINKPRED_CAP},
+    2) per node by construction); the common-neighbor count is a
+    map-side-combinable agg on (a, b); non-adjacency is one LEFT ANTI
+    equi-join against the edge list; the global top-{_LINKPRED_TOPK} is
+    a rank window that Spark collapses to WindowGroupLimit partial/final
+    top-k (no full sort materialization)."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scope_caches
+
+    pairs = _co_purchase_pairs(spark, sf_dir).persist()
+    adjn = pairs.select(F.col("i").alias("node"), F.col("j").alias("nbr")).unionAll(
+        pairs.select(F.col("j").alias("node"), F.col("i").alias("nbr"))
+    )
+    capped = adjn.groupBy("node").agg(
+        F.slice(F.sort_array(F.collect_list("nbr")), 1, _LINKPRED_CAP).alias("nbrs")
+    )
+    rdeg = (
+        capped.select(F.explode("nbrs").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    cn = (
+        capped.select(F.explode("nbrs").alias("a"), "nbrs")
+        .select("a", F.explode(F.expr("filter(nbrs, x -> x > a)")).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_nbrs"))
+    )
+    nonadj = cn.join(
+        pairs,
+        (cn.a == pairs.i) & (cn.b == pairs.j),
+        "left_anti",
+    )
+    da = rdeg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = rdeg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    scored = (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_nbrs",
+            (F.col("da") + F.col("db") - F.col("common_nbrs")).alias("union_deg"),
+            (
+                F.col("common_nbrs").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_nbrs")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("common_nbrs").desc(),
+        F.col("union_deg").asc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LINKPRED_TOPK)
+        .drop("rn")
+    )
+    return scope_caches(out, pairs)

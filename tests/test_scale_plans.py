@@ -1139,3 +1139,17 @@ def test_bm25_query_set_broadcast_topk_bounded(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "WindowGroupLimit" in plan
     spark.catalog.clearCache()
+
+
+def test_linkpred_wedges_row_local_no_cartesian(spark, sf_dir):
+    # candidate generation must stay the row-local array explosion —
+    # never the oracle's adjacency self-join or a cross — and the
+    # global top-50 rank filter must keep the WindowGroupLimit rewrite
+    plan = _physical(queries()["graph_common_neighbors_linkpred"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the UN-partitioned rank window gets the even stronger rewrite:
+    # LimitPushDownThroughWindow turns the rn<=k filter into a pushed
+    # TakeOrderedAndProject(limit=50) BELOW the window — the top-k never
+    # materializes a full global sort
+    assert "TakeOrderedAndProject(limit=50" in plan, "top-k lost limit pushdown"

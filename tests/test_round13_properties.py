@@ -198,3 +198,74 @@ def test_label_propagation_plan_size_constant_in_rounds(spark, sf_dir):
     k4, k8 = plan_lines(4), plan_lines(8)
     assert k4 < 200, f"K=4 plan is {k4} lines — lineage not truncated"
     assert k8 <= k4 + 20, f"plan grew with K: {k4} lines at K=4, {k8} at K=8"
+
+
+def test_embedding_corr_matches_numpy_reference(spark, sf_dir):
+    # Exact int64 re-computation of every moment with numpy on the same
+    # 2^14 floor quantization; corr re-derived with the identical IEEE
+    # expression tree — every cell must match bit-for-bit.
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_sql_flow_plugin_spark.operators.similarity import (
+        _CORR_Q,
+        _CORR_TOPK,
+        embedding_corr_top_pairs,
+    )
+
+    rows = embedding_corr_top_pairs(spark, sf_dir).collect()
+    assert len(rows) == _CORR_TOPK
+
+    emb = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    q = np.floor(emb * float(_CORR_Q)).astype(np.int64)
+    n, d = q.shape
+    # int64 headroom guard promised in the operator docstring: every
+    # moment numerator n*Sxy is bounded by n^2 * (2^13)^2 — must sit
+    # far inside int64 at the tested SF, else the quantizer bit
+    # schedule has to shrink
+    assert n * n * (1 << 26) < (1 << 62), "quantizer bits too wide for N"
+
+    sx = q.sum(axis=0)
+    g = q.T @ q  # exact: int64, bounded per the guard above
+    best = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            cov_num = n * g[i, j] - sx[i] * sx[j]
+            var_i = n * g[i, i] - sx[i] * sx[i]
+            var_j = n * g[j, j] - sx[j] * sx[j]
+            if var_i > 0 and var_j > 0:
+                corr = float(cov_num) / (
+                    math.sqrt(float(var_i)) * math.sqrt(float(var_j))
+                )
+                best.append((i, j, int(cov_num), corr))
+    best.sort(key=lambda t: (-abs(t[3]), t[0], t[1]))
+    want = {(i, j): (cn, corr) for i, j, cn, corr in best[:_CORR_TOPK]}
+    for r in rows:
+        assert (r.i, r.j) in want, (r.i, r.j)
+        cn, corr = want[(r.i, r.j)]
+        assert r.n_rows == n and r.cov_num == cn
+        assert r.corr == corr, (r.i, r.j, r.corr, corr)
+
+
+def test_embedding_corr_plan_row_local_gramian(spark, sf_dir):
+    # pair terms must explode row-locally behind a Generate barrier —
+    # never a posexplode self-join or a cross of the corpus with itself
+    from spark_sql_flow_plugin_spark.operators.similarity import (
+        embedding_corr_top_pairs,
+    )
+
+    plan = (
+        embedding_corr_top_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") >= 2  # barrier + pair stream

@@ -1239,3 +1239,85 @@ def curation_epoch_schedule(spark, sf_dir):
             f" DIV 100 AS BIGINT)"
         ).alias("sampled_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — deterministic epoch shuffling / sharding
+# ---------------------------------------------------------------------------
+
+_SHARD_EPOCHS = 2
+_SHARD_BUCKETS = 8
+
+# 48-bit md5 prefix: positive in int64, collision odds ~ N^2 / 2^49 —
+# and the (key, doc_id) composite sort key stays total even if two
+# documents ever collided.
+_SHUF_KEY_SPARK = (
+    "cast(conv(substr(md5(concat(cast(epoch as string), ':', "
+    "cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+)
+_SHUF_KEY_DUCK = (
+    "('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' || "
+    "CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+)
+
+_SHARD_SQL = f"""
+    WITH e AS (
+        SELECT d.doc_id, t.epoch
+        FROM documents d CROSS JOIN (VALUES {
+            ', '.join(f'({i})' for i in range(_SHARD_EPOCHS))}) t(epoch)),
+    k AS (
+        SELECT doc_id, epoch, {_SHUF_KEY_DUCK} AS shuf_key
+        FROM e)
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           CAST(shuf_key % {_SHARD_BUCKETS} AS INT) AS bucket,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, shuf_key % {_SHARD_BUCKETS}
+               ORDER BY shuf_key, doc_id) AS BIGINT) AS pos
+    FROM k
+"""
+
+
+@register(
+    "shard_shuffle_epochs",
+    _SHARD_SQL,
+    "curation",
+)
+def shard_shuffle_epochs(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffling + sharding — the global
+    shuffle every LM training run needs (and needs REPRODUCIBLY: a rerun
+    of epoch e must place every document in the same shard at the same
+    position, which rand()-based shuffles can't give). Each (epoch,
+    doc) gets an md5-derived 48-bit sort key; the key's residue picks
+    one of {_SHARD_BUCKETS} shards and the key order within the shard is
+    the read order. Epochs get independent permutations from the same
+    corpus scan (the epoch literal is salted into the hash), so
+    multi-epoch training never replays one epoch's document order.
+
+    100 TB posture: this is sort-based shuffle done the Spark-first way
+    — no rand() (non-reproducible across retries: a recomputed task
+    would re-draw and corrupt exactly-once sharding), no global sort:
+    the rank window is PARTITIONED by (epoch, shard), so Spark plans
+    one hash exchange at shard grain and sorts only within shards —
+    at cluster scale that is ``write.partitionBy(epoch, bucket)`` +
+    ``sortWithinPartitions(shuf_key)`` on the same keys. The epoch
+    fan-out is a row-local explode of a {_SHARD_EPOCHS}-literal array,
+    never a join."""
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    e = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SHARD_EPOCHS)])
+        ).alias("epoch"),
+    )
+    k = e.select(
+        "doc_id", "epoch", F.expr(_SHUF_KEY_SPARK).alias("shuf_key")
+    ).withColumn(
+        "bucket", (F.col("shuf_key") % _SHARD_BUCKETS).cast("int")
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("shuf_key", "doc_id")
+    return k.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -269,3 +269,58 @@ def test_embedding_corr_plan_row_local_gramian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate explode") >= 2  # barrier + pair stream
+
+
+def test_shard_shuffle_epochs_invariants(spark, sf_dir):
+    from collections import defaultdict
+
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        _SHARD_BUCKETS,
+        _SHARD_EPOCHS,
+        shard_shuffle_epochs,
+    )
+
+    rows = shard_shuffle_epochs(spark, sf_dir).collect()
+    n_docs = len(rows) // _SHARD_EPOCHS
+    assert len(rows) == n_docs * _SHARD_EPOCHS
+
+    # positions within each (epoch, shard) are exactly 1..shard_size
+    shards = defaultdict(list)
+    for r in rows:
+        shards[(r.epoch, r.bucket)].append(r.pos)
+    for key, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), key
+    # every epoch shards the same doc set, but with a DIFFERENT
+    # permutation — the epoch salt must actually change placements
+    placement = {
+        e: {r.doc_id: (r.bucket, r.pos) for r in rows if r.epoch == e}
+        for e in range(_SHARD_EPOCHS)
+    }
+    assert set(placement[0]) == set(placement[1])
+    moved = sum(
+        1 for d in placement[0] if placement[0][d] != placement[1][d]
+    )
+    assert moved > n_docs // 2, f"epoch salt barely reshuffles: {moved}/{n_docs}"
+    # reproducibility: a second build is bit-identical (no rand() inside)
+    again = {
+        (r.epoch, r.doc_id): (r.bucket, r.pos)
+        for r in shard_shuffle_epochs(spark, sf_dir).collect()
+    }
+    assert all(again[(r.epoch, r.doc_id)] == (r.bucket, r.pos) for r in rows)
+
+
+def test_shard_shuffle_plan_no_global_sort(spark, sf_dir):
+    # the rank window is partitioned by (epoch, shard): the plan must
+    # exchange at shard grain, never funnel through one partition
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        shard_shuffle_epochs,
+    )
+
+    plan = (
+        shard_shuffle_epochs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(epoch" in plan

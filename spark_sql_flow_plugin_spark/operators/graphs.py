@@ -818,7 +818,7 @@ def _lp_frame(spark, sf_dir, rounds: int):
     return scope_caches(out, sym)
 
 
-_LINKPRED_CAP = 64
+_LINKPRED_CAP = 16
 _LINKPRED_TOPK = 50
 
 
@@ -851,7 +851,8 @@ def _linkpred_sql() -> str:
         SELECT c1.nbr AS a, c2.nbr AS b, CAST(COUNT(*) AS BIGINT) AS common_nbrs
         FROM capped c1 JOIN capped c2
           ON c1.node = c2.node AND c1.nbr < c2.nbr
-        GROUP BY c1.nbr, c2.nbr),
+        GROUP BY c1.nbr, c2.nbr
+        HAVING COUNT(*) >= 2),
     nonadj AS (
         SELECT cn.a, cn.b, cn.common_nbrs
         FROM cn LEFT JOIN pairs p ON cn.a = p.i AND cn.b = p.j
@@ -920,6 +921,12 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         .select("a", F.explode(F.expr("filter(nbrs, x -> x > a)")).alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_nbrs"))
+        # support filter (the winnow shared>=2 convention): a single
+        # shared neighbor is noise on a near-random graph and would keep
+        # ~every wedge-touched pair alive into the anti-join/degree
+        # joins — >=2 trims the candidate frame by orders of magnitude
+        # right at the first aggregate
+        .where(F.col("common_nbrs") >= 2)
     )
     nonadj = cn.join(
         pairs,

@@ -42,6 +42,9 @@ in both dialects, matching the driver's sort-columns-by-name compare.
 
 Shapes drawn per seed: join-chain aggregates (optional HAVING), sampled
 projections (DISTINCT sometimes), window batteries over grouped frames,
+bounded window FRAMES (sliding ROWS n PRECEDING..m FOLLOWING,
+value-based RANGE frames over exact integer keys with ties kept,
+explicit-frame FIRST_VALUE/LAST_VALUE, empty-frame NULL/0 conventions),
 set operations (UNION/UNION ALL over aggregate branches;
 INTERSECT/EXCEPT over DISTINCT key projections — aggregate tuples from
 differently-filtered branches are near-always disjoint, which checks
@@ -949,6 +952,86 @@ def _shape_anti(rng: random.Random):
     return tuple(out)
 
 
+def _shape_frame(rng: random.Random):
+    """Bounded window FRAMES (r13): sliding ROWS n PRECEDING .. m
+    FOLLOWING aggregates under a tie-broken total order; value-based
+    RANGE frames over an exact integer key (ties DELIBERATELY kept —
+    a RANGE frame is value-defined, so its aggregate is well-defined
+    even where row order isn't); FIRST_VALUE / LAST_VALUE with explicit
+    frames (LAST_VALUE's DEFAULT frame ends at CURRENT ROW — the classic
+    silently-wrong result — so the explicit UNBOUNDED FOLLOWING form is
+    the convention this shape pins); and the empty-frame convention
+    (a frame entirely FOLLOWING past the partition end: SUM → NULL,
+    COUNT → 0, verified identical in both engines before this shape
+    landed). All sort keys carry explicit NULLS LAST: Spark's ASC
+    default is NULLS FIRST, DuckDB's is NULLS LAST."""
+    frm, cols = _chain(rng)
+    keys = _group_keys(rng, cols, 2)
+    aggs = _aggs(rng, cols, 1)
+    if aggs[0].typ != "int":
+        aggs = [_same("CAST(COUNT(*) AS BIGINT)", "int", 1e8)]
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    items = keys + aggs
+    base = {
+        d: _render(items, frm, where, "c0, c1", dialect=d)
+        for d in ("spark", "duck")
+    }
+    # (c0, c1) is unique, so within PARTITION BY c0 the key c1 alone is
+    # a total order; c2 is the int aggregate every frame sums
+    tot = "c1 NULLS LAST"
+    wfs = []
+    for _ in range(rng.randint(1, 2)):
+        r = rng.random()
+        if r < 0.30:
+            a, b = rng.randint(0, 2), rng.randint(0, 2)
+            wfs.append(
+                f"CAST(SUM(c2) OVER (PARTITION BY c0 ORDER BY {tot}"
+                f" ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING) AS BIGINT)"
+            )
+        elif r < 0.50:
+            k = rng.choice([3, 5, 7])
+            n = rng.randint(1, 3)
+            hi = rng.choice(["CURRENT ROW", f"{n} FOLLOWING"])
+            wfs.append(
+                f"CAST(SUM(c2) OVER (ORDER BY COALESCE(abs(c2) % {k}, -1)"
+                f" RANGE BETWEEN {n} PRECEDING AND {hi}) AS BIGINT)"
+            )
+        elif r < 0.65:
+            wfs.append(
+                f"LAST_VALUE(c1) OVER (PARTITION BY c0 ORDER BY {tot}"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            )
+        elif r < 0.80:
+            n = rng.randint(1, 2)
+            wfs.append(
+                f"FIRST_VALUE(c1) OVER (PARTITION BY c0 ORDER BY {tot}"
+                f" ROWS BETWEEN {n} PRECEDING AND {n} FOLLOWING)"
+            )
+        elif r < 0.90:
+            # frame can be entirely past the partition end: SUM → NULL
+            a = rng.randint(2, 3)
+            wfs.append(
+                f"CAST(SUM(c2) OVER (PARTITION BY c0 ORDER BY {tot}"
+                f" ROWS BETWEEN {a} FOLLOWING AND {a + 2} FOLLOWING)"
+                f" AS BIGINT)"
+            )
+        else:
+            a = rng.randint(2, 3)
+            wfs.append(
+                f"CAST(COUNT(c2) OVER (PARTITION BY c0 ORDER BY {tot}"
+                f" ROWS BETWEEN {a} FOLLOWING AND {a + 2} FOLLOWING)"
+                f" AS BIGINT)"
+            )
+    n0 = len(items)
+    sel = ", ".join(
+        [f"c{i}" for i in range(n0)]
+        + [f"{w} AS c{n0 + j}" for j, w in enumerate(wfs)]
+    )
+    return tuple(
+        f"SELECT {sel} FROM ({base[d]}) b" for d in ("spark", "duck")
+    )
+
+
 def _shape_toplimit(rng: random.Random):
     """ORDER BY <every output column> LIMIT k over an aggregate frame:
     a total order over the full row makes the limited prefix unique AS A
@@ -1162,7 +1245,8 @@ def _shape_stack(rng: random.Random):
 _SHAPES = [
     (_shape_agg, 24),
     (_shape_proj, 15),
-    (_shape_window, 17),
+    (_shape_window, 14),
+    (_shape_frame, 8),
     (_shape_setop, 12),
     (_shape_rollup, 10),
     (_shape_subq, 12),

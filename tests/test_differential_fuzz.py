@@ -44,6 +44,7 @@ ALL_SHAPES = {
     "agg",
     "proj",
     "window",
+    "frame",
     "setop",
     "rollup",
     "subq",

@@ -269,3 +269,25 @@ def test_streaming_dataframe_lineage(spark, sf_dir):
     assert {n.tpe.value for n in cnodes} <= {
         "TableNode", "LeafPlanNode", "QueryNode",
     }
+
+
+def test_collect_metrics_observe_identity(spark):
+    # Spark 4 df.observe() inserts a CollectMetrics node (a plan shape
+    # the reference era never saw); it must flow through the default
+    # identity rule — node present, per-ordinal passthrough edges, and
+    # the metric expressions never become dangling columns
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    q = (
+        c.select("c_custkey", "c_acctbal")
+        .observe("m", F.count(F.lit(1)).alias("cnt"), F.sum("c_acctbal").alias("sab"))
+        .where(F.col("c_acctbal") > 0)
+    )
+    nodes, edges = extract(q, flow_name="flow")
+    assert "CollectMetrics" in {n.ident for n in nodes}
+    es = edge_set(edges)
+    assert any("-> CollectMetrics_x:0" in e for e in es)
+    assert any("CollectMetrics_x:0 ->" in e for e in es)
+    # no node exposes the metric aliases as columns
+    for n in nodes:
+        assert "cnt" not in n.attribute_names
+        assert "sab" not in n.attribute_names

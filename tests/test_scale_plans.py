@@ -1044,14 +1044,18 @@ def test_containment_candidates_banded_never_all_pairs(spark, sf_dir):
 
 
 def test_kcore_rounds_reuse_cached_edges(spark, sf_dir):
-    # every peel round consumes the PREVIOUS round's persisted edge frame
-    # (degree aggregate + induction join) — without the caches each round
-    # re-runs the lineitem self-join; and the induction joins are
-    # equi-joins on node keys, never a cross
+    # since the r13 localCheckpoint rework each peel round TRUNCATES its
+    # lineage: the final plan is only the last degree aggregation over a
+    # checkpointed leaf (Scan ExistingRDD) — the lineitem self-join and
+    # every earlier round are materialized exactly once, never re-run
+    # (the constant-plan-size-in-K gate lives in
+    # test_round13_properties.test_kcore_plan_size_constant_in_rounds);
+    # and the plan stays free of crosses
     plan = _physical(queries()["graph_kcore_peel"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("InMemoryTableScan") >= 4  # pairs + 3 round frames
+    assert "Scan ExistingRDD" in plan  # checkpointed round frame leaf
+    assert "lineitem" not in plan  # base scan never re-derived in the tail
     spark.catalog.clearCache()
 
 

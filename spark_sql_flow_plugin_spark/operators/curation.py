@@ -1321,3 +1321,109 @@ def shard_shuffle_epochs(spark, sf_dir):
         "bucket",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Pareto-frontier (skyline) corpus selection
+# ---------------------------------------------------------------------------
+
+_SKY_SHARDS = 32
+
+_SKY_METRICS_DUCK = r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t != '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(
+                        list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t != ''))) AS BIGINT) AS n_vocab
+        FROM documents WHERE length(text) > 0"""
+
+_SKY_SQL = f"""
+    WITH m AS ({_SKY_METRICS_DUCK}),
+    s AS (
+        SELECT doc_id, n_tokens, n_vocab,
+               MAX(n_vocab) OVER (
+                   ORDER BY n_tokens ASC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vprev,
+               MAX(n_vocab) OVER (PARTITION BY n_tokens) AS vsame
+        FROM m)
+    SELECT doc_id, n_tokens, n_vocab
+    FROM s WHERE (vprev IS NULL OR n_vocab > vprev) AND n_vocab = vsame
+"""
+
+
+@register(
+    "curation_skyline_frontier",
+    _SKY_SQL,
+    "curation",
+)
+def curation_skyline_frontier(spark, sf_dir):
+    """Pareto-frontier (SKYLINE) corpus selection: the documents not
+    DOMINATED on (maximize distinct-vocabulary coverage, minimize token
+    cost) — a doc is dropped iff some other doc is no longer AND covers
+    no less vocabulary, strictly better in one (Borzsony/Kossmann/
+    Stocker 2001's skyline operator; in curation terms: the
+    vocabulary-coverage-per-token frontier a budgeted greedy selection
+    sweeps along, the relational core of coverage-driven corpus
+    selection). Both metrics are exact integers (whitespace token
+    count; distinct lowercased tokens), naturally anti-correlated —
+    the frontier stays 15-25 docs at every SF, unlike quality-vs-length
+    which degenerates to the single short all-alpha doc.
+
+    The 2-D skyline IS a window sweep: a row survives iff no strictly
+    cheaper row covers at least as much (value-based RANGE frame ending
+    1 PRECEDING, so the current cost's peer group is excluded) and no
+    same-cost peer covers strictly more — one pass, no O(n^2) dominance
+    self-join, and exact duplicate points all stay on the frontier (the
+    set-semantics skyline).
+
+    100 TB posture: a global-order window is a single-partition sort, so
+    the Spark side runs the textbook DISTRIBUTED skyline: phase 1
+    computes the same sweep WITHIN each of {_SKY_SHARDS} hash shards
+    (window partitioned by shard — fully parallel, no global exchange);
+    locally-dominated rows are globally dominated (dominance doesn't
+    care which shard the dominator lives in), so phase 1 is
+    correctness-preserving and cuts the stream to the union of local
+    frontiers — O(shards x frontier) rows, typically ~sqrt-ish of the
+    input — before phase 2's tiny single-partition sweep. The oracle
+    runs the equivalent single-pass form."""
+    d = load(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    m = d.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(filter(split(lower(text), '\\s+'), t -> t != ''))"
+            r" AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(
+            r"CAST(size(array_distinct(filter(split(lower(text), '\\s+'),"
+            r" t -> t != ''))) AS BIGINT)"
+        ).alias("n_vocab"),
+    ).withColumn("shard", (F.col("doc_id") % _SKY_SHARDS).cast("int"))
+
+    def sweep(df, part_cols):
+        # a row is dominated iff a STRICTLY cheaper row covers >= vocab
+        # (value-based RANGE frame: the current cost's peer group is
+        # excluded), or a same-cost peer covers strictly more. Exact
+        # duplicate points are ALL kept — neither dominates the other
+        # (the doc-229 witness in the property test).
+        wprev = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("n_tokens").asc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        wsame = Window.partitionBy(*(part_cols + ["n_tokens"]))
+        return (
+            df.withColumn("vprev", F.max("n_vocab").over(wprev))
+            .withColumn("vsame", F.max("n_vocab").over(wsame))
+            .where(
+                (F.col("vprev").isNull() | (F.col("n_vocab") > F.col("vprev")))
+                & (F.col("n_vocab") == F.col("vsame"))
+            )
+            .drop("vprev", "vsame")
+        )
+
+    local = sweep(m, ["shard"])  # parallel local frontiers
+    out = sweep(local, []).select("doc_id", "n_tokens", "n_vocab")
+    return out

@@ -324,3 +324,64 @@ def test_shard_shuffle_plan_no_global_sort(spark, sf_dir):
     )
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(epoch" in plan
+
+
+def test_skyline_frontier_matches_bruteforce_dominance(spark, sf_dir):
+    # exact O(n^2) dominance re-check in python over the same integer
+    # metrics: every kept row is non-dominated; every excluded doc is
+    # dominated by some kept doc (so the frontier is complete, not just
+    # sound); and the two-phase (local shard sweep -> global sweep)
+    # result equals the direct definition
+    import re
+
+    import pyarrow.parquet as pq
+
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        curation_skyline_frontier,
+    )
+
+    rows = curation_skyline_frontier(spark, sf_dir).collect()
+    got = {(r.doc_id, r.n_tokens, r.n_vocab) for r in rows}
+    assert len(got) >= 5
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    m = {}
+    for rec in tbl:
+        t = rec["text"]
+        if not t:
+            continue
+        # Java/RE2 \s is ASCII-only; Python's is Unicode-aware — match
+        # the engines' convention (the NFC fixture plants non-ASCII ws)
+        toks = [w for w in re.split("[ \t\n\x0b\f\r]+", t.lower()) if w != ""]
+        m[rec["doc_id"]] = (len(toks), len(set(toks)))
+
+    def dominated(d, by):
+        (t1, v1), (t2, v2) = m[d], m[by]
+        return (t2 <= t1 and v2 >= v1) and (t2 < t1 or v2 > v1)
+
+    kept_ids = {r.doc_id for r in rows}
+    for r in rows:
+        assert (m[r.doc_id][0], m[r.doc_id][1]) == (r.n_tokens, r.n_vocab)
+        assert not any(dominated(r.doc_id, o) for o in m if o != r.doc_id)
+    for d in m:
+        if d not in kept_ids:
+            assert any(dominated(d, k) for k in kept_ids), d
+
+
+def test_skyline_two_phase_plan(spark, sf_dir):
+    # phase 1 must sweep INSIDE hash shards (parallel window on the
+    # shard key); only the residual-frontier phase may funnel through a
+    # single partition
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        curation_skyline_frontier,
+    )
+
+    plan = (
+        curation_skyline_frontier(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan

@@ -1014,3 +1014,81 @@ def events_cusum_drift(spark, sf_dir):
         F.col("d_t").cast("bigint").alias("d_t"),
         (F.col("d_t") > _CUSUM_K * F.col("total")).alias("drift_alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — exact half-life decayed engagement scores
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_US = 7 * 86_400 * 1_000_000  # one week, in microseconds
+
+_DECAY_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    ref AS (SELECT MAX(epoch_us(ts)) AS now_us FROM ev),
+    t AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                        CAST(0 AS BIGINT)) AS cents,
+               CAST(((SELECT now_us FROM ref) - epoch_us(ts))
+                    // {_DECAY_HALF_LIFE_US} AS BIGINT) AS k
+        FROM ev)
+    SELECT user_id,
+           CAST(SUM(cents // (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT)
+               AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ts_us) AS BIGINT) AS last_seen_us
+    FROM t GROUP BY user_id
+"""
+
+
+@register(
+    "events_decay_engagement",
+    _DECAY_SQL,
+    "timeseries",
+)
+def events_decay_engagement(spark, sf_dir):
+    """Half-life-decayed engagement scoring: each event's value counts at
+    2^-(age/half_life) of face value (one-week half-life) — the standard
+    recency weighting behind freshness-aware user/feature scores and
+    trending rankings. The decay is EXACT integer arithmetic end to end:
+    age bucket k = floor(age_us / half_life_us), contribution =
+    cents >> k (integer divide by a power of two) — no exp()/pow()
+    float, so both engines agree bit-for-bit and the sum is
+    order-independent. `value` is non-negative in this schema, and the
+    explicit GREATEST(cents, 0) clamp makes that a contract: integer
+    division of NEGATIVES is the truncate-vs-floor cross-engine trap
+    (Spark DIV truncates toward zero, DuckDB // floors), and a future
+    driver data regeneration must not be able to re-open it silently.
+
+    100 TB posture: ONE map-side-combinable groupBy(user_id) over a
+    row-local projection — the same single-exchange shape as
+    stream_user_totals' batch twin; the reference instant is one
+    driver-side MAX scalar (the kcore/colbert bounded-scalar
+    convention), so every row's bucket is a literal comparison. A
+    production variant holds `now` fixed per run for idempotent
+    re-scoring — exactly what this form does.
+    """
+    ev = load(spark, sf_dir, "events")["events"].select("user_id", "ts", "value")
+    now_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(
+            "GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),"
+            " CAST(0 AS BIGINT))"
+        ).alias("cents"),
+        F.expr(
+            f"CAST(({now_us} - unix_micros(ts)) DIV {_DECAY_HALF_LIFE_US}"
+            " AS BIGINT)"
+        ).alias("k"),
+    )
+    return t.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(cents DIV shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)))"
+            " AS BIGINT)"
+        ).alias("decay_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts_us").cast("bigint").alias("last_seen_us"),
+    )

@@ -385,3 +385,50 @@ def test_skyline_two_phase_plan(spark, sf_dir):
     assert "hashpartitioning(shard" in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_decay_engagement_matches_python_reference(spark, sf_dir):
+    # exact integer re-computation: cents >> (age // half_life) summed
+    # per user, against the collected result, bit-for-bit
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from spark_sql_flow_plugin_spark.operators.timeseries import (
+        _DECAY_HALF_LIFE_US,
+        events_decay_engagement,
+    )
+
+    rows = events_decay_engagement(spark, sf_dir).collect()
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+
+    def to_us(v):
+        if isinstance(v, int):  # LONG nanos layout (driver flip-flop)
+            return v // 1000
+        return int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else v
+
+    ts_us = [to_us(v) for v in tbl["ts"]]
+    now = max(ts_us)
+    score = defaultdict(int)
+    cnt = defaultdict(int)
+    last = defaultdict(int)
+    for u, t, v in zip(tbl["user_id"], ts_us, tbl["value"]):
+        cents = max(int(math.floor(v * 100 + 0.5)), 0)
+        k = (now - t) // _DECAY_HALF_LIFE_US
+        score[u] += cents >> k
+        cnt[u] += 1
+        last[u] = max(last[u], t)
+    assert len(rows) == len(score) > 0
+    for r in rows:
+        assert (r.decay_score, r.n_events, r.last_seen_us) == (
+            score[r.user_id],
+            cnt[r.user_id],
+            last[r.user_id],
+        ), r.user_id
+    # decay actually bites: at least one user's score is strictly below
+    # their undecayed cents total
+    raw = defaultdict(int)
+    for u, v in zip(tbl["user_id"], tbl["value"]):
+        raw[u] += max(int(math.floor(v * 100 + 0.5)), 0)
+    assert any(score[u] < raw[u] for u in score)

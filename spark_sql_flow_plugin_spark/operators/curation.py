@@ -1427,3 +1427,122 @@ def curation_skyline_frontier(spark, sf_dir):
     local = sweep(m, ["shard"])  # parallel local frontiers
     out = sweep(local, []).select("doc_id", "n_tokens", "n_vocab")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — reciprocal-rank-fusion quality combining
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000  # FLOOR(1e12 / (k + rank)): exact BIGINT terms
+
+_RRF_SQL = rf"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t != '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(
+                        list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t != ''))) AS BIGINT) AS n_vocab,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha
+        FROM documents WHERE length(text) > 0),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_vocab DESC, doc_id) AS r_vocab,
+               ROW_NUMBER() OVER (ORDER BY n_alpha DESC, doc_id) AS r_alpha
+        FROM m)
+    SELECT doc_id,
+           CAST(r_tokens AS BIGINT) AS r_tokens,
+           CAST(r_vocab AS BIGINT) AS r_vocab,
+           CAST(r_alpha AS BIGINT) AS r_alpha,
+           CAST({_RRF_SCALE} // ({_RRF_K} + r_tokens)
+                + {_RRF_SCALE} // ({_RRF_K} + r_vocab)
+                + {_RRF_SCALE} // ({_RRF_K} + r_alpha) AS BIGINT) AS rrf_fp
+    FROM r
+"""
+
+
+def _dist_rank(df, metric: str, out: str):
+    """Distributed global row_number over (metric DESC, doc_id ASC) —
+    WITHOUT a full-data single-partition sort window. Two-phase TeraSort
+    ranking: (1) aggregate to value grain and cumulate counts of
+    STRICTLY greater values (the only unpartitioned window runs over
+    #distinct-values rows, not data rows); (2) broadcast the offsets
+    back and rank within each value group by the unique tie-break key
+    (a PARTITIONED window — fully parallel). rank = n_gt + within."""
+    from pyspark.sql.functions import broadcast
+
+    cnt = df.groupBy(metric).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.orderBy(F.col(metric).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.select(
+        metric,
+        F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_gt"),
+    )
+    win = Window.partitionBy(metric).orderBy(F.col("doc_id").asc())
+    return (
+        df.join(broadcast(offs), metric)
+        .withColumn(out, (F.col("_gt") + F.row_number().over(win)).cast("bigint"))
+        .drop("_gt")
+    )
+
+
+@register(
+    "quality_rrf_fusion",
+    _RRF_SQL,
+    "quality",
+    "curation",
+)
+def quality_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of three
+    quality signals — length, distinct-vocabulary coverage, alphabetic
+    mass: score = sum_i floor(1e12 / ({_RRF_K} + rank_i)). RRF is the
+    standard way to combine heterogeneous rankers without calibrating
+    their score scales (here: three exact-integer corpus signals; in
+    production: BM25 x embedding x quality-model). The reciprocal terms
+    are integer-scaled and floored, so the fused score is an exact
+    BIGINT sum — order-independent, no float anywhere.
+
+    100 TB posture: a naive global ROW_NUMBER is a single-partition
+    sort of the full corpus — PER SIGNAL. Instead each rank is computed
+    with the two-phase TeraSort scheme (`_dist_rank`): a value-grain
+    aggregate cumulates strictly-greater counts (the only unpartitioned
+    window touches #distinct-values rows), the offsets broadcast back,
+    and the within-value tie-break window is PARTITIONED by value —
+    so no full-data single-partition exchange exists in the plan
+    (plan-gated). The oracle spells the equivalent plain ROW_NUMBER
+    form."""
+    d = load(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    m = d.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(filter(split(lower(text), '\\s+'), t -> t != ''))"
+            r" AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(
+            r"CAST(size(array_distinct(filter(split(lower(text), '\\s+'),"
+            r" t -> t != ''))) AS BIGINT)"
+        ).alias("n_vocab"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)"
+        ).alias("n_alpha"),
+    )
+    r = _dist_rank(m, "n_tokens", "r_tokens")
+    r = _dist_rank(r, "n_vocab", "r_vocab")
+    r = _dist_rank(r, "n_alpha", "r_alpha")
+    term = lambda c: F.expr(f"CAST({_RRF_SCALE} DIV ({_RRF_K} + {c}) AS BIGINT)")  # noqa: E731
+    return r.select(
+        "doc_id",
+        "r_tokens",
+        "r_vocab",
+        "r_alpha",
+        (term("r_tokens") + term("r_vocab") + term("r_alpha"))
+        .cast("bigint")
+        .alias("rrf_fp"),
+    )

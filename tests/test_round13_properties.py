@@ -432,3 +432,66 @@ def test_decay_engagement_matches_python_reference(spark, sf_dir):
     for u, v in zip(tbl["user_id"], tbl["value"]):
         raw[u] += max(int(math.floor(v * 100 + 0.5)), 0)
     assert any(score[u] < raw[u] for u in score)
+
+
+def test_rrf_dist_rank_equals_global_row_number(spark, sf_dir):
+    # the TeraSort two-phase rank must equal the plain global
+    # row_number over (metric DESC, doc_id) for every row and signal
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        quality_rrf_fusion,
+    )
+    from spark_sql_flow_plugin_spark.sources import load
+
+    rows = quality_rrf_fusion(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")["documents"].where(F.length("text") > 0)
+    m = d.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(filter(split(lower(text), '\\s+'), t -> t != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(
+            r"CAST(size(array_distinct(filter(split(lower(text), '\\s+'),"
+            r" t -> t != ''))) AS BIGINT)"
+        ).alias("n_vocab"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)"
+        ).alias("n_alpha"),
+    )
+    ref = {}
+    for metric, out in (
+        ("n_tokens", "r_tokens"),
+        ("n_vocab", "r_vocab"),
+        ("n_alpha", "r_alpha"),
+    ):
+        w = Window.orderBy(F.col(metric).desc(), F.col("doc_id").asc())
+        for r in m.select("doc_id", F.row_number().over(w).alias("rn")).collect():
+            ref[(r.doc_id, out)] = r.rn
+    assert len(rows) > 0
+    for r in rows:
+        for out in ("r_tokens", "r_vocab", "r_alpha"):
+            assert getattr(r, out) == ref[(r.doc_id, out)], (r.doc_id, out)
+
+
+def test_rrf_plan_no_full_data_global_sort(spark, sf_dir):
+    # the only SinglePartition exchanges allowed are the value-grain
+    # cumulative-offset windows (one per signal, fed by an aggregate);
+    # the data-grain windows must be hash-partitioned by metric value,
+    # and the offset joins must come back as broadcasts
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        quality_rrf_fusion,
+    )
+
+    plan = (
+        quality_rrf_fusion(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert plan.count("BroadcastHashJoin") >= 3
+    for metric in ("n_tokens", "n_vocab", "n_alpha"):
+        assert f"hashpartitioning({metric}" in plan

@@ -963,3 +963,143 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         .drop("rn")
     )
     return scope_caches(out, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — seeded multi-source BFS distance (TrustRank-style)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEED_MOD = 97
+_BFS_INF = 1_000_000_000
+
+
+def _bfs_sql(dialect: str) -> str:
+    """Unrolled min-plus BFS from the seed set over the directed md5
+    link graph. INF sentinel keeps every round pure integer MIN — no
+    NULL-propagation conventions to align. AS MATERIALIZED on the
+    DuckDB side (each round references its predecessor twice)."""
+    if dialect == "spark":
+        h32 = (
+            "cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+            "cast(k as string))), 1, 8), 16, 10) as bigint)"
+        )
+        vals = f"(VALUES {', '.join(f'({i})' for i in range(1, _FANOUT + 1))} AS t(k))"
+    else:
+        h32 = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(k AS VARCHAR)), 1, 8))::BIGINT"
+        )
+        vals = f"(VALUES {', '.join(f'({i})' for i in range(1, _FANOUT + 1))}) t(k)"
+    ctes = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT doc_id FROM documents)",
+        f"""edges0 AS (
+        SELECT doc_id AS src, {h32} % (SELECT n_docs FROM n) AS dst
+        FROM documents CROSS JOIN {vals})""",
+        "edges1 AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst)",
+        f"""d0 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_BFS_SEED_MOD} = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST({_BFS_INF} AS BIGINT) END AS dist
+        FROM nodes)""",
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT e.dst AS doc_id, MIN(d.dist) + 1 AS relax
+        FROM edges1 e JOIN d{i - 1} d ON e.src = d.doc_id
+        GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+        SELECT d.doc_id,
+               LEAST(d.dist, COALESCE(p.relax, {_BFS_INF})) AS dist
+        FROM d{i - 1} d LEFT JOIN p{i} p ON d.doc_id = p.doc_id)"""
+        )
+    body = "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT doc_id, CAST(dist AS BIGINT) AS dist,
+           dist < {_BFS_INF} AS reached
+    FROM d{_BFS_ROUNDS}"""
+    if dialect != "spark":
+        body = body.replace(" AS (", " AS MATERIALIZED (")
+    return body
+
+
+@register(
+    "graph_bfs_seed_distance",
+    _bfs_sql("duckdb"),
+    "graph",
+    "curation",
+)
+def graph_bfs_seed_distance(spark, sf_dir):
+    """Multi-source BFS distance from a trusted seed set over the
+    DIRECTED md5 link graph — the TrustRank-family curation signal
+    (Gyongyi et al. 2004): pages far from every editorially-trusted
+    seed are spam/chaff candidates, complementary to PageRank mass and
+    k-core depth. Seeds are doc_id % {_BFS_SEED_MOD} == 0; {_BFS_ROUNDS}
+    min-plus rounds unrolled (distances are exact within the K-hop
+    horizon; unreached rows keep the INF sentinel and reached=false).
+    The INF-sentinel formulation keeps every round a pure integer MIN —
+    no NULL-propagation conventions to align across engines.
+
+    100 TB posture: per round ONE edges-to-frontier equi-join (edge
+    frame built once, hash-partitioned on the join key, persisted) plus
+    a node-grain map-side-combinable MIN and a node-grain left join;
+    each round's distance frame has two consumers and is
+    ``localCheckpoint``-ed, keeping the plan constant in K (the
+    kcore/label-propagation convention). A production run loops to
+    fixpoint with a driver-side changed-count; the fixed-K prefix is
+    the declarative-unroll convention (pagerank K=5)."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scope_caches
+    from ..sources import load
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    n_docs = docs.count()
+    h32 = (
+        "cast(conv(substr(md5(concat(cast(src as string), ':', "
+        "cast(k as string))), 1, 8), 16, 10) as bigint)"
+    )
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, _FANOUT + 1)])).alias("k"),
+        )
+        .select("src", F.expr(f"{h32} % {n_docs}").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    dist = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _BFS_SEED_MOD == 0, F.lit(0))
+        .otherwise(F.lit(_BFS_INF))
+        .cast("bigint")
+        .alias("dist"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        relax = (
+            edges.join(dist, edges.src == dist.doc_id)
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("relax"))
+        )
+        dist = (
+            dist.join(relax, dist.doc_id == relax.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("relax"), F.lit(_BFS_INF).cast("bigint")),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    out = dist.select(
+        "doc_id",
+        F.col("dist").cast("bigint").alias("dist"),
+        (F.col("dist") < _BFS_INF).alias("reached"),
+    )
+    return scope_caches(out, edges)

@@ -495,3 +495,45 @@ def test_rrf_plan_no_full_data_global_sort(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     for metric in ("n_tokens", "n_vocab", "n_alpha"):
         assert f"hashpartitioning({metric}" in plan
+
+
+def test_bfs_seed_distance_matches_python_reference(spark, sf_dir):
+    # exact python BFS over the same md5 digraph: distances within the
+    # K-hop horizon must match bit-for-bit; beyond it the sentinel
+    import hashlib
+    from collections import defaultdict
+
+    from spark_sql_flow_plugin_spark.operators.graphs import (
+        _BFS_INF,
+        _BFS_ROUNDS,
+        _BFS_SEED_MOD,
+        _FANOUT,
+        graph_bfs_seed_distance,
+    )
+
+    rows = graph_bfs_seed_distance(spark, sf_dir).collect()
+    n = len(rows)
+    out_adj = defaultdict(set)
+    for v in range(n):
+        for k in range(1, _FANOUT + 1):
+            h = int(hashlib.md5(f"{v}:{k}".encode()).hexdigest()[:8], 16) % n
+            if h != v:
+                out_adj[v].add(h)
+    dist = {
+        v: (0 if v % _BFS_SEED_MOD == 0 else _BFS_INF) for v in range(n)
+    }
+    for _ in range(_BFS_ROUNDS):
+        nxt = dict(dist)
+        for u in range(n):
+            for w in out_adj[u]:
+                if dist[u] + 1 < nxt[w]:
+                    nxt[w] = dist[u] + 1
+        dist = nxt
+    assert n > 0
+    for r in rows:
+        assert r.dist == dist[r.doc_id], (r.doc_id, r.dist, dist[r.doc_id])
+        assert r.reached == (dist[r.doc_id] < _BFS_INF)
+    # the seed set and at least one strictly-positive finite distance
+    # both exist (the gate is not vacuously all-seeds or all-INF)
+    ds = {r.dist for r in rows}
+    assert 0 in ds and any(0 < d < _BFS_INF for d in ds)

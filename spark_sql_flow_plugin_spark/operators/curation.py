@@ -1546,3 +1546,109 @@ def quality_rrf_fusion(spark, sf_dir):
         .cast("bigint")
         .alias("rrf_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — calibration audit of the model quality filter
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    oracle_of = {s.name: s.oracle for s in _REGISTRY}
+    m, g = oracle_of["quality_model_filter"], oracle_of["quality_gopher_rules"]
+    return f"""
+    WITH m AS ({m}),
+    g AS ({g}),
+    q AS (
+        SELECT m.doc_id,
+               CAST(FLOOR(m.model_score * 1000) AS BIGINT) AS s_mille,
+               g.keep = 1 AS label
+        FROM m JOIN g ON m.doc_id = g.doc_id),
+    n AS (SELECT COUNT(*) AS n FROM q),
+    r AS (
+        SELECT s_mille, label,
+               ROW_NUMBER() OVER (ORDER BY s_mille DESC, doc_id) AS rn
+        FROM q)
+    SELECT CAST(((rn - 1) * 10) // (SELECT n FROM n) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_keep,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS label_rate,
+           CAST(SUM(s_mille) AS BIGINT) AS sum_s_mille
+    FROM r GROUP BY 1
+    """
+
+
+@register(
+    "quality_calibration_bins",
+    None,  # oracle bound below (composes two registered filter oracles)
+    "quality",
+    "curation",
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Calibration audit of the linear model quality filter against the
+    Gopher rule battery as proxy labels: score-rank DECILES x empirical
+    rule-pass rate — the reliability-diagram table every learned filter
+    needs before its threshold is trusted (a well-calibrated scorer's
+    pass rate should fall monotonically across deciles; a flat column
+    means the model adds nothing over the rules). Composes the two
+    REGISTERED filters (builders AND oracle texts), so the audit can
+    never drift from the filters it audits — the
+    quality_ensemble_agreement convention.
+
+    Exactness: scores enter as FLOOR(score*1000) BIGINT (deterministic
+    on the identical IEEE double), labels are exact booleans, the rate
+    is one final division; deciles come from exact integer ranks.
+
+    100 TB posture: the global score rank uses the same two-phase
+    TeraSort scheme as quality_rrf_fusion (`_dist_rank` — value-grain
+    offsets broadcast back, value-partitioned tie-break windows), so no
+    full-data single-partition sort; the corpus size scalar is one
+    driver-side count (bounded-scalar convention); output is exactly 10
+    rows."""
+    from .text import quality_gopher_rules, quality_model_filter
+
+    m = quality_model_filter(spark, sf_dir).select("doc_id", "model_score")
+    g = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 1).alias("label")
+    )
+    q = m.join(g, "doc_id").select(
+        "doc_id",
+        F.expr("CAST(FLOOR(model_score * 1000) AS BIGINT)").alias("s_mille"),
+        "label",
+    )
+    n = q.count()
+    r = _dist_rank(q, "s_mille", "rn")
+    return (
+        r.withColumn(
+            "decile", F.expr(f"CAST(((rn - 1) * 10) DIV {n} AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_label_keep"),
+            (
+                F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("label_rate"),
+            F.sum("s_mille").cast("bigint").alias("sum_s_mille"),
+        )
+    )
+
+
+def _bind_calibration_oracle():
+    from ..registry import _REGISTRY, QuerySpec
+
+    for i, s in enumerate(_REGISTRY):
+        if s.name == "quality_calibration_bins" and s.oracle is None:
+            _REGISTRY[i] = QuerySpec(
+                s.name, s.builder, _calibration_oracle(), s.tags
+            )
+
+
+_bind_calibration_oracle()

@@ -537,3 +537,31 @@ def test_bfs_seed_distance_matches_python_reference(spark, sf_dir):
     # both exist (the gate is not vacuously all-seeds or all-INF)
     ds = {r.dist for r in rows}
     assert 0 in ds and any(0 < d < _BFS_INF for d in ds)
+
+
+def test_calibration_bins_invariants(spark, sf_dir):
+    # deciles 0..9, counts sum to the joined corpus, sizes within 1 of
+    # each other (exact-rank decile split), and label counts consistent
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        quality_calibration_bins,
+    )
+    from spark_sql_flow_plugin_spark.operators.text import (
+        quality_gopher_rules,
+        quality_model_filter,
+    )
+
+    rows = sorted(
+        quality_calibration_bins(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    m = quality_model_filter(spark, sf_dir).select("doc_id")
+    g = quality_gopher_rules(spark, sf_dir).select("doc_id")
+    assert sum(sizes) == m.join(g, "doc_id").count()
+    for r in rows:
+        assert 0 <= r.n_label_keep <= r.n_docs
+        assert r.label_rate == r.n_label_keep / r.n_docs
+    # the audit isn't vacuous: pass rates differ somewhere across bins
+    assert len({r.n_label_keep for r in rows}) > 1

@@ -595,9 +595,56 @@ def _shape_agg(rng: random.Random):
     )
 
 
+# join-key equivalence classes of the FK chain (_EDGES, transitively
+# closed on nationkey). Two grouping keys touching DISTINCT members of
+# one class are provably equal on every joined row — and DuckDB's
+# equivalence-class rewrite then substitutes one for the other BEFORE
+# grouping-sets expansion, defeating the SQL-standard NULL-fill of
+# non-grouped columns (seed 10128: GROUPING SETS ((n_nationkey),
+# (s_nationkey), ...) under ON s_nationkey = n_nationkey — Spark emits
+# the standard NULL-filled rows, DuckDB emits the join value in both
+# columns). Spark is standard-correct; the NULL-filling shapes simply
+# never draw such a pair (negative-control witness in
+# tests/test_fuzz_negative_controls.py).
+_JOIN_EQ_CLASSES = [
+    {"l_orderkey", "o_orderkey"},
+    {"l_partkey", "p_partkey"},
+    {"l_suppkey", "s_suppkey"},
+    {"o_custkey", "c_custkey"},
+    {"c_nationkey", "n_nationkey", "s_nationkey"},
+    {"n_regionkey", "r_regionkey"},
+]
+
+
+def _join_equated(a: "Ex", b: "Ex") -> bool:
+    for cls in _JOIN_EQ_CLASSES:
+        ca = {c for c in cls if c in a.spark}
+        cb = {c for c in cls if c in b.spark}
+        if ca and cb and ca != cb:
+            return True
+    return False
+
+
 def _shape_rollup(rng: random.Random):
     frm, cols = _chain(rng)
     keys = _group_keys(rng, cols, 2)
+    for _ in range(10):
+        if not _join_equated(keys[0], keys[1]):
+            break
+        keys = _group_keys(rng, cols, 2)
+    else:
+        # ten straight equated draws: re-key the second slot on a bucket
+        # of the FIRST key's own column — same equivalence-class member
+        # on both sides, so the rewrite can never unify the two sets
+        keys = [
+            keys[0],
+            Ex(
+                f"(abs({keys[0].spark}) % 3)",
+                f"(abs({keys[0].duck}) % 3)",
+                "int",
+                3,
+            ),
+        ]
     aggs = _aggs(rng, cols, rng.randint(1, 2))
     where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
     # the empty-input () super-aggregate divergence guard (q80 gotcha)

@@ -129,3 +129,44 @@ def test_integer_division_conventions_agree_on_abs(spark, duck):
     s = spark.sql("SELECT -7 DIV 2 AS a, abs(-7) DIV 2 AS b").collect()[0]
     d = duck.sql("SELECT -7 // 2 AS a, abs(-7) // 2 AS b").fetchall()[0]
     assert (s.a, s.b) == d == (-3, 3)
+
+
+def test_grouping_sets_join_equated_keys_diverge(spark, duck):
+    # convention: NULL-filling shapes (ROLLUP/CUBE/GROUPING SETS) never
+    # draw two keys that are provably equal via the join chain
+    # (fuzz._join_equated). Witness: under ON b = a, the SQL-standard
+    # result NULL-fills the non-grouped column per set — Spark does —
+    # while DuckDB's equivalence-class rewrite substitutes b -> a BEFORE
+    # grouping-sets expansion and emits the join value in BOTH columns
+    # (found live by seed 10128 after ~2,750 green seed-runs). If an
+    # engine upgrade makes this witness AGREE, the guard can be retired.
+    q = """
+    SELECT a AS c0, b AS c1, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM (VALUES (1, 10), (2, 20)) t(k, v)
+    JOIN (VALUES (1, 100), (2, 200)) u(a, w) ON a = k
+    JOIN (VALUES (1, 1000), (2, 2000)) s(b, z) ON b = a
+    GROUP BY GROUPING SETS ((a), (b), (a, b), ())
+    """
+    s = sorted(str((r.c0, r.c1, r.c2)) for r in spark.sql(q).collect())
+    d = sorted(str(t) for t in duck.sql(q).fetchall())
+    # Spark: standard NULL-fill — set (a) leaves c1 NULL and vice versa
+    assert "(1, None, 1)" in s and "(None, 1, 1)" in s
+    # DuckDB: equivalence-collapsed — no half-NULL rows at all
+    assert not any("None, 1" in x or "1, None" in x for x in d)
+    assert s != d
+
+
+def test_join_equated_guard_matches_witness_pair():
+    from spark_sql_flow_plugin_spark.fuzz import Ex, _join_equated, _same
+
+    a = _same("n_nationkey", "int", 50)
+    b = _same("s_nationkey", "int", 50)
+    assert _join_equated(a, b)
+    # same member twice is NOT equated (rewrite can't unify anything)
+    assert not _join_equated(a, _same("(abs(n_nationkey) % 3)", "int", 3))
+    # derived expressions over distinct members ARE treated as equated
+    # (conservative: the rewrite applies inside expressions too)
+    assert _join_equated(
+        Ex("(abs(s_nationkey) % 7)", "(abs(s_nationkey) % 7)", "int", 7), a
+    )
+    assert not _join_equated(a, _same("p_size", "int", 60))

@@ -1035,8 +1035,8 @@ _DECAY_SQL = f"""
                     // {_DECAY_HALF_LIFE_US} AS BIGINT) AS k
         FROM ev)
     SELECT user_id,
-           CAST(SUM(cents // (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT)
-               AS decay_score,
+           CAST(SUM(cents // (CAST(1 AS BIGINT) << CAST(LEAST(k, 62) AS INT)))
+                AS BIGINT) AS decay_score,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(MAX(ts_us) AS BIGINT) AS last_seen_us
     FROM t GROUP BY user_id
@@ -1061,6 +1061,11 @@ def events_decay_engagement(spark, sf_dir):
     division of NEGATIVES is the truncate-vs-floor cross-engine trap
     (Spark DIV truncates toward zero, DuckDB // floors), and a future
     driver data regeneration must not be able to re-open it silently.
+    The bucket is clamped with LEAST(k, 62) in BOTH dialects: an
+    unclamped 1<<63 raises OutOfRangeException in DuckDB while Spark's
+    shiftleft masks the count mod 64 (Java semantics) and would silently
+    count a 64-half-life-old event at FULL face value. The clamp is
+    exact — cents < 2^62, so any k >= 62 contributes 0 either way.
 
     100 TB posture: ONE map-side-combinable groupBy(user_id) over a
     row-local projection — the same single-exchange shape as
@@ -1086,8 +1091,8 @@ def events_decay_engagement(spark, sf_dir):
     )
     return t.groupBy("user_id").agg(
         F.expr(
-            "CAST(SUM(cents DIV shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)))"
-            " AS BIGINT)"
+            "CAST(SUM(cents DIV shiftleft(CAST(1 AS BIGINT),"
+            " CAST(LEAST(k, CAST(62 AS BIGINT)) AS INT))) AS BIGINT)"
         ).alias("decay_score"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("ts_us").cast("bigint").alias("last_seen_us"),

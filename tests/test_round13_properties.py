@@ -230,6 +230,16 @@ def test_embedding_corr_matches_numpy_reference(spark, sf_dir):
     # far inside int64 at the tested SF, else the quantizer bit
     # schedule has to shrink
     assert n * n * (1 << 26) < (1 << 62), "quantizer bits too wide for N"
+    # ...and the VALUE-range half of the same headroom argument (r13
+    # advice): |q| <= 2^13 only holds while embedding components stay in
+    # [-0.5, 0.5]. A driver data regeneration with a wider range would
+    # make Spark's non-ANSI BIGINT sums wrap silently while DuckDB's
+    # HUGEINT promotion errors on the CAST — pin it here so the overflow
+    # analysis cannot be voided without a test failure.
+    assert float(np.abs(emb).max()) <= 0.5, (
+        "embeddings fixture exceeds [-0.5, 0.5]; retune _CORR_Q bit "
+        "schedule before trusting the int64 moment headroom"
+    )
 
     sx = q.sum(axis=0)
     g = q.T @ q  # exact: int64, bounded per the guard above

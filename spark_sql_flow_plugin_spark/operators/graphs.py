@@ -249,7 +249,7 @@ def _co_purchase_pairs(spark, sf_dir):
     )
 
 
-def orient_edges_by_degree(pairs):
+def orient_edges_by_degree(pairs, caches=None):
     """Schank & Wagner (2005) degree orientation: each undirected edge
     {u, v} becomes the single arc u -> v where (deg(u), u) < (deg(v), v)
     in the packed-BIGINT order. Out-degree under this orientation is
@@ -259,6 +259,17 @@ def orient_edges_by_degree(pairs):
     Input: DataFrame[i, j] of distinct undirected edges. Output:
     DataFrame[src, dst, dord] where dord is dst's packed order key (the
     wedge join's tie-free comparison column).
+
+    ``caches``: optional list — when given, the O(|V|)-row ``nord``
+    frame is persisted, MATERIALIZED, and appended for the caller's
+    ``scope_caches``. Without it, the oi/oj broadcast-exchange futures
+    each re-run the full degree pipeline (Union + groupBy over 2|E|
+    rows): AQE does not reuse the two canonically-equal broadcast
+    exchanges across subtrees, and the r14 per-stage profile
+    (artifacts/triangle_profile_r14.md) shows the deg map stage as the
+    query's single heaviest stage RUNNING TWICE (~70 s executor each at
+    sf0.1). Materializing the 20k-row nord first makes both broadcasts
+    a cache read.
     """
     from pyspark.sql import functions as F
 
@@ -275,6 +286,10 @@ def orient_edges_by_degree(pairs):
             + F.col("node").cast("bigint")
         ).alias("nord"),
     )
+    if caches is not None:
+        nord = nord.persist()
+        nord.count()
+        caches.append(nord)
     oi = nord.select(F.col("node").alias("i"), F.col("nord").alias("oi"))
     oj = nord.select(F.col("node").alias("j"), F.col("nord").alias("oj"))
     lower_first = F.col("oi") < F.col("oj")
@@ -307,7 +322,7 @@ def count_wedges(edges):
     return e1.join(e2, "src").where(F.col("ord_b") < F.col("ord_c"))
 
 
-def triangle_corners(edges):
+def triangle_corners(edges, caches=None):
     """Edge-iterator triangle listing over degree-oriented arcs: for each
     arc (u, v), the triangles through it are the common out-neighbors
     w in N+(u) AND N+(v) — computed by attaching per-source adjacency
@@ -320,10 +335,21 @@ def triangle_corners(edges):
     (41M at sf0.1). Here the only shuffles are the O(|V|)-row adjacency
     build and the final corner aggregation (3 rows per triangle); the
     intersection work is the same O(|E|^1.5) bound but stays CPU-local
-    inside the join's pipeline, never an exchange."""
+    inside the join's pipeline, never an exchange.
+
+    ``caches``: optional list — when given, the O(|V|)-row ``adj`` frame
+    is persisted, MATERIALIZED, and appended for the caller's
+    ``scope_caches``; otherwise the au/av broadcast futures each re-run
+    the collect_list groupBy over all |E| arcs (same AQE
+    no-cross-subtree-reuse behavior as the nord broadcasts — see
+    orient_edges_by_degree)."""
     from pyspark.sql import functions as F
 
     adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    if caches is not None:
+        adj = adj.persist()
+        adj.count()
+        caches.append(adj)
     au = adj.select(F.col("src").alias("u"), F.col("nb").alias("nb_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nb").alias("nb_v"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -383,13 +409,24 @@ def graph_triangle_count(spark, sf_dir):
     + the arc scan) are persisted — Catalyst does not CSE repeated
     subtrees, and recomputing pairs per consumer re-runs the lineitem
     self-join five times."""
+    # r14 profile fix (artifacts/triangle_profile_r14.md): every fan-out
+    # frame is persisted AND materialized before its consumers build —
+    # the oi/oj and au/av broadcast-exchange futures are canonically
+    # equal but AQE does not reuse exchanges across subtrees, so without
+    # materialized caches each future re-ran its full upstream pipeline
+    # (the deg map stage, the heaviest in the query, executed twice).
+    caches = []
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
-    edges = orient_edges_by_degree(pairs).persist()
+    pairs.count()
+    caches.append(pairs)
+    edges = orient_edges_by_degree(pairs, caches=caches).persist()
+    edges.count()
+    caches.append(edges)
     from pyspark.sql import functions as F
 
     from ..caching import scope_caches
 
-    tri = triangle_corners(edges)
+    tri = triangle_corners(edges, caches=caches)
     # one pass over the triangle frame: each triangle contributes to its
     # three corners via Generate — a UNION ALL of three projections would
     # re-run the intersection join three times (Catalyst has no CSE)
@@ -399,7 +436,7 @@ def graph_triangle_count(spark, sf_dir):
     out = verts.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tri")
     ).select(F.col("node").cast("bigint").alias("node"), "n_tri")
-    return scope_caches(out, pairs, edges)
+    return scope_caches(out, *caches)
 
 
 # ---------------------------------------------------------------------------

@@ -130,8 +130,12 @@ _ADAM7 = [
 def _png_unfilter(raw, at, ph, rowbytes, bpp):
     """Reconstruct ``ph`` scanlines of ``rowbytes`` each from the filtered
     stream starting at ``raw[at]``; returns ((ph, rowbytes) int32, new
-    offset). Up is vectorized; Sub/Average/Paeth carry a left-neighbor
-    dependency so those rows reconstruct byte-sequentially."""
+    offset). None/Up are row-vectorized; Sub vectorizes per byte lane
+    (recon[x] = line[x] + recon[x-bpp] is a lane-wise running sum, and
+    addition mod 256 commutes with cumsum); Average/Paeth carry a
+    non-linear left dependency, so those rows walk pixel-at-a-time with
+    the bpp lanes vectorized (r14: the per-BYTE walk made PNG decode the
+    dominant cost of the whole multimodal battery at 14 ms/72x64 image)."""
     out = np.zeros((ph, rowbytes), dtype=np.int32)
     for r in range(ph):
         ftype = raw[at]
@@ -145,21 +149,30 @@ def _png_unfilter(raw, at, ph, rowbytes, bpp):
             out[r] = line
         elif ftype == 2:  # Up
             out[r] = (line + prior) % 256
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+        elif ftype == 1:  # Sub: lane-wise running sum mod 256
             recon = out[r]
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) % 256
+        elif ftype in (3, 4):  # Average / Paeth: native-int byte walk —
+            # numpy scalar indexing boxes every element (~10x slower than
+            # python ints in a tight loop), so these rows walk plain lists
+            ln = line.tolist()
+            pr_row = prior.tolist()
+            rc = [0] * rowbytes
             for x in range(rowbytes):
-                a = recon[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = prior[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                a = rc[x - bpp] if x >= bpp else 0
+                b = pr_row[x]
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
+                    c = pr_row[x - bpp] if x >= bpp else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (line[x] + pred) % 256
+                rc[x] = (ln[x] + pred) & 255
+            out[r] = rc
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
     return out, at
@@ -1950,3 +1963,181 @@ def multimodal_audio_vad(spark, sf_dir):
         run,
         "doc_id long, n_active_frames int, n_segments int, max_run int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — perceptual (near-dup) image dedup: dHash + banded LSH
+# ---------------------------------------------------------------------------
+
+_PH_SEL_MOD = 8  # every 8th document carries a synthesized image pair
+_PH_CELL = 8  # dHash cell = one 8x8 JPEG MCU (flat per block -> DC-only)
+_PH_COLS, _PH_ROWS = 9, 8  # 9x8 cell grid -> 8 comparisons x 8 rows = 64 bits
+_PH_STEP = 12  # brightness step per bit; JPEG q90 flat-cell err <= 1
+_PH_BANDS, _PH_BAND_BITS = 4, 16
+_PH_MAX_HAMMING = 2  # banded candidates are COMPLETE for d <= bands-1 = 3
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 mix (public domain, Steele et al. 2014) — the per-doc
+    64-bit pattern seed. Exact uint64 arithmetic, identical across hosts."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def phash_image(doc_id: int) -> "np.ndarray":
+    """Deterministic dHash test image for one document: a 72x64 grayscale
+    grid of flat 8x8 cells whose row-wise brightness walk (+/-_PH_STEP)
+    encodes bit k of splitmix64(doc_id) as the sign of the step between
+    cells k%8 and k%8+1 of row k//8. Flat MCU-aligned cells mean a JPEG
+    re-encode at any sane quality only moves the quantized DC (measured
+    max |err| = 1 at q85/q90), a 64x smaller perturbation than the
+    12-level step — so the dHash survives re-encoding bit-for-bit."""
+    bits = (
+        int(_splitmix64(np.array([doc_id], dtype=np.uint64))[0])
+    )
+    cells = np.empty((_PH_ROWS, _PH_COLS), dtype=np.int64)
+    for r in range(_PH_ROWS):
+        v = 128
+        cells[r, 0] = v
+        for c in range(_PH_COLS - 1):
+            t = (bits >> (r * 8 + c)) & 1
+            v = v - _PH_STEP if t else v + _PH_STEP
+            cells[r, c + 1] = v
+    gray = np.repeat(
+        np.repeat(cells.astype(np.uint8), _PH_CELL, axis=0), _PH_CELL, axis=1
+    )
+    return np.stack([gray] * 3, axis=-1)
+
+
+def dhash64(img: "np.ndarray") -> int:
+    """Row-wise difference hash over the cell grid, EXACT integer
+    arithmetic end to end: cell value = int64 sum of the 8x8 green-channel
+    block (no float mean), bit k set iff cell[k//8][k%8] > cell[k//8][k%8+1].
+    Returns the 64-bit hash as a SIGNED int64 (Spark BIGINT twin)."""
+    g = img[:, :, 1].astype(np.int64)
+    h, w = g.shape
+    cs = g.reshape(h // _PH_CELL, _PH_CELL, w // _PH_CELL, _PH_CELL).sum(
+        axis=(1, 3)
+    )
+    out = 0
+    for r in range(_PH_ROWS):
+        for c in range(_PH_COLS - 1):
+            if cs[r, c] > cs[r, c + 1]:
+                out |= 1 << (r * 8 + c)
+    return int(np.uint64(out).astype(np.int64))
+
+
+@register(
+    "multimodal_phash_neardup",
+    f"""
+    SELECT CAST(doc_id * 2 AS BIGINT) AS id_a,
+           CAST(doc_id * 2 + 1 AS BIGINT) AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents
+    WHERE doc_id % {_PH_SEL_MOD} = 0
+    """,
+    "multimodal",
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """Perceptual image near-dup (r13 verdict item #2): the image analog
+    of the text near-dup suite. Every selected document synthesizes one
+    image and stores it TWICE — losslessly (BMP; the PNG path is already
+    exercised by the decode-stats/roundtrip batteries and its Paeth
+    unfilter is the costliest decoder) and lossily re-encoded (our own
+    baseline JPEG at quality 90). The two payloads are
+    byte-different (md5 dedup misses them — pinned by the pytest
+    witness), but both decode to perceptually-identical pixels, so their
+    64-bit dHashes are EQUAL and the pair comes out of the LSH sweep at
+    Hamming distance 0.
+
+    Scale shape (the dedup_simhash convention): hashes band into
+    {_PH_BANDS} x {_PH_BAND_BITS}-bit keys; candidates are the band-equal
+    equi-join pairs (never all-pairs — plan-gated: banded hash keys, no
+    CartesianProduct); verification is bit_count(xor) <= {_PH_MAX_HAMMING}
+    JVM-side. Banding is COMPLETE for d <= {_PH_BANDS - 1} (pigeonhole),
+    so threshold {_PH_MAX_HAMMING} has exact recall. The oracle is exact
+    because the corpus is engineered: twin hashes match bit-for-bit
+    (flat MCU-aligned cells, step 12 vs measured q90 error 1), and
+    cross-doc false positives cannot exist — the offline sweep over every
+    selected doc_id < 2,000,000 measured min banded pairwise distance 8
+    (pytest re-verifies the committed SF ranges).
+
+    100 TB posture: image synthesis + decode + hash are row-local in one
+    mapInPandas (payloads never cross a shuffle); the only exchanges are
+    the band-key candidate join and the final pair distinct. Decode goes
+    through the REAL native codecs both ways — a PNG filter or JPEG
+    DC-quantization regression flips hashes and breaks the value hash.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")["documents"]
+        .select("doc_id")
+        .where(F.col("doc_id") % _PH_SEL_MOD == 0)
+        # codec work is ~8 ms/doc but the doc_id frame comes off a single
+        # small parquet split — fan the rows across every core before the
+        # mapInPandas (the augmented_documents gate-repartition pattern)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    from .jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                arr = phash_image(did)
+                for off, payload in (
+                    (0, encode_bmp(arr)),
+                    (1, encode_jpeg(arr, quality=90, subsample=False)),
+                ):
+                    img = decode_image(payload)
+                    rows.append((did * 2 + off, dhash64(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    media = docs.mapInPandas(gen, "media_id bigint, phash bigint").persist()
+    # materialize BEFORE the band self-join fans out: Catalyst has no CSE,
+    # so without a pinned cache both join sides re-run the codec pipeline
+    # (the whole cost of this query) — same discipline as the triangle
+    # fan-out caches (artifacts/triangle_profile_r14.md).
+    media.count()
+    from ..caching import scope_caches
+
+    bands = media.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"CAST((phash >> {16 * k}) & 65535 AS INT)"
+                    )
+                    for k in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    out = cand.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").alias("hamming"),
+    ).where(F.col("hamming") <= _PH_MAX_HAMMING)
+    return scope_caches(out, media)

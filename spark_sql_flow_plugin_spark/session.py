@@ -23,6 +23,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan the OUTPUT partitioning of cached plans too (default
+    # false). Without it every persisted frame freezes the static
+    # shuffle-partition count at cache-build time, so downstream stages
+    # over small cached frames run hundreds of near-empty map tasks whose
+    # cost is pure shuffle-file creation — the r14 triangle-count profile
+    # measured 30 s of a 70 s stage in shuffle WRITE of 11 MB across 128
+    # tasks (artifacts/triangle_profile_r14.md; conf alone took the query
+    # 10.2 s -> 4.8 s at sf0.1). At 100 TB the same flag is what keeps
+    # cached-frame consumers byte-sized instead of count-sized.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # The driver has generated events.parquet with INT64 TIMESTAMP(NANOS) in
     # some rounds; Spark's parquet reader rejects nanos unless they are read
     # as LONG. Read-path-only and idempotent, but set HERE once (not per

@@ -120,3 +120,106 @@ def test_decay_unclamped_witness(spark, ancient_events_dir):
     )
     # 10.0 fresh + the 50.0 ancient event wrongly at face value.
     assert bad == 6000
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_neardup (r13 verdict item #2)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_witness_md5_misses_phash_catches():
+    # The planted witness: the SAME image re-encoded lossily produces a
+    # byte-different payload (exact/md5 dedup misses the pair) while the
+    # dHash is bit-identical (perceptual dedup catches it).
+    import hashlib
+
+    from spark_sql_flow_plugin_spark.operators.jpeg import encode_jpeg
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        decode_image,
+        dhash64,
+        encode_bmp,
+        phash_image,
+    )
+
+    pixels_moved = False
+    for did in (0, 8, 1024, 77776):
+        arr = phash_image(did)
+        lossless = encode_bmp(arr)
+        lossy = encode_jpeg(arr, quality=90, subsample=False)
+        lossy75 = encode_jpeg(arr, quality=75, subsample=False)
+        assert hashlib.md5(lossless).hexdigest() != hashlib.md5(lossy).hexdigest()
+        h0 = dhash64(decode_image(lossless))
+        h1 = dhash64(decode_image(lossy))
+        assert h0 == h1, f"doc {did}: lossy re-encode flipped dHash bits"
+        # even a much harsher re-encode stays within the near-dup budget
+        h2 = dhash64(decode_image(lossy75))
+        assert bin(h0 ^ h2).count("1") <= 2, did
+        # quantization must actually move pixels SOMEWHERE in the sweep
+        # (flat 8x8 cells can survive q90's DC quantizer exactly, so the
+        # lossiness probe uses the harsher q75 table and any-doc scope)
+        pixels_moved = pixels_moved or bool((decode_image(lossy75) != arr).any())
+    assert pixels_moved, "q75 re-encode reconstructed every doc bit-exactly"
+
+
+def test_phash_cross_doc_min_distance_over_committed_ranges():
+    # Exactness of the registry oracle hinges on NO cross-doc pair within
+    # Hamming 2. Banding (4 x 16 bits) is complete for d <= 3, so checking
+    # band-equal pairs is a PROOF, not a sample. Sweep every selected
+    # doc_id through the sf1 range with margin (0..1,200,000).
+    import numpy as np
+
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _PH_SEL_MOD,
+        _splitmix64,
+    )
+
+    ids = np.arange(0, 1_200_000, _PH_SEL_MOD, dtype=np.uint64)
+    h = _splitmix64(ids)
+    mind = 64
+    for k in range(4):
+        band = ((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+        order = np.argsort(band, kind="stable")
+        bs, hs = band[order], h[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(bs) != 0])
+        ends = np.r_[starts[1:], len(bs)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            x = hs[s:e, None] ^ hs[None, s:e]
+            cnt = np.zeros_like(x, dtype=np.int64)
+            for _ in range(64):
+                cnt += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            np.fill_diagonal(cnt, 64)
+            mind = min(mind, int(cnt.min()))
+    assert mind >= 3, f"cross-doc collision risk: min banded distance {mind}"
+
+
+def test_phash_plan_banded_no_allpairs(spark, sf_dir):
+    # Scale gate: candidates come from the banded equi-join (hash keys
+    # band+val), never an all-pairs product; the codec pipeline is pinned
+    # behind one InMemoryTableScan (no duplicate mapInPandas subtree).
+    from spark_sql_flow_plugin_spark.registry import queries
+
+    df = queries()["multimodal_phash_neardup"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    # the codec pipeline must exist ONCE: the formatted tree re-prints the
+    # cached subtree under each InMemoryRelation consumer, so count
+    # distinct NODE IDs — one AQE cached plan contributes at most two
+    # (its == Final == and == Initial == renderings share ids per plan)
+    mip_ids = set(re.findall(r"MapInPandas \((\d+)\)", plan))
+    assert len(mip_ids) <= 2, f"codec subtree duplicated: nodes {mip_ids}"
+    join_ids = set(
+        re.findall(
+            r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^(]*\((\d+)\)",
+            plan,
+        )
+    )
+    assert len(join_ids) == 1  # exactly the banded candidate join

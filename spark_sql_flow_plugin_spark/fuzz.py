@@ -628,21 +628,26 @@ def _join_equated(a: "Ex", b: "Ex") -> bool:
 def _shape_rollup(rng: random.Random):
     frm, cols = _chain(rng)
     keys = _group_keys(rng, cols, 2)
-    for _ in range(10):
-        if not _join_equated(keys[0], keys[1]):
-            break
-        keys = _group_keys(rng, cols, 2)
-    else:
-        # ten straight equated draws: re-key the second slot on a bucket
-        # of the FIRST key's own column — same equivalence-class member
-        # on both sides, so the rewrite can never unify the two sets
+    if _join_equated(keys[0], keys[1]):
+        # r14 (verdict item #6): KEEP generating the join-equated shape
+        # instead of redrawing (the r13 guard excluded it). DuckDB
+        # rewrites join-equated columns to one representative BEFORE
+        # grouping-sets expansion, collapsing the half-NULL rows the
+        # SQL standard requires (seed-10128 witness,
+        # tests/test_fuzz_negative_controls.py — still diverging
+        # unwrapped). Wrapping the second key's ORACLE text in
+        # COALESCE(e, e) defeats that rewrite without changing values
+        # (probed: plain and `e + 0` still collapse — constant-folded —
+        # while COALESCE(e, e) and CAST survive, restoring standard
+        # NULL-fill even for derived expressions over equated columns),
+        # so the standard-semantics surface stays fuzzed.
         keys = [
             keys[0],
             Ex(
-                f"(abs({keys[0].spark}) % 3)",
-                f"(abs({keys[0].duck}) % 3)",
-                "int",
-                3,
+                keys[1].spark,
+                f"COALESCE({keys[1].duck}, {keys[1].duck})",
+                keys[1].typ,
+                keys[1].mag,
             ),
         ]
     aggs = _aggs(rng, cols, rng.randint(1, 2))
@@ -999,6 +1004,109 @@ def _shape_anti(rng: random.Random):
     return tuple(out)
 
 
+def _frame_temporal(rng: random.Random, frm, cols, dcol):
+    """DATE/TIMESTAMP RANGE frames with interval bounds (r14): the
+    registry's `win_range_interval` covers the reference's `RANGE
+    BETWEEN interval '23 days 4 hours'` battery (window.sql:14-46) with
+    hand-written queries; this variant draws the shapes randomly.
+    Interval arithmetic + RANGE boundaries over temporal keys is classic
+    cross-engine divergence territory (calendar vs fixed-duration
+    intervals), so every form below was probed on literal fixtures
+    FIRST (the r13 method), all MATCH: single-unit DAY/HOUR bounds both
+    directions, calendar MONTH bounds, DESC ordering, frames entirely
+    past the partition end (SUM→NULL / COUNT→0), NULL keys as their own
+    peer group, and the multi-unit day+hour bound — the one spot the
+    DIALECTS split: Spark `INTERVAL 2 DAYS 12 HOURS` vs DuckDB
+    `INTERVAL '2 days 12 hours'` (DuckDB cannot parse the unquoted
+    multi-unit form).
+
+    The window's date key is a per-group MIN (exact, deterministic);
+    RANGE frames are value-defined so cross-group date ties are safe."""
+    keys = _group_keys(rng, cols, 2)
+    where = _bool_expr(rng, cols) if rng.random() < 0.7 else None
+    items = keys + [
+        _same(f"MIN(CAST({dcol} AS DATE))", "date"),
+        _same("CAST(COUNT(*) AS BIGINT)", "int", 1e8),
+    ]
+    base = {
+        d: _render(items, frm, where, "c0, c1", dialect=d)
+        for d in ("spark", "duck")
+    }
+    wfs = []  # list of (spark_text, duck_text)
+    for _ in range(rng.randint(1, 2)):
+        part = "PARTITION BY c0 " if rng.random() < 0.5 else ""
+        r = rng.random()
+        if r < 0.25:  # fixed-duration days, trailing
+            n = rng.randint(1, 40)
+            f = (
+                f"CAST(SUM(c3) OVER ({part}ORDER BY c2 NULLS LAST RANGE"
+                f" BETWEEN INTERVAL {n} DAYS PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT)"
+            )
+            wfs.append((f, f))
+        elif r < 0.40:  # leading window
+            m = rng.randint(1, 30)
+            f = (
+                f"CAST(SUM(c3) OVER ({part}ORDER BY c2 NULLS LAST RANGE"
+                f" BETWEEN CURRENT ROW AND INTERVAL {m} DAYS FOLLOWING)"
+                f" AS BIGINT)"
+            )
+            wfs.append((f, f))
+        elif r < 0.55:  # CALENDAR month bound (not a fixed duration)
+            k = rng.randint(1, 2)
+            f = (
+                f"CAST(SUM(c3) OVER ({part}ORDER BY c2 NULLS LAST RANGE"
+                f" BETWEEN INTERVAL {k} MONTH PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT)"
+            )
+            wfs.append((f, f))
+        elif r < 0.65:  # DESC ordering flips the frame direction
+            n = rng.randint(1, 20)
+            f = (
+                f"CAST(SUM(c3) OVER ({part}ORDER BY c2 DESC NULLS LAST"
+                f" RANGE BETWEEN INTERVAL {n} DAYS PRECEDING AND"
+                f" CURRENT ROW) AS BIGINT)"
+            )
+            wfs.append((f, f))
+        elif r < 0.78:  # timestamp key, hour-grain bounds
+            h = rng.choice([12, 24, 48, 96])
+            f = (
+                f"CAST(COUNT(c3) OVER ({part}ORDER BY CAST(c2 AS TIMESTAMP)"
+                f" NULLS LAST RANGE BETWEEN INTERVAL {h} HOURS PRECEDING"
+                f" AND CURRENT ROW) AS BIGINT)"
+            )
+            wfs.append((f, f))
+        elif r < 0.90:  # multi-unit bound — the dialect split
+            dd, hh = rng.randint(1, 3), rng.choice([6, 12, 18])
+            pre = f"{part}ORDER BY CAST(c2 AS TIMESTAMP) NULLS LAST RANGE BETWEEN"
+            wfs.append(
+                (
+                    f"CAST(SUM(c3) OVER ({pre} INTERVAL {dd} DAYS {hh} HOURS"
+                    f" PRECEDING AND CURRENT ROW) AS BIGINT)",
+                    f"CAST(SUM(c3) OVER ({pre} INTERVAL '{dd} days {hh} hours'"
+                    f" PRECEDING AND CURRENT ROW) AS BIGINT)",
+                )
+            )
+        else:  # frame can sit entirely past the partition end
+            a = rng.randint(2, 5)
+            fn = rng.choice(["SUM", "COUNT"])  # NULL vs 0 conventions
+            f = (
+                f"CAST({fn}(c3) OVER ({part}ORDER BY c2 NULLS LAST RANGE"
+                f" BETWEEN INTERVAL {a} DAYS FOLLOWING AND"
+                f" INTERVAL {a + 2} DAYS FOLLOWING) AS BIGINT)"
+            )
+            wfs.append((f, f))
+    n0 = len(items)
+    out = []
+    for di, d in enumerate(("spark", "duck")):
+        sel = ", ".join(
+            [f"c{i}" for i in range(n0)]
+            + [f"{w[di]} AS c{n0 + j}" for j, w in enumerate(wfs)]
+        )
+        out.append(f"SELECT {sel} FROM ({base[d]}) b")
+    return tuple(out)
+
+
 def _shape_frame(rng: random.Random):
     """Bounded window FRAMES (r13): sliding ROWS n PRECEDING .. m
     FOLLOWING aggregates under a tie-broken total order; value-based
@@ -1013,6 +1121,9 @@ def _shape_frame(rng: random.Random):
     landed). All sort keys carry explicit NULLS LAST: Spark's ASC
     default is NULLS FIRST, DuckDB's is NULLS LAST."""
     frm, cols = _chain(rng)
+    dcol = _date_col(rng, cols)
+    if dcol is not None and rng.random() < 0.45:
+        return _frame_temporal(rng, frm, cols, dcol)
     keys = _group_keys(rng, cols, 2)
     aggs = _aggs(rng, cols, 1)
     if aggs[0].typ != "int":
@@ -1306,10 +1417,17 @@ _SHAPES = [
 ]
 
 
-def gen_pair(seed: int) -> tuple[str, str, str]:
-    """(shape_name, spark_sql, duck_sql) for one seed."""
+def gen_pair(seed: int, only: str | None = None) -> tuple[str, str, str]:
+    """(shape_name, spark_sql, duck_sql) for one seed. ``only`` pins the
+    draw to a single shape (its bare name, e.g. "frame") for targeted
+    sweeps — the seed still drives all intra-shape choices."""
     rng = random.Random(seed)
-    shapes, weights = zip(*_SHAPES)
+    pool = (
+        _SHAPES
+        if only is None
+        else [(s, w) for s, w in _SHAPES if s.__name__ == f"_shape_{only}"]
+    )
+    shapes, weights = zip(*pool)
     shape = rng.choices(shapes, weights=weights)[0]
     s, d = shape(rng)
     return shape.__name__.replace("_shape_", ""), s, d
@@ -1337,10 +1455,10 @@ def _norm_rows(cols, rows):
     return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
 
 
-def run_seed(spark, con, seed: int) -> dict:
+def run_seed(spark, con, seed: int, only: str | None = None) -> dict:
     """Run one seed on both engines; views must already be registered.
     Returns a result record; rec["ok"] is the bit-exact verdict."""
-    shape, s_sql, d_sql = gen_pair(seed)
+    shape, s_sql, d_sql = gen_pair(seed, only)
     rec = {"seed": seed, "shape": shape, "spark_sql": s_sql, "duck_sql": d_sql}
     try:
         sdf = spark.sql(s_sql)

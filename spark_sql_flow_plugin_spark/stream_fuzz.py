@@ -1,0 +1,219 @@
+"""Differential STREAMING fuzzer: stream ≡ batch on generated stateful
+shapes (r13 verdict item #4).
+
+The repo's 17 hand-written stream_* registry entries all follow one
+mechanical invariant — `availableNow` over a staged file source must
+equal the same query run as a batch DataFrame (that is exactly how their
+DuckDB oracles are justified). This module fuzzes that invariant: a
+seeded generator draws a stateful shape (tumbling/sliding window
+aggregate, keyed totals, dropDuplicates, stateless filter+project), then
+ONE builder function is applied to both a batch read and a readStream of
+the SAME staged multi-file copy of the events table, and the collected
+outputs are compared as multisets of shortest-roundtrip cell reprs (the
+check_oracle conventions).
+
+Multi-batch execution is part of the surface: the staging step splits
+events.parquet into three files with strictly increasing mtimes, and
+seeds draw maxFilesPerTrigger ∈ {None, 1, 2}, so availableNow really
+replays 1-3 data micro-batches with state carried across batch
+boundaries. Only ORDER-INSENSITIVE shapes assert equality (complete-mode
+aggregations, append-mode dropDuplicates, stateless maps): with a
+watermark, stream-vs-batch equality is genuinely FALSE for late rows —
+that documented semantic difference is pinned by the negative-control
+witness in tests/test_stream_fuzz.py rather than papered over here.
+
+No DuckDB in this loop: the oracle for a stream is its own batch twin
+(both sides are the SAME Spark plan builder, so a divergence means the
+streaming runtime — state store, batch planner, trigger handling —
+changed the semantics, which is precisely what this sweep watches).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["stage_events", "gen_stream_case", "run_stream_seed"]
+
+
+def stage_events(spark, sf_dir: str, workdir: str) -> str:
+    """Split events.parquet into three deterministic files under
+    ``workdir`` (by event_id % 3) with strictly increasing mtimes so the
+    file stream's oldest-first pickup order is stable. Idempotent."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    done = os.path.join(workdir, "_staged")
+    if os.path.exists(done):
+        return workdir
+    os.makedirs(workdir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    mod = np.asarray(tbl.column("event_id")) % 3
+    t0 = 1_700_000_000
+    for i in range(3):
+        part = tbl.filter(pc.equal(mod, i))
+        path = os.path.join(workdir, f"events_{i}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return workdir
+
+
+def _read_batch(spark, staged: str) -> DataFrame:
+    from .sources.tables import convert_event_ts
+
+    return convert_event_ts(spark.read.parquet(staged))
+
+
+def _read_stream(spark, staged: str, max_files) -> DataFrame:
+    from .sources.tables import convert_event_ts
+
+    schema = spark.read.parquet(staged).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return convert_event_ts(reader.load(staged))
+
+
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+
+def gen_stream_case(seed: int):
+    """(shape_name, builder, output_mode) for one seed. ``builder`` maps
+    an events DataFrame (batch OR stream) to the query frame — one
+    builder, two runtimes, which is the whole point."""
+    rng = random.Random(seed)
+    shape = rng.choice(
+        ["tumble", "slide", "keyed_totals", "dedup", "stateless"]
+    )
+    key_kind = rng.choice(["none", "user_mod", "event_type"])
+    k = rng.choice([3, 5, 7])
+
+    def keys(df):
+        out = []
+        if key_kind == "user_mod":
+            out.append((F.abs(F.col("user_id")) % k).alias("kx"))
+        elif key_kind == "event_type":
+            out.append(F.col("event_type").alias("kx"))
+        return out
+
+    if shape == "tumble":
+        dur = rng.choice(["30 minutes", "1 hour", "3 hours", "1 day"])
+
+        def build(df):
+            g = df.groupBy(F.window("ts", dur).alias("w"), *keys(df))
+            return g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("cents"),
+            ).select(
+                F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"),
+                *(["kx"] if key_kind != "none" else []),
+                "n",
+                "cents",
+            )
+
+        return shape, build, "complete"
+
+    if shape == "slide":
+        dur, slide = rng.choice(
+            [("2 hours", "1 hour"), ("1 hour", "30 minutes"), ("6 hours", "2 hours")]
+        )
+
+        def build(df):
+            g = df.groupBy(F.window("ts", dur, slide).alias("w"), *keys(df))
+            return g.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"),
+                *(["kx"] if key_kind != "none" else []),
+                "n",
+            )
+
+        return shape, build, "complete"
+
+    if shape == "keyed_totals":
+        # resolve EVERY random choice before build() exists: the builder
+        # runs twice (batch + stream) and an rng draw inside it would
+        # give the two runtimes different queries (caught by seed 7)
+        with_et = rng.random() < 0.5
+
+        def build(df):
+            g = df.groupBy(
+                (F.abs(F.col("user_id")) % k).alias("kx"),
+                *([F.col("event_type").alias("et")] if with_et else []),
+            )
+            return g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("cents"),
+                F.expr("CAST(MAX(unix_micros(ts)) AS BIGINT)").alias("last_us"),
+            )
+
+        return shape, build, "complete"
+
+    if shape == "dedup":
+        cols = rng.choice(
+            [["user_id", "event_type"], ["event_type"], ["user_id"]]
+        )
+
+        def build(df):
+            return df.select(*cols).dropDuplicates(cols)
+
+        return shape, build, "append"
+
+    # stateless filter + projection — selectivity keyed on event_id (wide
+    # value range at every SF; user_id is a SMALL id space and a %100
+    # threshold on it silently emptied the first cut, a vacuous pass)
+    lo = rng.randint(0, 50)
+
+    def build(df):
+        return (
+            df.where(
+                (F.abs(F.col("event_id")) % 100 >= lo)
+                & F.col("event_type").isNotNull()
+            )
+            .select(
+                "event_id",
+                (F.abs(F.col("user_id")) % k).alias("kx"),
+                F.expr(f"{_CENTS}").alias("cents"),
+            )
+        )
+
+    return shape, build, "append"
+
+
+def _norm(df: DataFrame) -> list[str]:
+    from .fuzz import _norm_rows
+
+    cols = df.columns
+    return _norm_rows(cols, [tuple(r) for r in df.collect()])
+
+
+def run_stream_seed(spark, staged: str, seed: int) -> dict:
+    """Run one seed both ways; rec["ok"] is the multiset verdict."""
+    from .streaming.events import _run_to_memory
+
+    rng = random.Random(seed ^ 0x5EED)
+    max_files = rng.choice([None, 1, 2])
+    shape, build, mode = gen_stream_case(seed)
+    rec = {"seed": seed, "shape": shape, "max_files": max_files, "mode": mode}
+    try:
+        batch = _norm(build(_read_batch(spark, staged)))
+        streamed = _norm(
+            _run_to_memory(build(_read_stream(spark, staged, max_files)), mode)
+        )
+    except Exception as exc:  # pragma: no cover - generator bug surface
+        rec.update(ok=False, err=str(exc)[:400])
+        return rec
+    if batch != streamed:
+        diff = [(a, b) for a, b in zip(batch, streamed) if a != b][:3]
+        rec.update(
+            ok=False,
+            err=f"rows {len(batch)} vs {len(streamed)}, e.g. {diff}",
+        )
+        return rec
+    rec.update(ok=True, n_rows=len(batch))
+    return rec

@@ -156,6 +156,34 @@ def test_grouping_sets_join_equated_keys_diverge(spark, duck):
     assert s != d
 
 
+def test_grouping_sets_coalesce_wrapper_restores_standard(spark, duck):
+    # r14 (verdict item #6): the guard became COVERAGE — the grammar
+    # keeps generating join-equated grouping-sets keys and wraps the
+    # ORACLE side's second key in COALESCE(e, e), which DuckDB's
+    # equivalence rewrite cannot collapse (probed: `e + 0` constant-
+    # folds away and still collapses; COALESCE survives). Same witness
+    # query as the divergence test, wrapped — must now MATCH Spark's
+    # standard NULL-fill bit-for-bit.
+    qs = """
+    SELECT a AS c0, b AS c1, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM (VALUES (1, 10), (2, 20)) t(k, v)
+    JOIN (VALUES (1, 100), (2, 200)) u(a, w) ON a = k
+    JOIN (VALUES (1, 1000), (2, 2000)) s(b, z) ON b = a
+    GROUP BY GROUPING SETS ((a), (b), (a, b), ())
+    """
+    qd = """
+    SELECT a AS c0, COALESCE(b, b) AS c1, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM (VALUES (1, 10), (2, 20)) t(k, v)
+    JOIN (VALUES (1, 100), (2, 200)) u(a, w) ON a = k
+    JOIN (VALUES (1, 1000), (2, 2000)) s(b, z) ON b = a
+    GROUP BY GROUPING SETS ((a), (COALESCE(b, b)), (a, COALESCE(b, b)), ())
+    """
+    s = sorted(str((r.c0, r.c1, r.c2)) for r in spark.sql(qs).collect())
+    d = sorted(str(t) for t in duck.sql(qd).fetchall())
+    assert "(1, None, 1)" in s and "(None, 1, 1)" in s  # standard fill
+    assert s == d
+
+
 def test_join_equated_guard_matches_witness_pair():
     from spark_sql_flow_plugin_spark.fuzz import Ex, _join_equated, _same
 

@@ -28,6 +28,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    only = sys.argv[4] if len(sys.argv) > 4 else None  # pin one shape
 
     spark = get_session("fuzz-differential")
     register_views(spark, sf_dir, *fuzz.FUZZ_TABLES)
@@ -40,7 +41,7 @@ def main() -> int:
     t_all = time.time()
     for seed in range(start, start + n):
         t0 = time.time()
-        rec = fuzz.run_seed(spark, con, seed)
+        rec = fuzz.run_seed(spark, con, seed, only)
         total[rec["shape"]] = total.get(rec["shape"], 0) + 1
         if rec["ok"]:
             n_ok += 1

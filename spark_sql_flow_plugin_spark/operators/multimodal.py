@@ -1986,6 +1986,70 @@ def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     return z ^ (z >> np.uint64(31))
 
 
+# Per-modality codeword salts: image and audio twins of one document must
+# NOT share a failure mode, so each modality mixes a different stream.
+# The cross-doc min-banded-distance proof in
+# tests/test_round14_properties.py runs PER SALT.
+_PH_SALT_IMAGE = 0
+_PH_SALT_AUDIO = 0x5A1DAD10
+
+
+def _codeword64(doc_id: int, salt: int) -> int:
+    """The 64 target bits a synthesized medium encodes for one document."""
+    return int(
+        _splitmix64(np.array([doc_id ^ salt], dtype=np.uint64))[0]
+    )
+
+
+def _banded_neardup_pairs(media):
+    """The shared LSH tail of every perceptual near-dup sweep: band the
+    64-bit hash into _PH_BANDS x _PH_BAND_BITS keys, equi-join candidates
+    (banding is COMPLETE for Hamming d <= _PH_BANDS-1 by pigeonhole),
+    verify bit_count(xor) <= _PH_MAX_HAMMING JVM-side. ``media`` must be
+    (media_id bigint, phash bigint) and is persisted+MATERIALIZED here so
+    the self-join's two sides read one cache, not two codec pipelines."""
+    from ..caching import scope_caches
+
+    media = media.persist()
+    media.count()
+    bands = media.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"CAST((phash >> {16 * k}) & 65535 AS INT)")
+                    for k in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    out = cand.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").alias("hamming"),
+    ).where(F.col("hamming") <= _PH_MAX_HAMMING)
+    return scope_caches(out, media)
+
+
 def phash_image(doc_id: int) -> "np.ndarray":
     """Deterministic dHash test image for one document: a 72x64 grayscale
     grid of flat 8x8 cells whose row-wise brightness walk (+/-_PH_STEP)
@@ -1994,9 +2058,7 @@ def phash_image(doc_id: int) -> "np.ndarray":
     re-encode at any sane quality only moves the quantized DC (measured
     max |err| = 1 at q85/q90), a 64x smaller perturbation than the
     12-level step — so the dHash survives re-encoding bit-for-bit."""
-    bits = (
-        int(_splitmix64(np.array([doc_id], dtype=np.uint64))[0])
-    )
+    bits = _codeword64(doc_id, _PH_SALT_IMAGE)
     cells = np.empty((_PH_ROWS, _PH_COLS), dtype=np.int64)
     for r in range(_PH_ROWS):
         v = 128
@@ -2095,49 +2157,108 @@ def multimodal_phash_neardup(spark, sf_dir):
                     rows.append((did * 2 + off, dhash64(img)))
             yield pd.DataFrame(rows, columns=["media_id", "phash"])
 
-    media = docs.mapInPandas(gen, "media_id bigint, phash bigint").persist()
-    # materialize BEFORE the band self-join fans out: Catalyst has no CSE,
-    # so without a pinned cache both join sides re-run the codec pipeline
-    # (the whole cost of this query) — same discipline as the triangle
-    # fan-out caches (artifacts/triangle_profile_r14.md).
-    media.count()
-    from ..caching import scope_caches
+    media = docs.mapInPandas(gen, "media_id bigint, phash bigint")
+    return _banded_neardup_pairs(media)
 
-    bands = media.select(
-        "media_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"CAST((phash >> {16 * k}) & 65535 AS INT)"
-                    )
-                    for k in range(_PH_BANDS)
-                ]
-            )
-        ).alias("band", "val"),
+
+# ---------------------------------------------------------------------------
+# Round 14 — perceptual audio near-dup: energy fingerprint + banded LSH
+# ---------------------------------------------------------------------------
+
+_AF_FRAME = 64  # samples per analysis frame
+_AF_GROUPS, _AF_PER = 8, 9  # 8 groups x 9 frames -> 8x8 = 64 comparisons
+# amplitude level table: 1.3x gaps dwarf the worst G.711 quantization
+# error (<= ~4% relative at the smallest level), and the top level stays
+# inside int16
+_AF_LEVELS = [int(round(400 * 1.3**j)) for j in range(17)]
+
+
+def afp_samples(doc_id: int) -> "np.ndarray":
+    """Deterministic fingerprint test signal for one document: 72 frames
+    of a +/-A square wave whose amplitude walks the _AF_LEVELS ladder one
+    step per bit of the audio codeword (up for 0, down for 1) — the audio
+    twin of phash_image's brightness walk. Constant |sample| per frame
+    means G.711 quantizes every sample of a frame to the SAME level, so
+    the re-encoded frame energy moves by < 4% while adjacent-frame gaps
+    are 30%."""
+    bits = _codeword64(doc_id, _PH_SALT_AUDIO)
+    amps = np.empty(_AF_GROUPS * _AF_PER, dtype=np.int64)
+    for g in range(_AF_GROUPS):
+        j = 8
+        amps[g * _AF_PER] = _AF_LEVELS[j]
+        for c in range(_AF_PER - 1):
+            t = (bits >> (g * 8 + c)) & 1
+            j = j - 1 if t else j + 1
+            amps[g * _AF_PER + c + 1] = _AF_LEVELS[j]
+    sign = np.where(np.arange(_AF_FRAME) % 2 == 0, 1, -1).astype(np.int64)
+    return (amps[:, None] * sign[None, :]).reshape(-1).astype(np.int16)
+
+
+def afp64(wave: "np.ndarray") -> int:
+    """Exact-integer energy-profile fingerprint: per-frame energy is the
+    int64 sum of |round(sample * 32768)| (decode_audio emits int16/32768
+    floats, so the rounding recovers the exact PCM levels); bit k set iff
+    E[k//8*9 + k%8] > E[.. + k%8 + 1]. Signed int64 result (Spark BIGINT
+    twin)."""
+    q = np.abs(np.rint(np.asarray(wave) * 32768.0).astype(np.int64))
+    e = q[: _AF_GROUPS * _AF_PER * _AF_FRAME].reshape(-1, _AF_FRAME).sum(axis=1)
+    out = 0
+    for g in range(_AF_GROUPS):
+        for c in range(_AF_PER - 1):
+            if e[g * _AF_PER + c] > e[g * _AF_PER + c + 1]:
+                out |= 1 << (g * 8 + c)
+    return int(np.uint64(out).astype(np.int64))
+
+
+@register(
+    "multimodal_audio_fingerprint_neardup",
+    f"""
+    SELECT CAST(doc_id * 2 AS BIGINT) AS id_a,
+           CAST(doc_id * 2 + 1 AS BIGINT) AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents
+    WHERE doc_id % {_PH_SEL_MOD} = 0
+    """,
+    "multimodal",
+)
+def multimodal_audio_fingerprint_neardup(spark, sf_dir):
+    """Perceptual AUDIO near-dup — the audio sibling of
+    `multimodal_phash_neardup`, closing the same gap for the WAV corpus:
+    every selected document synthesizes one signal and stores it twice,
+    losslessly (16-bit PCM) and lossily re-encoded through the G.711
+    µ-law telephony codec (8-bit logarithmic — byte-different payload,
+    md5 dedup misses it; pinned by the pytest witness alongside A-law
+    and IMA ADPCM as harsher re-encodes). Both decode through the native
+    RIFF walker and fingerprint to the SAME 64 bits: frame-energy deltas
+    of 30% dwarf µ-law's <= ~4% quantization error by construction.
+
+    The codeword mixes a DIFFERENT salt than the image operator
+    (`_PH_SALT_AUDIO`), so the two modalities cannot share a silent
+    failure mode; the cross-doc min-banded-distance proof runs per salt
+    in tests/test_round14_properties.py. LSH tail (banding, candidate
+    equi-join, bit_count verify, cache discipline, plan gates) is the
+    shared `_banded_neardup_pairs` — identical 100 TB posture: payloads
+    never cross a shuffle, candidates never all-pairs.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")["documents"]
+        .select("doc_id")
+        .where(F.col("doc_id") % _PH_SEL_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    a = bands.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "val",
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "val",
-    )
-    cand = (
-        a.join(b, ["band", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b")
-        .distinct()
-    )
-    out = cand.select(
-        "id_a",
-        "id_b",
-        F.expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").alias("hamming"),
-    ).where(F.col("hamming") <= _PH_MAX_HAMMING)
-    return scope_caches(out, media)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                pcm = afp_samples(did)
+                for off, payload in (
+                    (0, encode_wav(pcm)),
+                    (1, encode_g711(pcm, law="ulaw")),
+                ):
+                    rows.append((did * 2 + off, afp64(decode_audio(payload))))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    media = docs.mapInPandas(gen, "media_id bigint, phash bigint")
+    return _banded_neardup_pairs(media)

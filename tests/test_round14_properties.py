@@ -161,20 +161,25 @@ def test_phash_witness_md5_misses_phash_catches():
     assert pixels_moved, "q75 re-encode reconstructed every doc bit-exactly"
 
 
-def test_phash_cross_doc_min_distance_over_committed_ranges():
+@pytest.mark.parametrize("salt", [0, 0x5A1DAD10], ids=["image", "audio"])
+def test_phash_cross_doc_min_distance_over_committed_ranges(salt):
     # Exactness of the registry oracle hinges on NO cross-doc pair within
     # Hamming 2. Banding (4 x 16 bits) is complete for d <= 3, so checking
     # band-equal pairs is a PROOF, not a sample. Sweep every selected
-    # doc_id through the sf1 range with margin (0..1,200,000).
+    # doc_id through the sf1 range with margin (0..1,200,000), once per
+    # modality salt (image dHash / audio energy fingerprint).
     import numpy as np
 
     from spark_sql_flow_plugin_spark.operators.multimodal import (
+        _PH_SALT_AUDIO,
+        _PH_SALT_IMAGE,
         _PH_SEL_MOD,
         _splitmix64,
     )
 
+    assert salt in (_PH_SALT_IMAGE, _PH_SALT_AUDIO)
     ids = np.arange(0, 1_200_000, _PH_SEL_MOD, dtype=np.uint64)
-    h = _splitmix64(ids)
+    h = _splitmix64(ids ^ np.uint64(salt))
     mind = 64
     for k in range(4):
         band = ((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -195,13 +200,57 @@ def test_phash_cross_doc_min_distance_over_committed_ranges():
     assert mind >= 3, f"cross-doc collision risk: min banded distance {mind}"
 
 
-def test_phash_plan_banded_no_allpairs(spark, sf_dir):
+def test_audio_fingerprint_witness_md5_misses_afp_catches():
+    # Audio twin of the pHash witness: PCM vs G.711 µ-law payloads are
+    # byte-different (md5 dedup misses the pair), fingerprints identical;
+    # the harsher A-law and IMA ADPCM re-encodes stay within the near-dup
+    # Hamming budget — and lossy really moves SAMPLES somewhere.
+    import hashlib
+
+    import numpy as np
+
+    from spark_sql_flow_plugin_spark.operators.multimodal import (
+        afp64,
+        afp_samples,
+        decode_audio,
+        encode_g711,
+        encode_ima_adpcm,
+        encode_wav,
+    )
+
+    samples_moved = False
+    for did in (0, 8, 1024, 77776):
+        pcm = afp_samples(did)
+        lossless = encode_wav(pcm)
+        ulaw = encode_g711(pcm, law="ulaw")
+        assert hashlib.md5(lossless).hexdigest() != hashlib.md5(ulaw).hexdigest()
+        h0 = afp64(decode_audio(lossless))
+        h1 = afp64(decode_audio(ulaw))
+        assert h0 == h1, f"doc {did}: µ-law re-encode flipped fingerprint bits"
+        for harsher in (
+            encode_g711(pcm, law="alaw"),
+            encode_ima_adpcm(pcm),
+        ):
+            h2 = afp64(decode_audio(harsher))
+            assert bin(h0 ^ h2).count("1") <= 2, did
+        dec = np.rint(decode_audio(ulaw) * 32768.0).astype(np.int64)
+        samples_moved = samples_moved or bool(
+            (dec != pcm.astype(np.int64)).any()
+        )
+    assert samples_moved, "µ-law re-encode reconstructed every doc exactly"
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["multimodal_phash_neardup", "multimodal_audio_fingerprint_neardup"],
+)
+def test_phash_plan_banded_no_allpairs(spark, sf_dir, qname):
     # Scale gate: candidates come from the banded equi-join (hash keys
     # band+val), never an all-pairs product; the codec pipeline is pinned
     # behind one InMemoryTableScan (no duplicate mapInPandas subtree).
     from spark_sql_flow_plugin_spark.registry import queries
 
-    df = queries()["multimodal_phash_neardup"](spark, sf_dir)
+    df = queries()[qname](spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

@@ -104,29 +104,71 @@ def cogroup_user_enrich(spark, sf_dir):
     the customer dimension inside one Arrow-batched function, full-outer
     over the key space (a key present on either side produces a row).
 
-    Scale: both sides shuffle once on the key; per-group work is O(group)
-    and vectorized. Aggregates are order-independent (count/max) so the
-    result is bit-stable across partitionings.
+    Scale (r14): the cogroup key is a BUCKET of the user key, not the
+    user key itself — `applyInPandas` over a cogroup invokes the Python
+    function once per key, and per-USER invocation costs ~1 ms of pandas
+    frame construction regardless of group size (measured 38 s at sf0.1
+    for ~25k users; 256 buckets bring it to ~2 s). Within a bucket the
+    per-user aggregate + full-outer merge is one vectorized pandas
+    groupby/merge, so output rows are IDENTICAL to the per-user form —
+    the oracle text did not move. At 100 TB this is the only shape that
+    survives: Python invocation count tracks bucket count (bounded),
+    not key cardinality. Aggregates are order-independent (count/max)
+    so the result is bit-stable across partitionings; NULL columns are
+    sanitized to object/None so Arrow never smuggles a NaN into a
+    missing slot.
     """
     ev = load(spark, sf_dir, "events")["events"]
     cu = load(spark, sf_dir, "customer")["customer"]
+    n_buckets = 256
 
     def enrich(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        mx = left["value"].max() if len(left) else None
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [len(left)],
-                "max_value": [None if mx is None or pd.isna(mx) else float(mx)],
-                "segment": [right["c_mktsegment"].iloc[0] if len(right) else None],
-                "acctbal": [right["c_acctbal"].iloc[0] if len(right) else None],
+        if len(left):
+            agg = left.groupby("user_id", sort=False)["value"].agg(
+                ["size", "max"]
+            )
+            agg.columns = ["n_events", "max_value"]
+            agg = agg.reset_index()
+        else:
+            agg = pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_events": pd.Series(dtype="int64"),
+                 "max_value": pd.Series(dtype="float64")}
+            )
+        dim = right.rename(
+            columns={
+                "c_custkey": "user_id",
+                "c_mktsegment": "segment",
+                "c_acctbal": "acctbal",
             }
         )
+        m = agg.merge(dim, on="user_id", how="outer")
+        out = pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "n_events": m["n_events"].fillna(0).astype("int64"),
+                "max_value": m["max_value"].astype(object).where(
+                    m["max_value"].notna(), None
+                ),
+                "segment": m["segment"].astype(object).where(
+                    m["segment"].notna(), None
+                ),
+                "acctbal": m["acctbal"].astype(object).where(
+                    m["acctbal"].notna(), None
+                ),
+            }
+        )
+        return out
 
+    evb = ev.select("user_id", "value").withColumn(
+        "b", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    cub = cu.select("c_custkey", "c_mktsegment", "c_acctbal").withColumn(
+        "b", F.pmod(F.col("c_custkey"), F.lit(n_buckets))
+    )
     return (
-        ev.select("user_id", "value")
-        .groupBy("user_id")
-        .cogroup(cu.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy("c_custkey"))
+        evb.groupBy("b")
+        .cogroup(cub.groupBy("b"))
         .applyInPandas(
             enrich,
             "user_id bigint, n_events bigint, max_value double, "

@@ -88,7 +88,7 @@ def gen_stream_case(seed: int):
     builder, two runtimes, which is the whole point."""
     rng = random.Random(seed)
     shape = rng.choice(
-        ["tumble", "slide", "keyed_totals", "dedup", "stateless"]
+        ["tumble", "slide", "keyed_totals", "dedup", "stateless", "session"]
     )
     key_kind = rng.choice(["none", "user_mod", "event_type"])
     k = rng.choice([3, 5, 7])
@@ -131,6 +131,32 @@ def gen_stream_case(seed: int):
                 F.col("w.end").alias("we"),
                 *(["kx"] if key_kind != "none" else []),
                 "n",
+            )
+
+        return shape, build, "complete"
+
+    if shape == "session":
+        # native session_window keyed state: sessions MERGE across
+        # micro-batches (maxFilesPerTrigger splits force real merges) —
+        # complete mode needs no watermark, so stream ≡ batch holds
+        gap = rng.choice(["10 minutes", "30 minutes", "2 hours"])
+
+        def build(df):
+            return (
+                df.groupBy(
+                    F.session_window("ts", gap).alias("w"), "user_id"
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("cents"),
+                )
+                .select(
+                    F.col("w.start").alias("ws"),
+                    F.col("w.end").alias("we"),
+                    "user_id",
+                    "n",
+                    "cents",
+                )
             )
 
         return shape, build, "complete"

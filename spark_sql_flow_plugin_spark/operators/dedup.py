@@ -982,6 +982,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.floor(F.length(aug["text"]) / 64).alias("lbucket"),
             F.expr(_SPARK_CGRAMS).alias("grams"),
         )
+        # EXPLICIT partition count on the join keys: the pair stage is
+        # CPU-bound (array_intersect per candidate pair) over only a few
+        # MB of shuffle data, so AQE's byte-based coalescing shrank it to
+        # 7 partitions and serialized 60+ s of intersect work (r14
+        # profile). A user repartition is exempt from AQE coalescing and
+        # co-partitions both self-join sides; the gram build above still
+        # runs once (exchange reuse).
+        .repartition(
+            2 * spark.sparkContext.defaultParallelism, "source", "lbucket"
+        )
     )
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -2269,6 +2279,11 @@ def dedup_cdc_chunks(spark, sf_dir):
         load(spark, sf_dir, "documents")["documents"]
         .select("doc_id", "text")
         .where(F.length("text") >= 16)
+        # the interpreted HOF window-hash battery is the whole cost of
+        # this query and documents.parquet is one input split — without
+        # a gate-repartition the r14 profile showed 13 s of CPU in ONE
+        # task (the phash/augmented_documents pattern)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bp = d.select(
         "doc_id",

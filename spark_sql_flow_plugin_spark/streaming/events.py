@@ -351,8 +351,26 @@ def _click_purchase_pipeline(
     partition) but filters the source to zero rows — bench.py uses it to
     measure the micro-batch MACHINERY cost of this query shape (state-store
     creation, checkpoint, offset/commit logs) separately from the data
-    path."""
-    ev = _read_events_stream(spark, sf_dir)
+    path.
+
+    r14: the pipeline runs in an ISOLATED child session (the
+    stream_rocksdb conf-isolation pattern — caller's session never
+    mutated) with shuffle partitions sized to the stream's STATE volume
+    rather than the global default. A stream-stream join opens and
+    commits 4 state stores per shuffle partition per micro-batch, so the
+    machinery cost is linear in the partition count while the in-flight
+    state (clicks within the 90-minute horizon) is tiny — the r13 split
+    measured this query ~96% machinery. A production deployment sizes
+    this up with peak state, not with cores."""
+    s2 = spark.newSession()
+    from ..session import tune
+
+    tune(s2)
+    s2.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, (spark.sparkContext.defaultParallelism or 8) // 4)),
+    )
+    ev = _read_events_stream(s2, sf_dir)
     if empty:
         ev = ev.where("user_id < 0")
     clicks = (

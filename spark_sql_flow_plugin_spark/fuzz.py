@@ -1190,6 +1190,60 @@ def _shape_frame(rng: random.Random):
     )
 
 
+def _shape_lateral(rng: random.Random):
+    """Correlated LATERAL aggregate subqueries (r14): ``FROM outer,
+    LATERAL (SELECT aggs FROM inner WHERE fk = outer.key AND extra) v``
+    — the decorrelation surface the subquery shape does not reach
+    (multi-column correlated aggregates in FROM position).
+
+    Convention baked in: the aggregate list ALWAYS includes
+    CAST(COUNT(*) AS BIGINT). DuckDB 1.0's decorrelation exhibits the
+    textbook COUNT bug in reverse for lateral aggregates WITHOUT a
+    count: a correlated SUM/MAX-only lateral whose per-key group is
+    empty DROPS the outer row entirely (standard semantics — and
+    Spark — emit the NULL-aggregate row). Adding any COUNT(*) to the
+    select list flips DuckDB to the correct left-join plan. Minimal
+    witness pinned in tests/test_fuzz_negative_controls.py
+    (test_lateral_sum_only_empty_group_diverges)."""
+    outer, inner, cond = rng.choice(_EDGES)
+    if rng.random() < 0.5:
+        outer, inner = inner, outer  # dim-side outer: empty groups likely
+    ocols = _cols_of([outer])
+    icols = _cols_of([inner])
+    # bounded output: sampling conjunct on the outer key space
+    key = _int_col(rng, ocols)
+    k = rng.choice([7, 13, 31])
+    res = rng.randint(0, k - 1)
+    aggs = [_same("CAST(COUNT(*) AS BIGINT)", "int", 1e9)]
+    for _ in range(rng.randint(0, 2)):
+        arg = _sum_arg(rng, icols)
+        fn = rng.choice(["SUM", "MAX", "MIN"])
+        aggs.append(
+            Ex(
+                f"CAST({fn}({arg.spark}) AS BIGINT)",
+                f"CAST({fn}({arg.duck}) AS BIGINT)",
+                "int",
+                arg.mag * 1e7,
+            )
+        )
+    extra = _bool_expr(rng, icols) if rng.random() < 0.6 else None
+    out = []
+    for d in ("spark", "duck"):
+        side = (lambda e: e.spark) if d == "spark" else (lambda e: e.duck)
+        agg_sel = ", ".join(
+            f"{side(e)} AS lx{i}" for i, e in enumerate(aggs)
+        )
+        where_in = cond if extra is None else f"{cond} AND ({side(extra)})"
+        lat_cols = ", ".join(f"v.lx{i} AS c{i + 1}" for i in range(len(aggs)))
+        out.append(
+            f"SELECT {side(key)} AS c0, {lat_cols}"
+            f" FROM {outer}, LATERAL (SELECT {agg_sel} FROM {inner}"
+            f" WHERE {where_in}) v"
+            f" WHERE (abs({side(key)}) % {k}) = {res}"
+        )
+    return tuple(out)
+
+
 def _shape_toplimit(rng: random.Random):
     """ORDER BY <every output column> LIMIT k over an aggregate frame:
     a total order over the full row makes the limited prefix unique AS A
@@ -1409,6 +1463,7 @@ _SHAPES = [
     (_shape_rollup, 10),
     (_shape_subq, 12),
     (_shape_anti, 10),
+    (_shape_lateral, 8),
     (_shape_toplimit, 8),
     (_shape_agg2, 8),
     (_shape_explode, 10),

@@ -30,12 +30,41 @@ from ..registry import register
 from ..sources import load
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Isolated child session with shuffle partitions sized to STREAM
+    STATE volume instead of the batch default (r14). Every stateful
+    operator opens and commits one state store per shuffle partition per
+    micro-batch (a stream-stream join: four), so micro-batch machinery
+    is linear in the partition count while the in-flight state of these
+    queries is tiny — the r13/r14 splits measured the click-purchase
+    pair ~96% machinery at 64 partitions (7.6/16.5 s), and 8 partitions
+    took them to 2.1/3.3 s with bit-identical results. A production
+    deployment sizes this with peak state, not cores. The caller's
+    session is never mutated (the stream_rocksdb isolation discipline);
+    RUNTIME_CONFS must be re-applied — newSession does not inherit
+    runtime-set confs."""
+    from ..session import tune
+
+    s2 = spark.newSession()
+    tune(s2)
+    s2.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, (spark.sparkContext.defaultParallelism or 8) // 4)),
+    )
+    return s2
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file source needs a directory; point it at sf_dir and glob-filter
     # down to events.parquet. Schema is the raw one (ts as LONG nanos — see
     # sources.tables.load_events_raw), converted to TIMESTAMP right after.
+    # Built on a state-sized child session (_stream_session): every
+    # downstream transformation and _run_to_memory inherit it, so ALL
+    # event-stream registry queries get the machinery-proportional
+    # partition count in one place.
     from ..sources.tables import convert_event_ts, load_events_raw
 
+    spark = _stream_session(spark)
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -353,24 +382,11 @@ def _click_purchase_pipeline(
     creation, checkpoint, offset/commit logs) separately from the data
     path.
 
-    r14: the pipeline runs in an ISOLATED child session (the
-    stream_rocksdb conf-isolation pattern — caller's session never
-    mutated) with shuffle partitions sized to the stream's STATE volume
-    rather than the global default. A stream-stream join opens and
-    commits 4 state stores per shuffle partition per micro-batch, so the
-    machinery cost is linear in the partition count while the in-flight
-    state (clicks within the 90-minute horizon) is tiny — the r13 split
-    measured this query ~96% machinery. A production deployment sizes
-    this up with peak state, not with cores."""
-    s2 = spark.newSession()
-    from ..session import tune
-
-    tune(s2)
-    s2.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(8, (spark.sparkContext.defaultParallelism or 8) // 4)),
-    )
-    ev = _read_events_stream(s2, sf_dir)
+    State-volume partition sizing comes from _read_events_stream's
+    child session (r14) — a stream-stream join opens 4 state stores per
+    shuffle partition per micro-batch, so this query was the poster
+    child: 7.6/16.5 s -> 2.1/3.3 s at 8 partitions, bit-identical."""
+    ev = _read_events_stream(spark, sf_dir)
     if empty:
         ev = ev.where("user_id < 0")
     clicks = (
@@ -1012,8 +1028,9 @@ def stream_multi_batch_totals(spark, sf_dir):
         )
         batch.repartition(4).write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
+    s2 = _stream_session(spark)  # state-sized partitions (r14)
     stream = (
-        spark.readStream.schema(schema)
+        s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(stage)

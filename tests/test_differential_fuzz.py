@@ -49,6 +49,7 @@ ALL_SHAPES = {
     "rollup",
     "subq",
     "anti",
+    "lateral",
     "toplimit",
     "agg2",
     "explode",

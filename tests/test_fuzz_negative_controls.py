@@ -156,6 +156,35 @@ def test_grouping_sets_join_equated_keys_diverge(spark, duck):
     assert s != d
 
 
+def test_lateral_sum_only_empty_group_diverges(spark, duck):
+    # convention (r14, _shape_lateral): every generated LATERAL aggregate
+    # list includes CAST(COUNT(*) AS BIGINT). Witness for WHY: DuckDB
+    # 1.0's decorrelation of a correlated lateral aggregate WITHOUT a
+    # count drops outer rows whose per-key group is empty — the textbook
+    # COUNT bug — while the SQL standard (and Spark) emit the outer row
+    # with a NULL aggregate. Adding COUNT(*) flips DuckDB to the correct
+    # left-join plan. If an engine upgrade makes the sum-only form
+    # agree, the convention can be retired.
+    bad = """
+    SELECT x, v.s FROM (VALUES (1), (2)) t(x),
+    LATERAL (SELECT SUM(y) AS s FROM (VALUES (1, 10), (2, 20)) u(k, y)
+             WHERE k = x AND y < 15) v
+    """
+    s = sorted(tuple(r) for r in spark.sql(bad).collect())
+    d = sorted(duck.sql(bad).fetchall())
+    assert s == [(1, 10), (2, None)]  # standard: empty group -> NULL row
+    assert d == [(1, 10)]  # DuckDB: outer row x=2 silently dropped
+    good = """
+    SELECT x, v.s, v.c FROM (VALUES (1), (2)) t(x),
+    LATERAL (SELECT SUM(y) AS s, CAST(COUNT(*) AS BIGINT) AS c
+             FROM (VALUES (1, 10), (2, 20)) u(k, y)
+             WHERE k = x AND y < 15) v
+    """
+    s2 = sorted(tuple(r) for r in spark.sql(good).collect())
+    d2 = sorted(duck.sql(good).fetchall())
+    assert s2 == d2 == [(1, 10, 1), (2, None, 0)]
+
+
 def test_grouping_sets_coalesce_wrapper_restores_standard(spark, duck):
     # r14 (verdict item #6): the guard became COVERAGE — the grammar
     # keeps generating join-equated grouping-sets keys and wraps the

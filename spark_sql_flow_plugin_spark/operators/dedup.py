@@ -381,6 +381,7 @@ _DUCK_SHINGLES = (
     FROM planted
     """,
     "dedup",
+    "bench",
 )
 def dedup_minhash_mllib(spark, sf_dir):
     """MLlib-native MinHash-LSH (pyspark.ml.feature.MinHashLSH +
@@ -966,6 +967,7 @@ _DUCK_CGRAMS = (
           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.55
     """,
     "dedup",
+    "bench",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = (

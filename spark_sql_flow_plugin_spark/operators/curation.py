@@ -1652,3 +1652,86 @@ def _bind_calibration_oracle():
 
 
 _bind_calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — temperature-scaled corpus mixture weights
+# ---------------------------------------------------------------------------
+
+_MIX_Q = 1 << 20  # sqrt quantization: FLOOR(sqrt(n) * 2^20) — exact BIGINT
+_MIX_BUDGET = 1_000_000_000  # reference token budget for the epochs column
+
+
+@register(
+    "corpus_mixture_temperature",
+    rf"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_DUCK_WTOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    q AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {_MIX_Q})
+                    AS BIGINT) AS q_sqrt
+        FROM per_src)
+    SELECT source, n_docs, n_tokens, q_sqrt,
+           CAST(q_sqrt AS DOUBLE)
+               / CAST(SUM(q_sqrt) OVER () AS DOUBLE) AS weight,
+           ({_MIX_BUDGET} * (CAST(q_sqrt AS DOUBLE)
+               / CAST(SUM(q_sqrt) OVER () AS DOUBLE)))
+               / CAST(n_tokens AS DOUBLE) AS epochs_1b
+    FROM q
+    """,
+    "curation",
+)
+def corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled multi-source mixture weights — the standard
+    pretraining data-mixing recipe (w_s ∝ n_s^α with α < 1 upweights
+    small high-value sources; the multilingual-sampling form from the
+    XLM-R / mT5 lineage). α is fixed at 0.5 because sqrt is the one
+    fractional power that is CROSS-ENGINE EXACT: IEEE-754 requires
+    correctly-rounded sqrt (Java's Math.sqrt and DuckDB's libm agree
+    bit-for-bit on every input), while a general pow(n, 0.7) is only
+    faithfully rounded and may differ in the last ulp between libms.
+
+    Exactness scheme: per-source token counts are exact BIGINTs (the
+    repo's canonical ASCII-whitespace tokenizer); the scaled score is
+    FLOOR(sqrt(n) * 2^20) — floor of an identical IEEE double, so an
+    exact BIGINT both engines agree on; the normalizer is a BIGINT sum
+    (order-free); `weight` and `epochs_1b` are the same two/three-op
+    IEEE expression tree on exact integer inputs in both dialects.
+
+    100 TB posture: one map-side-combinable groupBy(source) over a
+    row-local token count — the output is source-cardinality rows (tens
+    to thousands), and the OVER () normalizer runs on that tiny frame
+    only (the value-grain SinglePartition convention). The `epochs_1b`
+    column is the operational knob: how many passes over each source a
+    fixed token budget implies under the mixture.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr(_SPARK_WTOKS))).cast("bigint").alias("n_tokens"),
+    )
+    q = per_src.withColumn(
+        "q_sqrt",
+        F.expr(
+            f"CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {_MIX_Q})"
+            " AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy()
+    weight = F.col("q_sqrt").cast("double") / F.sum("q_sqrt").over(w).cast(
+        "double"
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "q_sqrt",
+        weight.alias("weight"),
+        ((F.lit(_MIX_BUDGET) * weight) / F.col("n_tokens").cast("double")).alias(
+            "epochs_1b"
+        ),
+    )

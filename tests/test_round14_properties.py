@@ -272,3 +272,43 @@ def test_phash_plan_banded_no_allpairs(spark, sf_dir, qname):
         )
     )
     assert len(join_ids) == 1  # exactly the banded candidate join
+
+
+def test_mixture_weights_python_reference(spark, sf_dir):
+    # Exact integer re-computation with python ints + math.sqrt (IEEE
+    # correctly-rounded, same as both engines), then the identical
+    # float expression tree — every cell must match bit-for-bit.
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from spark_sql_flow_plugin_spark.operators.curation import (
+        _MIX_BUDGET,
+        _MIX_Q,
+        corpus_mixture_temperature,
+    )
+
+    rows = corpus_mixture_temperature(spark, sf_dir).collect()
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # ASCII whitespace (Java/RE2 \s)
+    n_docs, n_tok = {}, {}
+    for s, t in zip(tbl["source"], tbl["text"]):
+        n_docs[s] = n_docs.get(s, 0) + 1
+        n_tok[s] = n_tok.get(s, 0) + len([w for w in ws.split(t.lower()) if w])
+    q = {s: int(math.floor(math.sqrt(float(n)) * _MIX_Q)) for s, n in n_tok.items()}
+    den = sum(q.values())
+    assert len(rows) == len(n_docs) > 1
+    for r in rows:
+        assert r.n_docs == n_docs[r.source]
+        assert r.n_tokens == n_tok[r.source], r.source
+        assert r.q_sqrt == q[r.source]
+        w = float(q[r.source]) / float(den)
+        assert r.weight == w
+        assert r.epochs_1b == (_MIX_BUDGET * w) / float(n_tok[r.source])
+    # temperature actually bites: alpha=0.5 compresses the spread, so the
+    # largest source's weight must sit BELOW its raw token share
+    big = max(n_tok, key=n_tok.get)
+    raw_share = n_tok[big] / sum(n_tok.values())
+    w_big = q[big] / den
+    assert w_big < raw_share or len(set(n_tok.values())) == 1

@@ -915,6 +915,7 @@ def _linkpred_sql() -> str:
     _linkpred_sql(),
     "graph",
     "similarity",
+    "bench",
 )
 def graph_common_neighbors_linkpred(spark, sf_dir):
     """Link prediction on the co-purchase graph: for every NON-adjacent

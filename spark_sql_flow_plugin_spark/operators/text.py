@@ -215,6 +215,7 @@ def _nfc_values_sql() -> str:
     """,
     "text",
     "llm-pipeline",
+    "bench",
 )
 def text_normalize_nfc(spark, sf_dir):
     """Unicode NFC normalization + case folding BEFORE fingerprinting

@@ -80,6 +80,56 @@ def main() -> int:
             "its value gate has never compared a row; retune its predicates"
         )
 
+    # r14 verdict item #3: the Spark-side timing sweep is a standing
+    # close artifact, and every query above the 5 s line must be
+    # bench-tagged so the driver bench tracks it round-over-round.
+    times_path = os.path.join(root, f"registry_times_r{rnd:02d}_sf0.1.json")
+    if rnd >= 15 and not os.path.isfile(times_path):
+        problems.append(
+            f"missing {os.path.relpath(times_path)} — run "
+            f"`python tools/registry_times.py {rnd}` at final HEAD"
+        )
+    elif rnd >= 15 and os.path.isfile(times_path):
+        import json
+
+        with open(times_path) as f:
+            sweep = json.load(f).get("times", {})
+        slow = sorted(n for n, t in sweep.items() if t > 5.0)
+        if slow:
+            prev_times: dict = {}
+            prev_path2 = os.path.join(
+                root, f"registry_times_r{rnd - 1:02d}_sf0.1.json"
+            )
+            if os.path.isfile(prev_path2):
+                with open(prev_path2) as f:
+                    prev_times = json.load(f).get("times", {})
+            try:
+                sys.path.insert(
+                    0,
+                    os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                )
+                from spark_sql_flow_plugin_spark.registry import all_specs
+
+                bench = {s.name for s in all_specs() if "bench" in s.tags}
+            except Exception as exc:  # registry import needs pyspark
+                bench = None
+                problems.append(
+                    f"could not audit bench tags for >5s queries: {exc}"
+                )
+            if bench is not None:
+                for n in slow:
+                    # every >5s query needs a round-over-round number:
+                    # either the driver bench tracks it (tag) or the
+                    # previous round's standing sweep has it.
+                    if n not in bench and n not in prev_times:
+                        problems.append(
+                            f"{n} ran >5s in the sf0.1 sweep with no "
+                            "round-over-round number — bench-tag it or "
+                            "keep the standing sweep artifacts"
+                        )
+
     plans = os.path.join(root, f"plans_r{rnd:02d}")
     alt = os.path.join(root, f"plans_r{rnd}")
     plans_dir = plans if os.path.isdir(plans) else alt

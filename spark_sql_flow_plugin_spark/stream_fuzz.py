@@ -38,28 +38,37 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["stage_events", "gen_stream_case", "run_stream_seed"]
 
 
-def stage_events(spark, sf_dir: str, workdir: str) -> str:
-    """Split events.parquet into three deterministic files under
-    ``workdir`` (by event_id % 3) with strictly increasing mtimes so the
-    file stream's oldest-first pickup order is stable. Idempotent."""
+def stage_events(spark, sf_dir: str, workdir: str, n_files: int = 3) -> str:
+    """Split events.parquet into ``n_files`` deterministic files under
+    ``workdir`` (by event_id % n_files) with strictly increasing mtimes
+    so the file stream's oldest-first pickup order is stable. Idempotent
+    PER SOURCE CONTENT: the marker records a fingerprint (size + mtime)
+    of the source parquet plus the split count, so a driver-regenerated
+    events.parquet re-stages instead of silently fuzzing a stale copy
+    (r14 ADVICE)."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{n_files}:{st.st_size}:{st.st_mtime_ns}"
     done = os.path.join(workdir, "_staged")
-    if os.path.exists(done):
+    if os.path.exists(done) and open(done).read() == fingerprint:
         return workdir
     os.makedirs(workdir, exist_ok=True)
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    mod = np.asarray(tbl.column("event_id")) % 3
+    for old in os.listdir(workdir):
+        os.unlink(os.path.join(workdir, old))
+    tbl = pq.read_table(src)
+    mod = np.asarray(tbl.column("event_id")) % n_files
     t0 = 1_700_000_000
-    for i in range(3):
+    for i in range(n_files):
         part = tbl.filter(pc.equal(mod, i))
         path = os.path.join(workdir, f"events_{i}.parquet")
         pq.write_table(part, path)
         os.utime(path, (t0 + i * 10, t0 + i * 10))
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(fingerprint)
     return workdir
 
 
@@ -88,7 +97,16 @@ def gen_stream_case(seed: int):
     builder, two runtimes, which is the whole point."""
     rng = random.Random(seed)
     shape = rng.choice(
-        ["tumble", "slide", "keyed_totals", "dedup", "stateless", "session"]
+        [
+            "tumble",
+            "slide",
+            "keyed_totals",
+            "dedup",
+            "stateless",
+            "session",
+            "join2",
+            "multibatch_keyed",
+        ]
     )
     key_kind = rng.choice(["none", "user_mod", "event_type"])
     k = rng.choice([3, 5, 7])
@@ -161,6 +179,80 @@ def gen_stream_case(seed: int):
 
         return shape, build, "complete"
 
+    if shape == "join2":
+        # Two-stream interval join (the _click_purchase_pipeline shape,
+        # r14 verdict item #4a): both sides derive from ONE readStream
+        # (streaming self-join — one source to list/plan/offset-track),
+        # watermark-FREE inner join so stream ≡ batch holds exactly (a
+        # watermark introduces the two-batch-late drop semantics pinned
+        # by the negative-control witness). run_stream_seed executes
+        # this shape in a state-sized child session: a stream-stream
+        # join commits FOUR state stores per shuffle partition per
+        # micro-batch.
+        ta, tb = rng.choice(
+            [
+                ("click", "purchase"),
+                ("view", "click"),
+                ("signup", "purchase"),
+                ("view", "error"),
+            ]
+        )
+        iv = rng.choice(["30 minutes", "2 hours", "12 hours"])
+
+        def build(df):
+            c = df.where(F.col("event_type") == ta).select(
+                "user_id",
+                F.col("event_id").alias("a_id"),
+                F.col("ts").alias("a_ts"),
+            )
+            p = df.where(F.col("event_type") == tb).select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("b_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            return c.join(
+                p,
+                (c["user_id"] == p["p_user"])
+                & (p["b_ts"] >= c["a_ts"])
+                & (p["b_ts"] <= F.expr(f"a_ts + INTERVAL {iv}")),
+            ).select(
+                "user_id",
+                "a_id",
+                "b_id",
+                F.expr(
+                    "CAST(unix_micros(b_ts) - unix_micros(a_ts) AS BIGINT)"
+                ).alias("gap_us"),
+            )
+
+        return shape, build, "append"
+
+    if shape == "multibatch_keyed":
+        # Four-file staged source forced through maxFilesPerTrigger=1
+        # (r14 verdict item #4b): FOUR data micro-batches, so keyed
+        # state merges across batch boundaries three times — previously
+        # only the hand-written stream_multi_batch_totals exercised
+        # this. MIN/MAX aggregates stress the merge path beyond
+        # commutative sums.
+        with_et = rng.random() < 0.5
+
+        def build(df):
+            g = df.groupBy(
+                (F.abs(F.col("user_id")) % k).alias("kx"),
+                *([F.col("event_type").alias("et")] if with_et else []),
+            )
+            return g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("cents"),
+                F.expr("CAST(MIN(unix_micros(ts)) AS BIGINT)").alias(
+                    "first_us"
+                ),
+                F.expr("CAST(MAX(unix_micros(ts)) AS BIGINT)").alias(
+                    "last_us"
+                ),
+            )
+
+        return shape, build, "complete"
+
     if shape == "keyed_totals":
         # resolve EVERY random choice before build() exists: the builder
         # runs twice (batch + stream) and an rng draw inside it would
@@ -218,18 +310,34 @@ def _norm(df: DataFrame) -> list[str]:
     return _norm_rows(cols, [tuple(r) for r in df.collect()])
 
 
-def run_stream_seed(spark, staged: str, seed: int) -> dict:
-    """Run one seed both ways; rec["ok"] is the multiset verdict."""
-    from .streaming.events import _run_to_memory
+def run_stream_seed(spark, staged, seed: int) -> dict:
+    """Run one seed both ways; rec["ok"] is the multiset verdict.
 
+    ``staged`` is either a 3-file staging dir (legacy) or a dict of
+    {n_files: dir} — the multibatch_keyed shape requires a "4" entry."""
+    from .streaming.events import _run_to_memory, _stream_session
+
+    if isinstance(staged, str):
+        staged = {3: staged}
     rng = random.Random(seed ^ 0x5EED)
     max_files = rng.choice([None, 1, 2])
     shape, build, mode = gen_stream_case(seed)
+    src = staged[3]
+    run_spark = spark
+    if shape == "join2":
+        # stream-stream joins commit 4 state stores per shuffle
+        # partition per micro-batch — size partitions to state volume
+        run_spark = _stream_session(spark)
+    elif shape == "multibatch_keyed":
+        src = staged.get(4, src)
+        max_files = 1
     rec = {"seed": seed, "shape": shape, "max_files": max_files, "mode": mode}
     try:
-        batch = _norm(build(_read_batch(spark, staged)))
+        batch = _norm(build(_read_batch(run_spark, src)))
         streamed = _norm(
-            _run_to_memory(build(_read_stream(spark, staged, max_files)), mode)
+            _run_to_memory(
+                build(_read_stream(run_spark, src, max_files)), mode
+            )
         )
     except Exception as exc:  # pragma: no cover - generator bug surface
         rec.update(ok=False, err=str(exc)[:400])

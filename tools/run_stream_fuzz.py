@@ -28,14 +28,14 @@ def main() -> int:
 
     spark = get_session("fuzz-streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    staged = stream_fuzz.stage_events(
-        spark,
-        sf_dir,
-        os.path.join(
-            tempfile.gettempdir(),
-            f"stream_fuzz_{os.path.basename(os.path.normpath(sf_dir))}",
-        ),
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_fuzz_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    staged = {
+        3: stream_fuzz.stage_events(spark, sf_dir, base, n_files=3),
+        4: stream_fuzz.stage_events(spark, sf_dir, base + "_f4", n_files=4),
+    }
 
     n_ok = 0
     failures = []

@@ -33,11 +33,27 @@ def _jvm_preorder(jplan):
 
 
 def _is_cached(spark, jplan) -> bool:
+    """Reference isCached (SQLFlow.scala:191-196). Spark 4.x moved
+    CacheManager.lookupCachedData to a two-arg (session, plan)
+    signature; the legacy single-arg py4j call raised and the old
+    blanket except returned False — so LIVE cached views were never
+    flagged (r15 catalog-DAG cache-stage fuzz find; the unit tests
+    exercised only the downstream flag plumbing). Try 4.x first, keep
+    the legacy form for older runtimes."""
     try:
-        cm = spark._jsparkSession.sharedState().cacheManager()
-        return cm.lookupCachedData(jplan).isDefined()
+        jss = spark._jsparkSession
+        cm = jss.sharedState().cacheManager()
     except Exception:
         return False
+    for call in (
+        lambda: cm.lookupCachedData(jss, jplan),
+        lambda: cm.lookupCachedData(jplan),
+    ):
+        try:
+            return call().isDefined()
+        except Exception:
+            continue
+    return False
 
 
 def _alias_name(p: PlanNode) -> str | None:

@@ -157,7 +157,15 @@ def _build_dag(spark, sf_dir, seed: int, use_perm: bool):
     fresh.select("*", F.lit(seed).alias("seed_tag")).createOrReplaceTempView(
         reuse
     )
-    return s, stages, reuse, perm
+    # cache stage (r14 verdict item #5): ~60% of seeds CACHE TABLE a
+    # random TEMP stage — the live path that found the Spark-4
+    # lookupCachedData signature break (plans/catalog.py::_is_cached)
+    cached = None
+    temp_stages = [st for st in stages if "." not in st]
+    if temp_stages and rng.random() < 0.6:
+        cached = rng.choice(temp_stages)
+        s.sql(f"CACHE TABLE {cached}")
+    return s, stages, reuse, perm, cached
 
 
 def _reachable(edges, src: str, dst: str) -> bool:
@@ -189,12 +197,41 @@ def _resolve(ids: set[str], name: str, ctx: str) -> str:
 def test_catalog_dag_lineage(spark, sf_dir, perm_db, seed):
     # mixed temp/permanent DAGs: 2/3 of the seeds persist 1-2 stages
     use_perm = seed % 3 != 0
-    session, stages, reuse, perm = _build_dag(spark, sf_dir, seed, use_perm)
+    session, stages, reuse, perm, cached = _build_dag(
+        spark, sf_dir, seed, use_perm
+    )
     try:
         _check_dag(session, stages, reuse, perm, seed)
+        if cached is not None:
+            _check_cached(session, cached, seed)
     finally:
+        if cached is not None:
+            session.sql(f"UNCACHE TABLE IF EXISTS {cached}")
         for v in perm:
             session.sql(f"DROP VIEW IF EXISTS {v}")
+
+
+def _check_cached(session, cached: str, seed: int):
+    """The cached stage's view node must carry is_cached in BOTH catalog
+    modes (lightblue in DOT — reference SQLFlow.scala:90,174), and the
+    uncache control must clear it (proves the flag tracks the LIVE
+    cacheManager, not a stale plan annotation)."""
+    from spark_sql_flow_plugin_spark.api import to_sql_flow_string
+
+    for mode in (False, True):
+        nodes, _ = extract(session, contracted=mode)
+        flags = {n.ident: n.is_cached for n in nodes}
+        assert flags.get(cached), (
+            f"seed {seed}: cached stage {cached} not flagged "
+            f"(contracted={mode}); cached idents="
+            f"{sorted(k for k, v in flags.items() if v)}"
+        )
+    dot = to_sql_flow_string(session, contracted=True)
+    assert "lightblue" in dot, f"seed {seed}: no lightblue node in DOT"
+    session.sql(f"UNCACHE TABLE {cached}")
+    nodes, _ = extract(session, contracted=True)
+    still = [n.ident for n in nodes if n.is_cached and n.ident == cached]
+    assert not still, f"seed {seed}: {cached} still flagged after UNCACHE"
 
 
 def _check_dag(session, stages, reuse, perm, seed):

@@ -16,6 +16,17 @@ CPython refcounting that is deterministic — the cache lives exactly as
 long as something can still run the query — and it needs no change to the
 builder contract or the physical plans (the intermediates stay ordinary
 columnar InMemoryRelations while alive).
+
+DOCUMENTED EXCEPTION to the lazy contract (r14 ADVICE): a few builders
+EAGERLY materialize an intermediate at build time — count() on a
+persisted frame, or a driver-side collect for a guard/threshold — when
+either (a) multiple consumer subtrees would otherwise RACE to compute
+the cache (AQE never reuses broadcast subtrees across jobs, and lazy
+caches race — the r14 triangle profile), or (b) a loud-fail budget must
+be checked before the main action (dedup_ngram_jaccard's set-pair
+tripwire, graphs' k-threshold). Such builders pay their pipeline cost at
+construction, so an explain-only caller of those specific entries also
+pays it; each eager site carries a comment naming this trade-off.
 """
 
 from __future__ import annotations

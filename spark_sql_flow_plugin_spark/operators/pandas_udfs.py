@@ -124,6 +124,17 @@ def cogroup_user_enrich(spark, sf_dir):
 
     def enrich(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left):
+            # pandas groupby defaults dropna=True, which would SILENTLY
+            # drop NULL-keyed events while the SQL oracle's GROUP BY
+            # keeps a NULL group; the fixture has no NULL user_id today,
+            # so fail loudly if a data regeneration introduces one
+            # instead of changing semantics (r14 ADVICE).
+            if not left["user_id"].notna().all():
+                raise ValueError(
+                    "cogroup_user_enrich: NULL user_id in events — the "
+                    "pandas groupby path would diverge from the SQL "
+                    "NULL-group semantics"
+                )
             agg = left.groupby("user_id", sort=False)["value"].agg(
                 ["size", "max"]
             )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,6 +29,9 @@ from pyspark.sql import functions as F
 from ..functions.exprs import SQL_DSUM, dsum
 from ..registry import register
 from ..sources import load
+
+# parent session -> tuned child session (see _stream_session)
+_STREAM_SESSIONS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _stream_session(spark: SparkSession) -> SparkSession:
@@ -42,15 +46,25 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     deployment sizes this with peak state, not cores. The caller's
     session is never mutated (the stream_rocksdb isolation discipline);
     RUNTIME_CONFS must be re-applied — newSession does not inherit
-    runtime-set confs."""
+    runtime-set confs.
+
+    Memoized per parent session (r14 ADVICE): bench loops and fuzz
+    sweeps invoke stream builders repeatedly, and a fresh newSession()
+    per call accumulates per-session SQL state and listeners on the
+    shared SparkContext. A WeakKeyDictionary keyed on the parent lets
+    the child die with it."""
     from ..session import tune
 
+    cached = _STREAM_SESSIONS.get(spark)
+    if cached is not None:
+        return cached
     s2 = spark.newSession()
     tune(s2)
     s2.conf.set(
         "spark.sql.shuffle.partitions",
         str(max(8, (spark.sparkContext.defaultParallelism or 8) // 4)),
     )
+    _STREAM_SESSIONS[spark] = s2
     return s2
 
 

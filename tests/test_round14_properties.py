@@ -178,7 +178,32 @@ def test_phash_cross_doc_min_distance_over_committed_ranges(salt):
     )
 
     assert salt in (_PH_SALT_IMAGE, _PH_SALT_AUDIO)
-    ids = np.arange(0, 1_200_000, _PH_SEL_MOD, dtype=np.uint64)
+    # The sweep bound must dominate every doc_id any committed SF (and
+    # the derived sf1 set) can select — hard-coding 1.2M silently
+    # unproves the oracle if a future SF's ids outgrow it (r14 ADVICE),
+    # so derive the requirement from the data on disk and keep margin.
+    import glob
+    import os
+
+    import duckdb
+
+    max_doc = 0
+    for p in glob.glob("/root/testdata/sf*/documents.parquet") + glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "testdata",
+                     "sf*", "documents.parquet")
+    ):
+        max_doc = max(
+            max_doc,
+            duckdb.sql(
+                f"SELECT max(doc_id) FROM read_parquet('{p}')"
+            ).fetchone()[0],
+        )
+    sweep_hi = 1_200_000
+    assert sweep_hi >= 2 * max_doc + 1, (
+        f"sweep bound {sweep_hi} no longer dominates max doc_id {max_doc} "
+        "(x2 margin for derived-SF replication) — extend the proof range"
+    )
+    ids = np.arange(0, sweep_hi, _PH_SEL_MOD, dtype=np.uint64)
     h = _splitmix64(ids ^ np.uint64(salt))
     mind = 64
     for k in range(4):

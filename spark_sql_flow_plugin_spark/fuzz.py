@@ -1244,6 +1244,59 @@ def _shape_lateral(rng: random.Random):
     return tuple(out)
 
 
+def _shape_scalar_sel(rng: random.Random):
+    """Correlated scalar subqueries in the SELECT list (r15): the
+    decorrelation surface between _shape_subq (WHERE-position,
+    uncorrelated scalar) and _shape_lateral (FROM-position aggregates)
+    — each item is ``(SELECT CAST(fn(..) AS BIGINT) FROM child WHERE
+    fk = pk AND pred)``. Empty per-parent groups are the interesting
+    case: MAX/MIN/SUM yield the NULL row, COUNT yields 0 — probed
+    identical cross-engine before wiring (unlike the FROM-position
+    lateral, where DuckDB 1.0 drops SUM-only empty groups).
+    _rare_bool sizes the child predicate to the edge fanout so both
+    populated and empty groups appear at every SF."""
+    parent, child, fk, pk, fanout = rng.choice(_ANTI_EDGES)
+    pcols = _cols_of([parent])
+    ccols = _cols_of([child])
+    key = _int_col(rng, pcols)
+    k = rng.choice([7, 13, 31])
+    res = rng.randint(0, k - 1)
+    where = Ex(
+        f"((abs({key.spark}) % {k}) = {res})",
+        f"((abs({key.duck}) % {k}) = {res})",
+        "bool",
+    )
+    items = [_same(pk, "int", 1e9)]
+    for _ in range(rng.randint(1, 3)):
+        fn = rng.choice(["MAX", "MIN", "SUM", "COUNT"])
+        pred = (
+            _rare_bool(rng, ccols, fanout)
+            if rng.random() < 0.6
+            else _sat_bool(rng, ccols)
+        )
+        if fn == "COUNT":
+            inner_s = inner_d = "COUNT(*)"
+            mag = 1e9
+        else:
+            arg = _sum_arg(rng, ccols)
+            inner_s, inner_d = f"{fn}({arg.spark})", f"{fn}({arg.duck})"
+            mag = arg.mag * 1e7
+        items.append(
+            Ex(
+                f"(SELECT CAST({inner_s} AS BIGINT) FROM {child}"
+                f" WHERE {fk} = {pk} AND {pred.spark})",
+                f"(SELECT CAST({inner_d} AS BIGINT) FROM {child}"
+                f" WHERE {fk} = {pk} AND {pred.duck})",
+                "int",
+                mag,
+            )
+        )
+    return (
+        _render(items, parent, where, dialect="spark"),
+        _render(items, parent, where, dialect="duck"),
+    )
+
+
 def _shape_toplimit(rng: random.Random):
     """ORDER BY <every output column> LIMIT k over an aggregate frame:
     a total order over the full row makes the limited prefix unique AS A
@@ -1464,6 +1517,7 @@ _SHAPES = [
     (_shape_subq, 12),
     (_shape_anti, 10),
     (_shape_lateral, 8),
+    (_shape_scalar_sel, 8),
     (_shape_toplimit, 8),
     (_shape_agg2, 8),
     (_shape_explode, 10),

@@ -2028,6 +2028,85 @@ def dedup_ngram_coverage(spark, sf_dir):
     return scope_caches(out, t, g)
 
 
+@register(
+    "dedup_novelty_curve",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, len(toks) - {_NGRAM_N - 2}),
+                     i -> md5(array_to_string(toks[i:i+{_NGRAM_N - 1}], ' ')))))
+                     AS fp
+          FROM t WHERE len(toks) >= {_NGRAM_N}),
+    fs AS (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY fp)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) AS BIGINT)
+               AS n_novel,
+           CAST(FLOOR(1e6 * (CAST(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id)
+                                  AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+               AS novelty_q6
+    FROM g JOIN fs USING (fp)
+    GROUP BY g.doc_id
+    """,
+    "dedup",
+    "llm-pipeline",
+)
+def dedup_novelty_curve(spark, sf_dir):
+    """Per-document first-occurrence novelty in ingestion order (doc_id):
+    for each doc, how many of its distinct 8-gram fingerprints appear
+    here FIRST corpus-wide (min doc_id attribution). The resulting curve
+    is the standard pre-dedup diagnostic for ordering and payoff — a
+    corpus whose novelty ratio collapses early is paying storage and
+    training compute for repeats, and the docs whose novelty_q6 ~ 0 are
+    the removal candidates exact dedup misses when duplication is
+    partial. Complements dedup_ngram_coverage (per-SOURCE dup mass; this
+    is per-DOC temporal attribution).
+
+    Exactness: n_grams/n_novel are exact BIGINTs at distinct
+    (doc_id, fp) grain (array_distinct before the explode on both
+    engines); novelty_q6 is the one-division floor-quantized ratio
+    (the lm_bigram_score convention).
+
+    Scale posture: row-local fingerprinting, one gram-grain groupBy for
+    the first-seen table (MIN is map-side combinable), one fp-keyed
+    equi-join back (both sides gram-scale, never broadcast — the gram
+    universe grows with the corpus), one doc-grain aggregate. No
+    collected or driver-side state."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = (
+        d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= _NGRAM_N)
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {_NGRAM_N - 1}), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {_NGRAM_N})))))"
+            ).alias("fps"),
+        )
+        .persist()
+    )
+    g = t.select("doc_id", F.explode("fps").alias("fp")).persist()
+    fs = g.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).cast(
+        "bigint"
+    )
+    out = (
+        g.join(fs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.expr(
+                "CAST(FLOOR(1e6 * (CAST(COUNT(IF(first_doc = doc_id, 1, NULL)) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
+            ).alias("novelty_q6"),
+        )
+    )
+    return scope_caches(out, t, g)
+
+
 # ---------------------------------------------------------------------------
 # Round 10 — LSH index calibration: before trusting the minhash index at
 # 100 TB, measure its ESTIMATOR against exact Jaccard on the candidate set

@@ -84,3 +84,40 @@ def test_python_datasource_batch_equals_rows():
     assert len(empty) == 1
     (b,) = SyntheticDocsReader({"rows": "0"}).read(InputPartition((0, 0)))
     assert b.num_rows == 0
+
+
+def test_novelty_curve_completeness(spark, sf_dir):
+    """Completeness, not just soundness (r13 value-gate lesson): summed
+    n_novel must equal the distinct gram universe (every gram is novel
+    exactly once), and the earliest eligible doc is 100% novel."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_flow_plugin_spark.operators.dedup import (
+        _NGRAM_N,
+        _SPARK_TOKS,
+        dedup_novelty_curve,
+    )
+    from spark_sql_flow_plugin_spark.sources.tables import load
+
+    out = dedup_novelty_curve(spark, sf_dir).collect()
+    assert out
+    d = load(spark, sf_dir, "documents")["documents"]
+    universe = (
+        d.select(F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= _NGRAM_N)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_NGRAM_N - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i, {_NGRAM_N}))))"
+                )
+            ).alias("fp")
+        )
+        .agg(F.countDistinct("fp"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_novel for r in out) == universe
+    first = min(out, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_grams and first.novelty_q6 == 1_000_000
+    # richness: at least one doc must be PARTIALLY novel at this SF
+    assert any(0 < r.n_novel < r.n_grams for r in out)

@@ -50,6 +50,7 @@ ALL_SHAPES = {
     "subq",
     "anti",
     "lateral",
+    "scalar_sel",
     "toplimit",
     "agg2",
     "explode",

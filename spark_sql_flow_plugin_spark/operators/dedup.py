@@ -948,10 +948,13 @@ def dedup_simhash(spark, sf_dir):
 # instead of hanging (r14 verdict prescription).
 _NGRAM_PAIR_BUDGET = 50_000_000
 # Bitmask width cap: the dictionary-encoded gram universe must fit
-# 65536 ids (1024 longs). Char-trigram universes are alphabet-bounded
-# (ASCII text ~ tens of thousands); a corpus past the cap should use
-# the banded dedup operators instead.
-_NGRAM_VOCAB_CAP = 65536
+# 4096 ids (64 longs = 64 mask columns). Char-trigram universes on this
+# corpus are alphabet-bounded (a few hundred grams); past ~64 mask
+# columns the groupBy/self-join enters Janino codegen-fallback territory
+# well before memory is a problem (r15 ADVICE), so the practical cap is
+# set where the flat-LONG plan is still comfortably codegen-friendly. A
+# corpus past the cap should use the banded dedup operators instead.
+_NGRAM_VOCAB_CAP = 4096
 # Triangular grid-blocking factor for the distinct-set self-join: each
 # stratum's pair mass spreads across B*(B+1)/2 cells so one hot stratum
 # cannot serialize onto a single task (the r14 359 s sf1 run was skew
@@ -995,7 +998,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     this 31-word-vocabulary corpus (r14, reverted). Structure:
 
       1. dictionary-encode the char-trigram universe (alphabet-bounded;
-         _NGRAM_VOCAB_CAP refuses loudly past 65536 grams) and pack each
+         _NGRAM_VOCAB_CAP refuses loudly past 4096 grams) and pack each
          doc's gram set into W = ceil(V/64) flat LONG columns -- mask
          equality IS set equality, so the distinct-set reduction is a
          codegen-friendly groupBy over longs, never array keys;
@@ -1037,77 +1040,98 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .persist()
     )
-    # Dense gram ids, collected once to the driver (alphabet-bounded,
-    # a few hundred rows) and re-created as a LOCAL relation: a
-    # DataFrame-side vocab would be re-computed per consuming job,
-    # because broadcast subtrees are never reused across jobs (r14
-    # profiling lesson) — that re-ran the whole gram pipeline. The
-    # collect also doubles as the materialization of g.
-    gram_rows = (
-        g.select(F.explode("grams").alias("gram")).distinct().collect()
-    )
-    grams_sorted = sorted(r.gram for r in gram_rows)
-    n_vocab = len(grams_sorted)
-    if n_vocab > _NGRAM_VOCAB_CAP:
-        raise RuntimeError(
-            f"dedup_ngram_jaccard: {n_vocab} distinct grams exceed the "
-            f"bitmask vocabulary cap ({_NGRAM_VOCAB_CAP}); use the banded "
-            "dedup operators (minhash/simhash) for this corpus"
+    # The eager section below persists g and sets; any raise in it (the
+    # vocab cap, the pair budget, or a Spark failure mid-collect) must
+    # unpersist both before propagating, or a tripped budget in a
+    # long-lived registry session pins cached frames forever (r15
+    # ADVICE — scope_caches only attaches on the success path).
+    sets = None
+    try:
+        # Dense gram ids, collected once to the driver (alphabet-bounded,
+        # a few hundred rows) and re-created as a LOCAL relation: a
+        # DataFrame-side vocab would be re-computed per consuming job,
+        # because broadcast subtrees are never reused across jobs (r14
+        # profiling lesson) — that re-ran the whole gram pipeline. The
+        # collect also doubles as the materialization of g.
+        gram_rows = (
+            g.select(F.explode("grams").alias("gram")).distinct().collect()
         )
-    vocab = spark.createDataFrame(
-        [(gm, i) for i, gm in enumerate(grams_sorted)], "gram string, gid int"
-    )
-    n_words = (n_vocab + 63) // 64
-    mask_cols = [f"m{w}" for w in range(n_words)]
-    doc_masks = (
-        g.select(
-            "doc_id",
-            "source",
-            "lbucket",
-            F.size("grams").cast("int").alias("sz"),
-            F.explode("grams").alias("gram"),
+        grams_sorted = sorted(r.gram for r in gram_rows)
+        n_vocab = len(grams_sorted)
+        if n_vocab > _NGRAM_VOCAB_CAP:
+            raise RuntimeError(
+                f"dedup_ngram_jaccard: {n_vocab} distinct grams exceed the "
+                f"bitmask vocabulary cap ({_NGRAM_VOCAB_CAP}); use the banded "
+                "dedup operators (minhash/simhash) for this corpus"
+            )
+        if n_vocab == 0:
+            # No doc survived the length>=3 filter (possible at a tiny
+            # SF): zero grams means zero pairs. Without this guard
+            # mask_cols is empty and groupBy().agg(*[]) dies with an
+            # opaque PySpark error (r15 ADVICE).
+            g.unpersist()
+            return spark.createDataFrame(
+                [], "doc_a bigint, doc_b bigint, jacc double"
+            )
+        vocab = spark.createDataFrame(
+            [(gm, i) for i, gm in enumerate(grams_sorted)], "gram string, gid int"
         )
-        .join(F.broadcast(vocab), "gram")
-        .groupBy("doc_id", "source", "lbucket", "sz")
-        .agg(
-            *[
-                F.expr(
-                    f"bit_or(IF(gid DIV 64 = {w}, "
-                    "shiftleft(1L, CAST(gid % 64 AS INT)), 0L))"
-                ).alias(c)
-                for w, c in enumerate(mask_cols)
-            ]
+        n_words = (n_vocab + 63) // 64
+        mask_cols = [f"m{w}" for w in range(n_words)]
+        doc_masks = (
+            g.select(
+                "doc_id",
+                "source",
+                "lbucket",
+                F.size("grams").cast("int").alias("sz"),
+                F.explode("grams").alias("gram"),
+            )
+            .join(F.broadcast(vocab), "gram")
+            .groupBy("doc_id", "source", "lbucket", "sz")
+            .agg(
+                *[
+                    F.expr(
+                        f"bit_or(IF(gid DIV 64 = {w}, "
+                        "shiftleft(1L, CAST(gid % 64 AS INT)), 0L))"
+                    ).alias(c)
+                    for w, c in enumerate(mask_cols)
+                ]
+            )
         )
-    )
-    # Distinct-set reduction over flat long keys; the stratum is part of
-    # the key (equal sets in different strata never pair). set_id =
-    # smallest member doc_id -- unique per group within a stratum.
-    sets = (
-        doc_masks.groupBy("source", "lbucket", "sz", *mask_cols)
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .withColumn("set_id", F.element_at("members", 1))
-        .withColumn(
-            "blk",
-            F.pmod(F.xxhash64("set_id"), F.lit(_NGRAM_GRID_B)).cast("int"),
+        # Distinct-set reduction over flat long keys; the stratum is part of
+        # the key (equal sets in different strata never pair). set_id =
+        # smallest member doc_id -- unique per group within a stratum.
+        sets = (
+            doc_masks.groupBy("source", "lbucket", "sz", *mask_cols)
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+            .withColumn("set_id", F.element_at("members", 1))
+            .withColumn(
+                "blk",
+                F.pmod(F.xxhash64("set_id"), F.lit(_NGRAM_GRID_B)).cast("int"),
+            )
+            .persist()
         )
-        .persist()
-    )
-    # Pair-budget tripwire (+ cache materialization, documented above):
-    # sum over strata of C(n_distinct_sets, 2) must stay under budget.
-    budget_row = (
-        sets.groupBy("source", "lbucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .agg(F.sum(F.expr("n * (n - 1) / 2")).cast("bigint").alias("pairs"))
-        .collect()[0]
-    )
-    n_set_pairs = int(budget_row.pairs or 0)
-    if n_set_pairs > _NGRAM_PAIR_BUDGET:
-        raise RuntimeError(
-            f"dedup_ngram_jaccard: {n_set_pairs} distinct-set pairs exceed "
-            f"the stratum pair budget ({_NGRAM_PAIR_BUDGET}); the corpus's "
-            "gram-set diversity makes the exact pair join quadratic -- use "
-            "the banded dedup operators (minhash/simhash) at this scale"
+        # Pair-budget tripwire (+ cache materialization, documented above):
+        # sum over strata of C(n_distinct_sets, 2) must stay under budget.
+        budget_row = (
+            sets.groupBy("source", "lbucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")).cast("bigint").alias("pairs"))
+            .collect()[0]
         )
+        n_set_pairs = int(budget_row.pairs or 0)
+        if n_set_pairs > _NGRAM_PAIR_BUDGET:
+            raise RuntimeError(
+                f"dedup_ngram_jaccard: {n_set_pairs} distinct-set pairs exceed "
+                f"the stratum pair budget ({_NGRAM_PAIR_BUDGET}); the corpus's "
+                "gram-set diversity makes the exact pair join quadratic -- use "
+                "the banded dedup operators (minhash/simhash) at this scale"
+            )
+    except Exception:
+        g.unpersist()
+        if sets is not None:
+            sets.unpersist()
+        raise
     # (2) identical-set pairs: all C(k, 2) ordered pairs inside each
     # group, jacc = |A| / (|A| + |A| - |A|) = exactly 1.0. members is
     # sorted ascending so a < b positionally.

@@ -51,14 +51,26 @@ def stage_events(spark, sf_dir: str, workdir: str, n_files: int = 3) -> str:
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
+    # Never stage into the source directory: the re-stage path below
+    # deletes files BEFORE reading the source parquet, so workdir ==
+    # sf_dir would destroy the source it is about to split (r15 ADVICE).
+    if os.path.realpath(workdir) == os.path.realpath(sf_dir):
+        raise ValueError(
+            f"stage_events: workdir must not be the source directory ({sf_dir})"
+        )
     st = os.stat(src)
     fingerprint = f"{n_files}:{st.st_size}:{st.st_mtime_ns}"
     done = os.path.join(workdir, "_staged")
     if os.path.exists(done) and open(done).read() == fingerprint:
         return workdir
     os.makedirs(workdir, exist_ok=True)
+    # Only remove files this stager created — a shared/mistargeted
+    # workdir must not lose unrelated entries (r15 ADVICE).
     for old in os.listdir(workdir):
-        os.unlink(os.path.join(workdir, old))
+        if old == "_staged" or (
+            old.startswith("events_") and old.endswith(".parquet")
+        ):
+            os.unlink(os.path.join(workdir, old))
     tbl = pq.read_table(src)
     mod = np.asarray(tbl.column("event_id")) % n_files
     t0 = 1_700_000_000

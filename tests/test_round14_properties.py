@@ -187,11 +187,19 @@ def test_phash_cross_doc_min_distance_over_committed_ranges(salt):
 
     import duckdb
 
-    max_doc = 0
-    for p in glob.glob("/root/testdata/sf*/documents.parquet") + glob.glob(
+    paths = glob.glob("/root/testdata/sf*/documents.parquet") + glob.glob(
         os.path.join(os.path.dirname(__file__), "..", "testdata",
                      "sf*", "documents.parquet")
-    ):
+    )
+    if not paths:
+        # max_doc defaulting to 0 would make the dominance assertion
+        # pass vacuously, silently un-proving the property (r15 ADVICE).
+        pytest.skip(
+            "no documents.parquet found under /root/testdata or "
+            "./testdata — sweep-bound dominance cannot be checked here"
+        )
+    max_doc = 0
+    for p in paths:
         max_doc = max(
             max_doc,
             duckdb.sql(

@@ -943,17 +943,27 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
     from ..caching import scope_caches
 
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
+    pairs.count()
     adjn = pairs.select(F.col("i").alias("node"), F.col("j").alias("nbr")).unionAll(
         pairs.select(F.col("j").alias("node"), F.col("i").alias("nbr"))
     )
+    # capped feeds THREE consumers (cn once, rdeg twice via da/db) and
+    # rdeg feeds two; without persist+MATERIALIZE each consumer re-runs
+    # the union + node-grain collect_list shuffle from scratch — the r16
+    # per-stage profile showed that exact map/reduce pair executing 3x
+    # (stages 39/40/41 + 43/45/47, ~80% of executor time). Eager count()
+    # per the AQE lesson: lazy caches race across subtree futures.
     capped = adjn.groupBy("node").agg(
         F.slice(F.sort_array(F.collect_list("nbr")), 1, _LINKPRED_CAP).alias("nbrs")
-    )
+    ).persist()
+    capped.count()
     rdeg = (
         capped.select(F.explode("nbrs").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
     )
+    rdeg.count()
     cn = (
         capped.select(F.explode("nbrs").alias("a"), "nbrs")
         .select("a", F.explode(F.expr("filter(nbrs, x -> x > a)")).alias("b"))
@@ -1000,7 +1010,7 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         .where(F.col("rn") <= _LINKPRED_TOPK)
         .drop("rn")
     )
-    return scope_caches(out, pairs)
+    return scope_caches(out, pairs, capped, rdeg)
 
 
 # ---------------------------------------------------------------------------

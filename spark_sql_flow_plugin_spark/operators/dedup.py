@@ -1774,7 +1774,7 @@ _SEMDEDUP_ORACLE = f"""
         cos_assign=_DUCK_COSINE.format(a="e.embedding", b="carr.cvec"),
         cos_pair=_DUCK_COSINE.format(a="v.embedding", b="u.embedding"),
     ),
-    "dedup", "similarity",
+    "dedup", "similarity", "bench",
 )
 def dedup_semantic_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning in
@@ -1788,10 +1788,12 @@ def dedup_semantic_semdedup(spark, sf_dir):
     centroid similarity, and keep flag.
 
     Scale shape: codebook broadcast + map-side assignment (zero corpus
-    shuffle), then ONE equi-join on the cell id — candidate pairs are
-    quadratic only within a cell, so the codebook size is the knob that
-    bounds cell population at 100 TB (exactly the IVF trade-off
-    ann_ivf_trained documents). Similarities are rounded to 6 places
+    shuffle), then ONE equi-join on (cell, u-block) — candidate pairs
+    are quadratic only within a cell, the codebook size is the knob
+    that bounds cell population at 100 TB (exactly the IVF trade-off
+    ann_ivf_trained documents), and the B-way grid split keeps a hot
+    cell from serializing onto one task (r16 audit; see inline
+    comment). Similarities are rounded to 6 places
     and ties broken on vec_id, so the drop set is deterministic and the
     DuckDB oracle compares bit-exact."""
     from pyspark.sql.functions import broadcast
@@ -1834,17 +1836,56 @@ def dedup_semantic_semdedup(spark, sf_dir):
             F.col("b.embedding").alias("embedding"),
             F.col("b.cell_sim").alias("cell_sim"),
         )
+        .persist()
     )
-    v = asg.select(
-        F.col("vec_id").alias("v_id"), F.col("cell").alias("v_cell"),
-        F.col("embedding").alias("v_e"), F.col("cell_sim").alias("v_cs"),
+    # asg feeds THREE consumers (both self-join sides + the final keep
+    # join); unpersisted, each re-ran the broadcast-codebook assignment
+    # crossJoin with its interpreted HOF cosines. Eager count per the
+    # AQE lazy-cache race lesson.
+    asg.count()
+    # The r16 per-stage audit found the real cost: the within-cell pair
+    # stage (every pair cosine = 3 interpreted HOF aggregates over the
+    # 64-dim arrays) ran on ONE task — asg's groupBy output is a few MB,
+    # AQE byte-coalesces it to a single partition, and the pair join
+    # inherits that parallelism (byte-blind coalescing over a CPU-bound
+    # stage, the dedup_cdc_chunks lesson). Spread the quadratic
+    # within-cell work with the ngram-jaccard grid-block pattern: each
+    # build row lands in ONE u-block (hash of vec_id), the probe side
+    # replicates to all B blocks, and the join key (cell, ublk) splits
+    # every cell's pair mass across B tasks — a hot cell can no longer
+    # serialize, and the explicit repartition is exempt from AQE byte
+    # coalescing. The ordered-pair semantics (v dominated BY u) need the
+    # full B×B spread, hence probe-side replication rather than the
+    # triangular grid. 6.8 -> ~2 s warm at sf0.1 under the sweep's noop
+    # protocol; at 100 TB the B× probe duplication is one shuffle,
+    # bounded, and the cell count (the IVF codebook knob) carries the
+    # rest of the parallelism.
+    B = 8
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    v = (
+        asg.withColumn(
+            "ublk", F.explode(F.expr(f"sequence(0, {B - 1})"))
+        )
+        .repartition(n_parts, "cell", "ublk")
+        .select(
+            F.col("vec_id").alias("v_id"), F.col("cell").alias("v_cell"),
+            F.col("embedding").alias("v_e"), F.col("cell_sim").alias("v_cs"),
+            "ublk",
+        )
     )
-    u = asg.select(
+    u = asg.withColumn(
+        "ublk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    ).select(
         F.col("vec_id").alias("u_id"), F.col("cell").alias("u_cell"),
         F.col("embedding").alias("u_e"), F.col("cell_sim").alias("u_cs"),
+        F.col("ublk").alias("ublk_u"),
     )
     dropped = (
-        v.join(u, F.col("v_cell") == F.col("u_cell"))
+        v.join(
+            u,
+            (F.col("v_cell") == F.col("u_cell"))
+            & (F.col("ublk") == F.col("ublk_u")),
+        )
         .where(F.col("v_id") != F.col("u_id"))
         .where(F.round(_spark_cosine("v_e", "u_e"), 6) >= eps)
         .where(
@@ -1856,12 +1897,15 @@ def dedup_semantic_semdedup(spark, sf_dir):
         .distinct()
     )
     return (
-        asg.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cell").cast("int").alias("cell"),
-            "cell_sim",
-            F.col("_d").isNull().alias("keep"),
+        scope_caches(
+            asg.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                "cell_sim",
+                F.col("_d").isNull().alias("keep"),
+            ),
+            asg,
         )
     )
 

@@ -682,6 +682,9 @@ FIDELITY: dict[str, str] = {
         "tpcds_q92", "tpcds_q93", "tpcds_q95", "tpcds_q96", "tpcds_q97",
         "tpcds_q98", "tpcds_q99", "tpcds_q14a", "tpcds_q19",
         "tpcds_q59",
+        # r16 promotions (reference numeric literals restored and
+        # re-probed non-degenerate at all 3 SFs; see docstrings):
+        "tpcds_q65", "tpcds_q84",
     ]},
     # --- param-retuned -------------------------------------------------
     # (numeric thresholds/bands/windows/gates re-chosen for the derived
@@ -692,8 +695,8 @@ FIDELITY: dict[str, str] = {
         "tpcds_q24a", "tpcds_q24b",
         "tpcds_q25", "tpcds_q28", "tpcds_q29", "tpcds_q34", "tpcds_q37",
         "tpcds_q39a", "tpcds_q39b", "tpcds_q40", "tpcds_q48", "tpcds_q58",
-        "tpcds_q65", "tpcds_q72", "tpcds_q75", "tpcds_q80", "tpcds_q82",
-        "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q94",
+        "tpcds_q72", "tpcds_q75", "tpcds_q80", "tpcds_q82",
+        "tpcds_q83", "tpcds_q85", "tpcds_q94",
     ]},
     # --- structure-adapted ----------------------------------------------
     # q64: cd1<>cd2 marital -> '='; HAVING sale>2*refund -> sale>refund;
@@ -711,6 +714,66 @@ FIDELITY: dict[str, str] = {
     ]},
 }
 
+
+#: r16 promotion-pass ledger (r15 verdict item #3): every param-retuned
+#: query was re-probed against the REFERENCE numeric literal at all
+#: three SFs (DuckDB side; counts are sf0.001/sf0.01/sf0.1 rows).
+#: "domain" = the reference value lies outside the derived value domain
+#: (cents bands, derived id/category/color spaces), so no reference
+#: value exists to promote; "degenerate" = the reference value re-ran
+#: and still yields empty/NULL results at the oracle-gated SFs.
+FIDELITY_NOTES: dict[str, str] = {
+    "tpcds_q65": "PROMOTED r16 — reference 0.1 threshold: 17/100/100",
+    "tpcds_q84": "PROMOTED r16 — reference 38128 floor: 22/100/100",
+    "tpcds_q6": "degenerate — ref 1.2x mult: 0/0/0 (derived price band "
+                "mean*1.2 > band max); ref HAVING 10: 0/0/15",
+    "tpcds_q8": "gate (>10 preferred) IS the reference's; the 2-char "
+                "zip-prefix cohort unit is the derived-domain adaptation",
+    "tpcds_q9": "degenerate — reference row-count gates target SF100 "
+                "cardinalities (rigged 0/10^15 so both branches run)",
+    "tpcds_q13": "domain — dollar bands vs derived cents domains",
+    "tpcds_q14b": "degenerate — ref Dec 11 anchor week: 0/0/42 (empty at "
+                  "both oracle-gated small SFs)",
+    "tpcds_q15": "domain — zip/state literals + $500 floor vs derived "
+                 "domains ($500 selects everything)",
+    "tpcds_q17": "degenerate — best single-quarter anchor (ref shape): "
+                 "1/0/0 across all 12 derived quarters",
+    "tpcds_q21": "domain — price band vs derived cents domain",
+    "tpcds_q23a": "degenerate — ref item-day gate >4: NULL at all SFs "
+                  "(re-probed r16; >2 also NULL)",
+    "tpcds_q23b": "degenerate — ref gate >4: 0 rows at all SFs",
+    "tpcds_q24a": "only the color literal remains retuned; ref 'pale' "
+                  "is not a derived first-word color (0/0/0). The 0.05 "
+                  "threshold is the reference's",
+    "tpcds_q24b": "as q24a; ref 'chiffon': 0/0/0",
+    "tpcds_q25": "degenerate — ref single-month-anchor shape: best "
+                 "anchor 1/0/0 across all 36 derived (year, month)",
+    "tpcds_q28": "domain — six quantity-band cents windows vs derived "
+                 "cents domains",
+    "tpcds_q29": "degenerate — same single-month-anchor family as q25",
+    "tpcds_q34": "degenerate — ref 15-20 lines/ticket: 0/0/0 (derived "
+                 "orders average ~1.3 store-channel lines)",
+    "tpcds_q37": "domain (band) — r16: band re-anchored at the domain "
+                 "floor so sf0.001 populates (10/35/100)",
+    "tpcds_q39a": "degenerate — ref inner cov gate >1: 0/0/0",
+    "tpcds_q39b": "degenerate — ref inner cov gate >1: 0/0/0",
+    "tpcds_q40": "domain (band) — r16: re-anchored, 52/100/100",
+    "tpcds_q48": "domain — cents/profit bands vs derived domains",
+    "tpcds_q58": "degenerate — no item sells through all three channels "
+                 "in any single week at test SFs (carried)",
+    "tpcds_q72": "degenerate — ref raw inv < cs_quantity: 0/0/0 (derived "
+                 "on-hand is 10x a line quantity)",
+    "tpcds_q75": "domain — 'Books' not in the derived six-word category "
+                 "domain (1:1 relabel + exact-integer ratio kept)",
+    "tpcds_q80": "domain (floor) — r16: floor at domain floor, sf0.001 "
+                 "populates (27/34/34)",
+    "tpcds_q82": "domain (band) — r16: re-anchored, 4/39/100",
+    "tpcds_q83": "degenerate — ref 3-anchor-week cohort needs an item "
+                 "returned through ALL three channels inside them",
+    "tpcds_q85": "domain — cents band stacks vs derived domains",
+    "tpcds_q94": "degenerate — ref 60-day window: (0, NULL, NULL) at "
+                 "sf0.001/0.01; non-degenerate at sf0.1 only",
+}
 
 #: query name -> TPC-DS tables it consumes (filled by _tpcds at
 #: registration; lineage tests map shim-plan leaves back through this)
@@ -1480,7 +1543,7 @@ FROM store, item,
         AND d_month_seq BETWEEN 23976 AND 23987
       GROUP BY ss_store_sk, ss_item_sk) sc
 WHERE sb.ss_store_sk = sc.ss_store_sk
-  AND CAST(sc.revenue_cents AS DOUBLE) <= 0.5 * sb.ave
+  AND CAST(sc.revenue_cents AS DOUBLE) <= 0.1 * sb.ave
   AND s_store_sk = sc.ss_store_sk
   AND i_item_sk = sc.ss_item_sk
 ORDER BY s_store_name, i_item_sk
@@ -1491,9 +1554,10 @@ LIMIT 100
     "per-(store,item) revenue subquery evaluated twice, once re-"
     "aggregated per store. avg() as exact SUM/COUNT; d_month_seq window "
     "1176+11 -> 23976+11 (=calendar 1998, derived d_month_seq is "
-    "year*12+moy-1); threshold 0.1 -> 0.5 because most derived "
-    "(store,item) pairs hold a single sale, so the reference's extreme-"
-    "underperformer decile is empty by construction. i_item_sk added to "
+    "year*12+moy-1); the reference threshold 0.1 runs VERBATIM "
+    "(PROMOTED r16: the earlier retune to 0.5 documented the 0.1 decile "
+    "as empty by construction, but the shim has gained density since — "
+    "re-probed 17/100/100 rows at sf0.001/0.01/0.1). i_item_sk added to "
     "the output so (s_store_name, i_item_sk) is a unique sort key: "
     "LIMIT-safe.",
 )
@@ -4884,17 +4948,19 @@ LIMIT 100
         "in a 60-day window that also sold through the "
         f"{'catalog' if fact_table == 'catalog_sales' else 'store'} "
         "channel. Price band moved inside the derived 90000-99990 "
-        "cents domain (same +30-dollar width shape); manufact ids "
-        "into 1..50; the reference's date + INTERVAL 60 days is "
+        "cents domain (same +$50 width shape; anchored at the domain "
+        "floor since r16 so the band also populates sf0.001 — the "
+        "r15-era anchors were vacuous at the smallest SF); manufact "
+        "ids into 1..50; the reference's date + INTERVAL 60 days is "
         "spelled as the literal end date (identical range, no "
         "cross-engine interval dialect). i_item_id is unique per "
         "group and leads the sort: LIMIT-safe.",
     )
 
 
-_q37_like("tpcds_q37", "catalog_sales", "cs_item_sk", 92000,
+_q37_like("tpcds_q37", "catalog_sales", "cs_item_sk", 90000,
           "1998-02-01", "1998-04-02", "(7, 21, 33, 45)", "q37")
-_q37_like("tpcds_q82", "store_sales", "ss_item_sk", 93000,
+_q37_like("tpcds_q82", "store_sales", "ss_item_sk", 90000,
           "1998-05-25", "1998-07-24", "(12, 27, 38, 44)", "q82")
 
 # ---------------------------------------------------------------------------
@@ -5189,7 +5255,7 @@ FROM
                                       AND cs_item_sk = cr_item_sk)
   , warehouse, item, date_dim
 WHERE
-  i_current_price_cents BETWEEN 92000 AND 97000
+  i_current_price_cents BETWEEN 90000 AND 95000
     AND i_item_sk = cs_item_sk
     AND cs_warehouse_sk = w_warehouse_sk
     AND cs_sold_date_sk = d_date_sk
@@ -5205,7 +5271,9 @@ LIMIT 100
     "so unreturned lines keep full price. Price band and dates moved "
     "into the derived domains (pivot 2000-03-11 -> 1998-03-11; the "
     "+-30-day window is spelled as literal dates, no INTERVAL "
-    "dialect). (w_state, i_item_id) is the group key and the full "
+    "dialect; the band is anchored at the domain floor since r16 so "
+    "sf0.001 populates — 52/100/100 rows at the three SFs). "
+    "(w_state, i_item_id) is the group key and the full "
     "sort key: LIMIT-safe.",
 )
 
@@ -5875,7 +5943,7 @@ def _q80_chan(cte: str, fact: str, p: str, rp: str, ent_table: str,
   AND CAST('1998-09-22' AS DATE)
     AND {ent_join}
     AND {p}_item_sk = i_item_sk
-    AND i_current_price_cents > 95000
+    AND i_current_price_cents > 90000
     AND {p}_promo_sk = p_promo_sk
     AND p_channel_tv = 'N'
   GROUP BY {ent_id})"""
@@ -5946,14 +6014,16 @@ LIMIT 100
     "returns inside each channel CTE), UNION ALL'd under "
     "ROLLUP(channel, id). Window 2000-08-23+30d -> 1998-08-23..."
     "09-22 (literal end date, no INTERVAL dialect); price floor "
-    "inside the derived cents domain; the reserved-ish "
+    "at the derived cents-domain floor (r16: the r15-era 95000 floor "
+    "left sf0.001's detail set empty — 90000 populates all three SFs "
+    "with sf0.01/0.1 rows unchanged in count); the reserved-ish "
     "sales/returns/profit aliases carry a _cents suffix. ROLLUP "
     "keys COALESCE'd in the sort and unique per level: LIMIT-safe. "
     "HAVING COUNT(*) > 0 normalizes the empty-detail edge: over ZERO "
     "input rows DuckDB emits the ROLLUP's () super-aggregate row "
-    "(all-NULL) while Spark emits nothing — q80's detail set IS empty "
-    "at sf0.001 (r9 sf0.001 matrix catch); the guard is an identity "
-    "on every non-empty group.",
+    "(all-NULL) while Spark emits nothing — q80's detail set WAS "
+    "empty at sf0.001 through r15 (r9 sf0.001 matrix catch); the "
+    "guard is an identity on every non-empty group.",
     extra=_Q80_CTES,
 )
 
@@ -5977,8 +6047,8 @@ FROM customer_dim
   , store_returns
 WHERE ca_city = 'city_5'
   AND c_current_addr_sk = ca_address_sk
-  AND ib_lower_bound >= 40000
-  AND ib_upper_bound <= 40000 + 50000
+  AND ib_lower_bound >= 38128
+  AND ib_upper_bound <= 38128 + 50000
   AND ib_income_band_sk = hd_income_band_sk
   AND cd_demo_sk = c_current_cdemo_sk
   AND hd_demo_sk = c_current_hdemo_sk
@@ -5989,8 +6059,11 @@ LIMIT 100
     "TPC-DS q84 (reference inputs/q84.sql): customers in one city "
     "whose household income band sits in a $50k window and whose "
     "demographic appears on a store return — a pure six-dim star "
-    "with no aggregate. 'Edgewood' -> 'city_5', band floor 38128 -> "
-    "40000 (derived bands are exact $10k steps). One output row per "
+    "with no aggregate. 'Edgewood' -> 'city_5'; the reference band "
+    "floor 38128 runs VERBATIM (PROMOTED r16: the retune to 40000 "
+    "assumed the floor must sit on a derived $10k band step, but the "
+    ">=/<= window needs no alignment — re-probed 22/100/100 rows at "
+    "three SFs). One output row per "
     "matching return row (duplicates intended, as in the "
     "reference); rows with equal customer_id are identical, so the "
     "LIMIT cut is multiset-deterministic.",

@@ -118,6 +118,7 @@ def gen_stream_case(seed: int):
             "session",
             "join2",
             "multibatch_keyed",
+            "chained",
         ]
     )
     key_kind = rng.choice(["none", "user_mod", "event_type"])
@@ -190,6 +191,75 @@ def gen_stream_case(seed: int):
             )
 
         return shape, build, "complete"
+
+    if shape == "chained":
+        # CHAINED stateful aggregates (SPARK-40925, the
+        # stream_hourly_daily_rollup shape, r15 verdict item #5): an
+        # append-mode windowed aggregate feeds a second windowed
+        # aggregate over window_time(). The stream side carries the
+        # watermark; the batch twin applies the two-level finalization
+        # convention EXPLICITLY — a level-1 window participates only
+        # when wm >= w1.end, a level-2 window emits only when
+        # wm >= w2.end, wm = max(ts) - delay — exactly the hand-written
+        # rollup oracle's encoding. run_stream_seed pins this shape to
+        # a single data micro-batch (max_files=None): with multiple
+        # batches the previous-batch watermark drops one-batch-late
+        # rows, which batch can't see (the r14 witness); the trailing
+        # no-data batches are what flush both levels.
+        import datetime as _dt
+
+        delay_s, delta = rng.choice(
+            [
+                ("30 minutes", _dt.timedelta(minutes=30)),
+                ("1 hour", _dt.timedelta(hours=1)),
+                ("3 hours", _dt.timedelta(hours=3)),
+            ]
+        )
+        l1 = rng.choice(["1 hour", "2 hours", "3 hours"])
+        l2 = rng.choice(["12 hours", "1 day"])
+        knames = ["kx"] if key_kind != "none" else []
+
+        def build(df):
+            streaming = df.isStreaming
+            src = df.withWatermark("ts", delay_s) if streaming else df
+            l1agg = src.groupBy(F.window("ts", l1).alias("w1"), *keys(src)).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("cents"),
+            )
+            wm = None
+            if not streaming:
+                mx = df.agg(F.max("ts").alias("m")).collect()[0].m
+                wm = mx - delta if mx is not None else None
+                l1agg = (
+                    l1agg.where(F.col("w1.end") <= F.lit(wm))
+                    if wm is not None
+                    else l1agg.where(F.lit(False))
+                )
+            l2agg = l1agg.groupBy(
+                F.window(F.window_time("w1"), l2).alias("w2"),
+                *[F.col(c) for c in knames],
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sub"),
+                F.sum("n").cast("bigint").alias("n_events"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            out = l2agg.select(
+                F.col("w2.start").alias("ws"),
+                F.col("w2.end").alias("we"),
+                *knames,
+                "n_sub",
+                "n_events",
+                "cents",
+            )
+            if not streaming:
+                out = (
+                    out.where(F.col("we") <= F.lit(wm))
+                    if wm is not None
+                    else out.where(F.lit(False))
+                )
+            return out
+
+        return shape, build, "append"
 
     if shape == "join2":
         # Two-stream interval join (the _click_purchase_pipeline shape,
@@ -343,6 +413,12 @@ def run_stream_seed(spark, staged, seed: int) -> dict:
     elif shape == "multibatch_keyed":
         src = staged.get(4, src)
         max_files = 1
+    elif shape == "chained":
+        # single data batch: multi-batch runs drop one-batch-late rows
+        # via the previous-batch watermark, which the batch twin cannot
+        # reproduce (r14 witness) — the chained convention is pinned at
+        # the final-watermark flush only
+        max_files = None
     rec = {"seed": seed, "shape": shape, "max_files": max_files, "mode": mode}
     try:
         batch = _norm(build(_read_batch(run_spark, src)))

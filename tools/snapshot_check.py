@@ -80,6 +80,40 @@ def main() -> int:
             "its value gate has never compared a row; retune its predicates"
         )
 
+    # r15 verdict item #6: the sf0.001 vacuous set may only SHRINK.
+    # Every query that passes vacuous at the smallest SF must carry a
+    # committed rationale (artifacts/vacuous_sf0001_rationale.json);
+    # entries that are no longer vacuous must be pruned, so the file
+    # tracks reality and additions are always a visible diff.
+    if rnd >= 16 and logs:
+        import json as _json
+
+        rat_path = os.path.join(root, "vacuous_sf0001_rationale.json")
+        rationale: dict = {}
+        if os.path.isfile(rat_path):
+            with open(rat_path) as f:
+                rationale = {
+                    k: v for k, v in _json.load(f).items()
+                    if not k.startswith("_")
+                }
+        else:
+            problems.append(
+                f"missing {os.path.relpath(rat_path)} — every sf0.001 "
+                "vacuous query needs a committed rationale"
+            )
+        sf0001_vac = set(_VACUOUS_RE.findall(logs[0]))
+        for name in sorted(sf0001_vac - set(rationale)):
+            problems.append(
+                f"{name} is VACUOUS at sf0.001 with no rationale entry — "
+                "retune it to populate, or add a justified entry to "
+                "vacuous_sf0001_rationale.json"
+            )
+        for name in sorted(set(rationale) - sf0001_vac):
+            problems.append(
+                f"vacuous_sf0001_rationale.json lists {name} but it is "
+                "no longer vacuous at sf0.001 — prune the stale entry"
+            )
+
     # r14 verdict item #3: the Spark-side timing sweep is a standing
     # close artifact, and every query above the 5 s line must be
     # bench-tagged so the driver bench tracks it round-over-round.

@@ -420,8 +420,15 @@ def dedup_minhash_mllib(spark, sf_dir):
         vocabSize=1 << 22,
     ).fit(shingled)
     # MinHashLSH requires at least one nonzero feature; minDF=1 puts every
-    # shingle in the vocabulary, so any doc with shingles qualifies
-    feats = cv.transform(shingled).where(F.size("shingles") > 0)
+    # shingle in the vocabulary, so any doc with shingles qualifies.
+    # feats feeds fit() AND both approxSimilarityJoin sides; found feeds
+    # the precision join AND the recall join; sh is aliased into four
+    # join subtrees. Unpersisted, each consumer re-ran its whole
+    # upstream — including the LSH self-join TWICE (r16 multi-consumer
+    # audit, the linkpred/semdedup pattern; 7.5 -> ~4 s in the sweep
+    # protocol). Eager count per the AQE lazy-cache race lesson.
+    feats = cv.transform(shingled).where(F.size("shingles") > 0).persist()
+    feats.count()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
@@ -433,14 +440,18 @@ def dedup_minhash_mllib(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
         )
         .distinct()
+        .persist()
     )
+    found.count()
 
     # independent exact shingle sets (SQL expressions, no MLlib)
     sh = (
         aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+        .persist()
     )
+    sh.count()
 
     def exact_jacc(a, b):
         inter = F.size(F.array_intersect(a, b))
@@ -496,7 +507,7 @@ def dedup_minhash_mllib(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_exact_planted"))
     )
 
-    return (
+    return scope_caches(
         n_planted.crossJoin(prec)
         .crossJoin(n_near)
         .crossJoin(recovered)
@@ -509,7 +520,10 @@ def dedup_minhash_mllib(spark, sf_dir):
                 "near_recall_ok"
             ),
             "precision_ok",
-        )
+        ),
+        feats,
+        found,
+        sh,
     )
 
 

@@ -685,11 +685,17 @@ def market_basket_lift(spark, sf_dir):
     exact BIGINT counts."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     pt = load(spark, sf_dir, "part")["part"]
+    # bi feeds FIVE subtrees (basket count, item totals x2 via ia/ib,
+    # both self-join sides) — unpersisted, each re-ran the join+distinct
+    # (r16 multi-consumer audit). Eager count: lazy caches race under
+    # AQE subtree futures.
     bi = (
         li.join(pt, li["l_partkey"] == pt["p_partkey"])
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
+        .persist()
     )
+    bi.count()
     nb = bi.agg(F.countDistinct("basket").cast("bigint").alias("n_baskets"))
     ic = bi.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("item_n"))
     a, b = bi.alias("a"), bi.alias("b")
@@ -707,7 +713,9 @@ def market_basket_lift(spark, sf_dir):
     )
     ia = ic.select(F.col("item").alias("item_a"), F.col("item_n").alias("a_n"))
     ib = ic.select(F.col("item").alias("item_b"), F.col("item_n").alias("b_n"))
-    return (
+    from ..caching import scope_caches
+
+    return scope_caches(
         pairs.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
         .crossJoin(F.broadcast(nb))
@@ -723,7 +731,8 @@ def market_basket_lift(spark, sf_dir):
                 (F.col("pair_n").cast("double") * F.col("n_baskets"))
                 / (F.col("a_n").cast("double") * F.col("b_n"))
             ).alias("lift"),
-        )
+        ),
+        bi,
     )
 
 

@@ -2657,3 +2657,82 @@ def dedup_cdc_chunks(spark, sf_dir):
         )
     )
     return scope_caches(out, ch)
+
+
+# ---------------------------------------------------------------------------
+# Round 16 — train/val/test leakage audit over near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_SPLIT_U_BASE = (
+    "conv(substr(md5(cast(({c} % 1000000) as string)), 1, 8), 16, 10)"
+    " / 4294967296.0"
+)
+_DUCK_U_BASE = (
+    "('0x' || substr(md5(CAST(({c} % 1000000) AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+
+def _split_case(u_tpl: str, col: str) -> str:
+    u = u_tpl.format(c=col)
+    return (
+        f"CASE WHEN {u} < 0.8 THEN 'train' "
+        f"WHEN {u} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_neardup",
+    f"""WITH {_DUCK_MINHASH_CTES},
+    labeled AS (
+      SELECT least({_split_case(_DUCK_U_BASE, 'doc_a')},
+                   {_split_case(_DUCK_U_BASE, 'doc_b')}) AS split_a,
+             greatest({_split_case(_DUCK_U_BASE, 'doc_a')},
+                      {_split_case(_DUCK_U_BASE, 'doc_b')}) AS split_b
+      FROM pairs)
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a != split_b AS is_leak
+    FROM labeled GROUP BY split_a, split_b
+    """,
+    "dedup",
+    "curation",
+)
+def split_leakage_neardup(spark, sf_dir):
+    """Eval-set leakage audit: near-duplicate pairs (the
+    dedup_minhash_lsh candidates verified at exact Jaccard >= 0.6)
+    crossed with the split_train_val_test hash assignment — a pair
+    whose members land in different splits is contamination (the eval
+    member is effectively in the training set; Dodge et al. 2021 /
+    GPT-3 appendix-C style audit). Splits key on the BASE doc id
+    (doc_id % 1000000, the augmentation convention), so a planted
+    synthetic duplicate shares its original's split and the
+    off-diagonal rows isolate GENUINE cross-document near-dups. Output
+    is the (split_a, split_b) leakage matrix with an is_leak flag —
+    diagonal rows double as the non-vacuous floor at every SF.
+
+    Scale shape: inherits the banded minhash pipeline wholesale (band
+    equi-join, never all-pairs); the split labeling is a row-local md5
+    projection and the matrix rollup is a 6-row aggregate."""
+    sets, sig = minhash_signatures(spark, sf_dir)
+    cand = _minhash_candidates(sig)
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union_n = F.size("sa.shingles") + F.size("sb.shingles") - inter
+    jacc = inter.cast("double") / union_n
+    pairs = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+    sa = F.expr(_split_case(_SPLIT_U_BASE, "doc_a"))
+    sb = F.expr(_split_case(_SPLIT_U_BASE, "doc_b"))
+    out = (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+    return scope_caches(out, sets, sig)

@@ -1380,6 +1380,59 @@ def _samp_conjunct(rng: random.Random, cols) -> Ex:
     )
 
 
+def _shape_aggfilter(rng: random.Random):
+    """FILTER (WHERE ...) aggregate clauses (SQL:2003 filtered
+    aggregation; identical syntax in Spark 3+/DuckDB, r16): grouped
+    COUNT/SUM/MIN/MAX where each aggregate carries its own independent
+    predicate — the planner must keep per-aggregate filters apart
+    instead of merging them into the WHERE, and empty filter sets must
+    yield 0 for COUNT but NULL for SUM/MIN/MAX in BOTH engines. No
+    other shape exercises the FILTER clause at all."""
+    frm, cols = _chain(rng)
+    nk = rng.randint(1, 2)
+    keys = _group_keys(rng, cols, nk)
+    items = list(keys)
+    for _ in range(rng.randint(1, 3)):
+        pred = _bool_expr(rng, cols)
+        r = rng.random()
+        if r < 0.4:
+            items.append(
+                Ex(
+                    f"CAST(COUNT(*) FILTER (WHERE {pred.spark}) AS BIGINT)",
+                    f"CAST(COUNT(*) FILTER (WHERE {pred.duck}) AS BIGINT)",
+                    "int",
+                    1e8,
+                )
+            )
+        elif r < 0.8:
+            a = _sum_arg(rng, cols)
+            items.append(
+                Ex(
+                    f"CAST(SUM({a.spark}) FILTER (WHERE {pred.spark}) AS BIGINT)",
+                    f"CAST(SUM({a.duck}) FILTER (WHERE {pred.duck}) AS BIGINT)",
+                    "int",
+                    1e16,
+                )
+            )
+        else:
+            a = _int_expr(rng, cols, 1)
+            f = rng.choice(["MIN", "MAX"])
+            items.append(
+                Ex(
+                    f"{f}({a.spark}) FILTER (WHERE {pred.spark})",
+                    f"{f}({a.duck}) FILTER (WHERE {pred.duck})",
+                    "int",
+                    a.mag,
+                )
+            )
+    where = _bool_expr(rng, cols) if rng.random() < 0.5 else None
+    group = ", ".join(f"c{i}" for i in range(nk))
+    return (
+        _render(items, frm, where, group, None, dialect="spark"),
+        _render(items, frm, where, group, None, dialect="duck"),
+    )
+
+
 def _shape_explode(rng: random.Random):
     """Generate surface #1: explode/unnest of split() token arrays and of
     grouped collect_set/list(DISTINCT) arrays — the reference corpus
@@ -1523,6 +1576,7 @@ _SHAPES = [
     (_shape_explode, 10),
     (_shape_posexplode, 6),
     (_shape_stack, 6),
+    (_shape_aggfilter, 8),
 ]
 
 

@@ -56,6 +56,7 @@ ALL_SHAPES = {
     "explode",
     "posexplode",
     "stack",
+    "aggfilter",
 }
 
 

@@ -421,14 +421,16 @@ def dedup_minhash_mllib(spark, sf_dir):
     ).fit(shingled)
     # MinHashLSH requires at least one nonzero feature; minDF=1 puts every
     # shingle in the vocabulary, so any doc with shingles qualifies.
-    # feats feeds fit() AND both approxSimilarityJoin sides; found feeds
-    # the precision join AND the recall join; sh is aliased into four
-    # join subtrees. Unpersisted, each consumer re-ran its whole
-    # upstream — including the LSH self-join TWICE (r16 multi-consumer
-    # audit, the linkpred/semdedup pattern; 7.5 -> ~4 s in the sweep
-    # protocol). Eager count per the AQE lazy-cache race lesson.
+    # feats feeds both approxSimilarityJoin sides; found feeds the
+    # precision join AND the recall join; sh is aliased into four join
+    # subtrees. Unpersisted, each consumer re-ran its whole upstream —
+    # including the LSH self-join TWICE (r16 multi-consumer audit, the
+    # linkpred/semdedup pattern). ONE eager barrier (found.count) is
+    # enough: materializing the LSH join populates the feats cache on
+    # the way, and sh's persist absorbs the four-alias fan-out lazily
+    # (a race there duplicates only a cheap tokenize from cached aug —
+    # extra barriers measured ~1 s of dead weight at sf0.1).
     feats = cv.transform(shingled).where(F.size("shingles") > 0).persist()
-    feats.count()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
@@ -451,7 +453,6 @@ def dedup_minhash_mllib(spark, sf_dir):
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
         .persist()
     )
-    sh.count()
 
     def exact_jacc(a, b):
         inter = F.size(F.array_intersect(a, b))

@@ -943,16 +943,20 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
     from ..caching import scope_caches
 
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
-    pairs.count()
     adjn = pairs.select(F.col("i").alias("node"), F.col("j").alias("nbr")).unionAll(
         pairs.select(F.col("j").alias("node"), F.col("i").alias("nbr"))
     )
-    # capped feeds THREE consumers (cn once, rdeg twice via da/db) and
-    # rdeg feeds two; without persist+MATERIALIZE each consumer re-runs
-    # the union + node-grain collect_list shuffle from scratch — the r16
-    # per-stage profile showed that exact map/reduce pair executing 3x
-    # (stages 39/40/41 + 43/45/47, ~80% of executor time). Eager count()
-    # per the AQE lesson: lazy caches race across subtree futures.
+    # capped feeds THREE consumers (cn once, rdeg twice via da/db);
+    # without persist+MATERIALIZE each consumer re-ran the union +
+    # node-grain collect_list shuffle from scratch — the r16 per-stage
+    # profile showed that exact map/reduce pair executing 3x (stages
+    # 39/40/41 + 43/45/47, ~80% of executor time, 26% GC). ONE eager
+    # count() here is the whole fix: it also materializes the pairs
+    # cache on the way (no separate barrier), and rdeg is deliberately
+    # left uncached — it is a trivial explode+groupBy over the CACHED
+    # capped frame, so letting the da/db subtree futures each compute
+    # it costs far less than a third materialization barrier (r16
+    # sweep A/B: extra barriers cost ~1 s at sf0.1 for nothing).
     capped = adjn.groupBy("node").agg(
         F.slice(F.sort_array(F.collect_list("nbr")), 1, _LINKPRED_CAP).alias("nbrs")
     ).persist()
@@ -961,9 +965,7 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         capped.select(F.explode("nbrs").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .persist()
     )
-    rdeg.count()
     cn = (
         capped.select(F.explode("nbrs").alias("a"), "nbrs")
         .select("a", F.explode(F.expr("filter(nbrs, x -> x > a)")).alias("b"))
@@ -1010,7 +1012,7 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         .where(F.col("rn") <= _LINKPRED_TOPK)
         .drop("rn")
     )
-    return scope_caches(out, pairs, capped, rdeg)
+    return scope_caches(out, pairs, capped)
 
 
 # ---------------------------------------------------------------------------

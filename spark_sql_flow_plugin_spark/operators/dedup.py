@@ -403,15 +403,39 @@ def dedup_minhash_mllib(spark, sf_dir):
       1:1 join — no quadratic work), the fixed-seed LSH recovers >= 70%.
       Deterministic for seed=42, so the oracle asserts TRUE.
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     aug = augmented_documents(spark, sf_dir)
-    toks = RegexTokenizer(
-        inputCol="text", outputCol="toks", pattern=r"\s+"
-    ).transform(aug)
-    # word 3-gram shingles (same granularity as the md5 pipeline): unigram
-    # token sets are non-discriminative on a small vocabulary
-    shingled = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    # Tokenize + word-3-gram shingle NATIVELY (optimization guide §4.1:
+    # built-ins over UDFs). These expressions are row-for-row identical
+    # to the RegexTokenizer(pattern=\s+, lowercase, minTokenLength=1) +
+    # NGram(3) transformer pair used through r16: same token list (split
+    # on \s+, lowercased, empties dropped), same ORDERED shingle list
+    # with duplicates kept (zip_with over slices — the proven
+    # CollapseProject-safe shape; transform+element_at would re-inline
+    # the tokenizer per element, the r6 213-s trap). The multiset
+    # CountVectorizer.fit sees is therefore unchanged — same vocabulary,
+    # same indices, same MinHashLSH behavior — while the Scala-UDF
+    # boxing of the two transformers and, crucially, the pushed-down
+    # filter's DOUBLE UDF evaluation at the scan
+    # (size(NGram(RegexTok(text))) > 0 per input row) disappear: the
+    # filter below is the native size(toks) >= 3, exactly equivalent to
+    # size(shingles) > 0 for a 3-gram.
+    # unigram token sets are non-discriminative on a small vocabulary,
+    # hence 3-gram shingles (same granularity as the md5 pipeline).
+    _NGRAM3 = (
+        "zip_with("
+        "  slice(toks, 1, size(toks) - 2),"
+        "  zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2),"
+        "           (y, z) -> concat(y, ' ', z)),"
+        "  (x, yz) -> concat(x, ' ', yz)"
+        ")"
+    )
+    shingled = (
+        aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_NGRAM3).alias("shingles"))
+    )
     # vocabSize far above the corpus' distinct-shingle count: truncation
     # would silently turn feature sets into a subset of the shingle sets
     # and break the exact-Jaccard precision check
@@ -419,8 +443,8 @@ def dedup_minhash_mllib(spark, sf_dir):
         inputCol="shingles", outputCol="features", binary=True, minDF=1.0,
         vocabSize=1 << 22,
     ).fit(shingled)
-    # MinHashLSH requires at least one nonzero feature; minDF=1 puts every
-    # shingle in the vocabulary, so any doc with shingles qualifies.
+    # MinHashLSH requires at least one nonzero feature; the size(toks)>=3
+    # filter above guarantees >=1 shingle per surviving row.
     # feats feeds both approxSimilarityJoin sides; found feeds the
     # precision join AND the recall join; sh is aliased into four join
     # subtrees. Unpersisted, each consumer re-ran its whole upstream —
@@ -430,7 +454,12 @@ def dedup_minhash_mllib(spark, sf_dir):
     # the way, and sh's persist absorbs the four-alias fan-out lazily
     # (a race there duplicates only a cheap tokenize from cached aug —
     # extra barriers measured ~1 s of dead weight at sf0.1).
-    feats = cv.transform(shingled).where(F.size("shingles") > 0).persist()
+    # The persist is SLIM (doc_id, features): the LSH fit/join only ever
+    # reads these two columns, and caching the full transform width
+    # (text + toks + shingles arrays) both widened the cache build and
+    # stored corpus text for nothing (guide §2.3: project before the
+    # exchange — the cache IS the exchange's input here).
+    feats = cv.transform(shingled).select("doc_id", "features").persist()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)

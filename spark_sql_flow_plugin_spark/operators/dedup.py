@@ -603,17 +603,19 @@ def dedup_components(spark, sf_dir):
 
     Returns (component, n_docs) — one row per duplicate cluster.
     """
-    # hold the lsh result until `und` is materialized: its scope_caches
+    # hold the lsh result until `pairs` is materialized: its scope_caches
     # finalizer unpersists the shared signature tables on GC, and the eager
-    # localCheckpoint below is the (only) consumer that needs them
+    # localCheckpoint below is the (only) consumer that needs them.
+    # Checkpoint the ONE-SIDED pair list first: the previous shape built
+    # `und` as pairs.union(pairs.swap) directly over the un-checkpointed
+    # lsh result, so the union's two branches each executed the whole
+    # minhash verify join — the full candidate+verify pipeline ran TWICE
+    # inside one job (guide §2.4: accidental recompute, the r16
+    # multi-consumer pattern again, this time via Union instead of twin
+    # broadcasts).
     lsh = dedup_minhash_lsh(spark, sf_dir)
-    pairs = lsh.select("doc_a", "doc_b")
-    und = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint()
-    )
-    del lsh, pairs  # graph materialized — release the signature caches
+    pairs = lsh.select("doc_a", "doc_b").localCheckpoint()
+    del lsh  # pair list materialized — release the signature caches
     # The candidate-pair graph is orders of magnitude smaller than the
     # corpus that produced it (pairs, not documents). Size the iteration's
     # shuffles to the measured edge count (~2M edges/partition) instead of
@@ -626,10 +628,29 @@ def dedup_components(spark, sf_dir):
     # query on the shared session would silently inherit). Partitioning
     # ``und`` by the join key ``dst`` also co-locates it with the
     # label aggregation output (HashPartitioning(node, npart)), so the
-    # per-round join needs NO exchange at all.
-    n_edges = und.count()
+    # per-round join needs NO exchange at all. The symmetric expansion is
+    # a single-pass explode (both arc directions per input row), not a
+    # two-scan union.
+    n_edges = 2 * pairs.count()
     npart = max(1, -(-n_edges // 2_000_000))
-    und = und.repartition(npart, "dst").localCheckpoint()
+    und = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(npart, "dst")
+        .localCheckpoint()
+    )
+    del pairs
     labels, _ = _propagate_min_labels(spark, und, npart)
     return (
         labels.groupBy("comp")
@@ -1439,15 +1460,32 @@ def dedup_cluster_keep_best(spark, sf_dir):
     window pass over the labeled nodes — the cluster labeling shuffles the
     PAIR GRAPH only, and the quality join touches each clustered doc once.
     """
+    # Same shape as dedup_components: checkpoint the one-sided pair list
+    # once (the union form executed the lsh verify pipeline twice), then
+    # expand both arc directions in a single explode pass.
     lsh = dedup_minhash_lsh(spark, sf_dir)
-    pairs = lsh.select("doc_a", "doc_b")
-    und = (
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").localCheckpoint()
-    )
-    del lsh, pairs
-    n_edges = und.count()
+    pairs = lsh.select("doc_a", "doc_b").localCheckpoint()
+    del lsh
+    n_edges = 2 * pairs.count()
     npart = max(1, -(-n_edges // 2_000_000))
-    und = und.repartition(npart, "dst").localCheckpoint()
+    und = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(npart, "dst")
+        .localCheckpoint()
+    )
+    del pairs
     labels, _ = _propagate_min_labels(spark, und, npart)
     quality = augmented_documents(spark, sf_dir).select(
         "doc_id", F.expr(f"size({_SPARK_TOKS})").alias("n_toks")

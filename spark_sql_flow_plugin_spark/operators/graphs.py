@@ -552,9 +552,17 @@ def _kcore_peel_frame(spark, sf_dir, rounds: int):
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
 
     def degree(edges):
+        # ONE pass over the edge list: explode both endpoints per row
+        # instead of unionAll-ing two scans (guide §2.4 — the union form
+        # scanned `edges` twice per degree call, and on the FIRST call the
+        # two InMemoryTableScan branches of the lazily-persisted `pairs`
+        # raced to compute the cache, running the full lineitem
+        # scan+collect_set pipeline twice in one job — the r16-opt
+        # per-stage profile showed three identical 38 MB map stages).
         return (
-            edges.select(F.col("i").alias("node"))
-            .unionAll(edges.select(F.col("j").alias("node")))
+            edges.select(
+                F.explode(F.array(F.col("i"), F.col("j"))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         )

@@ -273,9 +273,13 @@ def orient_edges_by_degree(pairs, caches=None):
     """
     from pyspark.sql import functions as F
 
+    # single-pass degree build: explode both endpoints per edge row
+    # instead of unionAll-ing two scans of `pairs` (guide §2.4 — with the
+    # union form, a caller whose pairs cache is not yet materialized had
+    # the two scan branches race to compute it, running the co-purchase
+    # pipeline twice in one job)
     deg = (
-        pairs.select(F.col("i").alias("node"))
-        .unionAll(pairs.select(F.col("j").alias("node")))
+        pairs.select(F.explode(F.array(F.col("i"), F.col("j"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
@@ -410,17 +414,23 @@ def graph_triangle_count(spark, sf_dir):
     subtrees, and recomputing pairs per consumer re-runs the lineitem
     self-join five times."""
     # r14 profile fix (artifacts/triangle_profile_r14.md): every fan-out
-    # frame is persisted AND materialized before its consumers build —
-    # the oi/oj and au/av broadcast-exchange futures are canonically
-    # equal but AQE does not reuse exchanges across subtrees, so without
-    # materialized caches each future re-ran its full upstream pipeline
-    # (the deg map stage, the heaviest in the query, executed twice).
+    # frame is persisted before its consumers build — the oi/oj and
+    # au/av broadcast-exchange futures are canonically equal but AQE
+    # does not reuse exchanges across subtrees, so without materialized
+    # caches each future re-ran its full upstream pipeline (the deg map
+    # stage, the heaviest in the query, executed twice).
+    # r16-opt barrier trim (the round-16 "one barrier materializes
+    # several caches transitively" lesson): TWO eager counts suffice —
+    # nord.count (inside orient_edges_by_degree) populates the pairs
+    # cache en route, because the single-pass explode degree build scans
+    # pairs exactly once (no union race); adj.count (inside
+    # triangle_corners) populates the edges cache the same way. The
+    # previous pairs.count/edges.count barriers were serialized jobs
+    # re-reading already-cached data.
     caches = []
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
-    pairs.count()
     caches.append(pairs)
     edges = orient_edges_by_degree(pairs, caches=caches).persist()
-    edges.count()
     caches.append(edges)
     from pyspark.sql import functions as F
 
@@ -951,9 +961,18 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
     from ..caching import scope_caches
 
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
-    adjn = pairs.select(F.col("i").alias("node"), F.col("j").alias("nbr")).unionAll(
-        pairs.select(F.col("j").alias("node"), F.col("i").alias("nbr"))
-    )
+    # single-pass symmetric expansion (guide §2.4): the unionAll form
+    # scanned the lazily-persisted pairs frame twice, and on the first
+    # job (capped.count below) the two branches RACED to build the cache
+    # — the full co-purchase pipeline executed twice in one job
+    adjn = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i").alias("node"), F.col("j").alias("nbr")),
+                F.struct(F.col("j").alias("node"), F.col("i").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
     # capped feeds THREE consumers (cn once, rdeg twice via da/db);
     # without persist+MATERIALIZE each consumer re-ran the union +
     # node-grain collect_list shuffle from scratch — the r16 per-stage

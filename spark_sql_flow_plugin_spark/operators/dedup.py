@@ -77,7 +77,8 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     # (the gate stats the file instead of df.rdd.getNumPartitions, whose
     # DataFrame->RDD conversion costs ~1s of driver time per query).
     n_parts = spark.sparkContext.defaultParallelism
-    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
+    starved = _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts
+    if starved:
         d = d.repartition(n_parts, "doc_id")
     toks = d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     near = (
@@ -90,7 +91,21 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     exact = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    return d.union(near).union(exact)
+    out = d.union(near).union(exact)
+    if starved:
+        # The 3-branch union triples the repartitioned width (3 x n_parts
+        # partitions of a few KB each): every consumer that caches the
+        # augmented corpus (or a frame derived from it) then runs 96-task
+        # stages whose run_ms is dominated by task-launch overhead, not
+        # CPU (guide §2.2 — fewer, larger partitions; the r16-opt
+        # minhash_lsh profile measured verify stages at ~6x more
+        # scheduler time than CPU). coalesce is shuffle-free: each output
+        # task concatenates one partition per branch, so the tokenizer
+        # still runs at full n_parts parallelism. Gated on the same
+        # split-starvation test — a multi-TB table keeps its natural
+        # splits and never coalesces.
+        out = out.coalesce(n_parts)
+    return out
 
 
 def _estimated_splits(spark, path: str) -> float:

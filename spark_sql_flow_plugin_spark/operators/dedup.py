@@ -148,12 +148,16 @@ def _estimated_splits(spark, path: str) -> float:
 )
 def dedup_exact(spark, sf_dir):
     # group on (md5, length) instead of the raw text: the exchange then
-    # shuffles a 32-hex-char key per document instead of the full document
-    # bytes. length() disambiguates the astronomically-unlikely md5 collision
-    # class a little further; both engines group identically.
+    # shuffles a 16-byte key per document instead of the full document
+    # bytes (unhex packs the hex digest — a bijection, identical groups,
+    # half the key width; guide §2.3). length() disambiguates the
+    # astronomically-unlikely md5 collision class a little further; both
+    # engines group identically.
     return (
         augmented_documents(spark, sf_dir)
-        .groupBy(F.md5("text").alias("fp"), F.length("text").alias("tlen"))
+        .groupBy(
+            F.unhex(F.md5("text")).alias("fp"), F.length("text").alias("tlen")
+        )
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("keeper", "n_copies")
@@ -1671,6 +1675,14 @@ def dedup_winnow_overlap(spark, sf_dir):
         F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
+    # Gate-repartition before the Arrow kernel (guide §2.5 input skew /
+    # the dedup_cdc_chunks lesson): the single-file corpus yields ONE
+    # input split per union branch, so the per-doc winnow kernel — the
+    # query's dominant CPU — ran on ~2 cores. Same split-starvation gate
+    # as augmented_documents; a multi-TB table keeps its natural splits.
+    n_parts = spark.sparkContext.defaultParallelism
+    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
+        aug = aug.repartition(n_parts, "doc_id")
     # Fingerprints come from the Arrow-batched kernel (_winnow_fps_udf):
     # same md5-derived values and window minima as the _SPARK_WKGRAMS /
     # _SPARK_WWINNOW HOF exprs (kept above as the pure-JVM reference
@@ -1773,7 +1785,12 @@ def dedup_exact_substring_spans(spark, sf_dir):
         "text",
     ).select(
         "doc_id", "pos",
-        F.md5(F.expr(f"substr(text, pos, {L})")).alias("h"),
+        # h is an INTERNAL grouping key (never output): unhex packs the
+        # 32-hex-char md5 into 16 bytes — a bijection, so the h-windows
+        # are identical — halving the bytes through the Exchange and the
+        # per-row comparison width of the window sort (guide §2.3,
+        # narrower types)
+        F.unhex(F.md5(F.expr(f"substr(text, pos, {L})"))).alias("h"),
     )
     wh = Window.partitionBy("h")
     flagged = (
@@ -2427,6 +2444,12 @@ def dedup_containment(spark, sf_dir):
         F.concat(F.substring("text", 1, 80), F.lit(" tail")).alias("text"),
     )
     aug = d.union(excerpts).where(F.length("text") >= _WK + _WW)
+    # gate-repartition before the Arrow kernel — same rationale and gate
+    # as dedup_winnow_overlap (single-split source would serialize the
+    # per-doc winnow kernel onto ~2 cores)
+    n_parts = spark.sparkContext.defaultParallelism
+    if _estimated_splits(spark, f"{sf_dir}/documents.parquet") < n_parts:
+        aug = aug.repartition(n_parts, "doc_id")
     fps = aug.select(
         "doc_id", F.explode(_winnow_fps_udf()("text")).alias("f")
     ).persist()

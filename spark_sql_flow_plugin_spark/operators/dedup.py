@@ -812,13 +812,28 @@ def _large_star(edges, npart):
     MapReduce and Beyond", ALENEX'14 §3): for each node u with m =
     min(N(u) ∪ {u}), connect every strictly-LARGER neighbor to m. One
     edge-sized aggregation + one co-partitioned join."""
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # single-pass symmetric expansion (guide §2.4; the union form scanned
+    # the round's edge list twice)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     sym = sym.repartition(npart, "u")
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # explicit edge-sized width for the distinct (the components
+        # convention): each round is materialized through localCheckpoint,
+        # whose RDD path bypasses AQE partition coalescing — without this
+        # the distinct ran at the session's full shuffle width in
+        # near-empty tasks every round
+        .repartition(npart, "u", "v")
         .distinct()
     )
 
@@ -834,7 +849,13 @@ def _small_star(edges, npart):
         .where(F.col("v") != F.col("m"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return nbr.union(mins.select("u", F.col("m").alias("v"))).distinct()
+    # explicit width on the round-output distinct — same AQE-bypass
+    # rationale as _large_star
+    return (
+        nbr.union(mins.select("u", F.col("m").alias("v")))
+        .repartition(npart, "u", "v")
+        .distinct()
+    )
 
 
 def _two_phase_star_labels(spark, edges, npart):
@@ -861,7 +882,12 @@ def _two_phase_star_labels(spark, edges, npart):
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
 
-    cur = _orient_max_min(edges).distinct().localCheckpoint()
+    cur = (
+        _orient_max_min(edges)
+        .repartition(npart, "u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
     sig = _sig(cur)
     rounds = 0
     converged = False
@@ -891,6 +917,7 @@ def _two_phase_star_labels(spark, edges, npart):
     return (
         cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
         .union(cur.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .repartition(npart, "node", "comp")
         .distinct(),
         rounds,
     )

@@ -1798,9 +1798,17 @@ def dedup_exact_substring_spans(spark, sf_dir):
     is intrinsic to the exact method (the suffix-array formulation is
     O(n) too); the knob at 100 TB is the window length L, not the
     algorithm shape."""
+    from ..partitioning import spread
+
     d = load(spark, sf_dir, "documents")["documents"]
     L = _ESUB_L
-    grams = d.select(
+    # gate-repartition before the window explode: hashing every 24-char
+    # window of every document is the query's dominant CPU and would
+    # otherwise run inside the single-task scan stage (the final
+    # doc-length join keeps reading the plain scan — it is
+    # broadcast-sized and needs no spreading)
+    ds = spread(spark, d, sf_dir, "documents", "doc_id")
+    grams = ds.select(
         "doc_id",
         F.explode(
             F.expr(

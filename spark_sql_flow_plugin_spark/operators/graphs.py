@@ -235,11 +235,19 @@ def _co_purchase_pairs(spark, sf_dir):
     so the exploded stream is bounded and the collect_set array tiny."""
     from pyspark.sql import functions as F
 
+    from ..partitioning import spread
     from ..sources import load
 
     li = load(spark, sf_dir, "lineitem")["lineitem"].select(
         "l_orderkey", "l_partkey"
     )
+    # Gate-repartition before the order-grain aggregate: the single-file
+    # single-row-group source delivers every row in ONE scan task, so the
+    # map-side collect_set partial aggregation — the heaviest stage of
+    # every co-purchase consumer — ran on one core. Repartitioning on the
+    # GROUP KEY replaces the aggregate's own exchange (the partitioning
+    # satisfies its clustering requirement), so no shuffle is added.
+    li = spread(spark, li, sf_dir, "lineitem", "l_orderkey")
     return (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..partitioning import spread
 from ..registry import register
 from ..sources import load
 from .text import _DUCK_WTOKS, _SPARK_WTOKS
@@ -734,13 +735,19 @@ def dsir_importance_weights(spark, sf_dir):
     widened to double (no log, no summation-order hazard) — see module
     comment."""
     d = load(spark, sf_dir, "documents")["documents"]
+    # spread before tokenize (single-row-group source would pin it to one
+    # core) and PERSIST: occb feeds three consumers (the corpus totals,
+    # the bucket model, and the scoring join) — unpersisted, each re-ran
+    # the tokenize+hash pipeline from the scan
     occb = (
-        d.select(
+        spread(spark, d, sf_dir, "documents", "doc_id")
+        .select(
             "doc_id",
             (F.col("source") == _DSIR_TARGET).alias("is_t"),
             F.explode(F.expr(_SPARK_WTOKS)).alias("tok"),
         )
         .select("doc_id", "is_t", F.expr(_SPARK_DSIR_BUCKET).alias("b"))
+        .persist()
     )
     tot = occb.agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("n_t"),
@@ -751,7 +758,9 @@ def dsir_importance_weights(spark, sf_dir):
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("c_r"),
     )
     q = model.crossJoin(F.broadcast(tot)).select("b", F.expr(_DSIR_Q).alias("qv"))
-    return (
+    from ..caching import scope_caches
+
+    return scope_caches(
         occb.where(~F.col("is_t"))
         .join(F.broadcast(q), "b")
         .groupBy("doc_id")
@@ -759,7 +768,8 @@ def dsir_importance_weights(spark, sf_dir):
             F.count(F.lit(1)).cast("int").alias("n_toks"),
             F.sum("qv").cast("bigint").alias("dsir_q6"),
             F.expr("CAST(SUM(qv) AS BIGINT) DIV COUNT(*)").alias("avg_q6"),
-        )
+        ),
+        occb,
     )
 
 

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..caching import scope_caches
+from ..partitioning import spread
 from ..registry import register
 from ..sources import load
 from .text import _DUCK_WTOKS, _SPARK_WTOKS
@@ -92,6 +93,12 @@ def _mg_candidates(batches):
 def freq_heavy_hitters(spark, sf_dir):
     """Exact tokens with frequency > total/_HH_T, without a full token GROUP BY."""
     docs = load(spark, sf_dir, "documents")["documents"]
+    # gate-spread before tokenize+MG sketch (partitioning.spread): the
+    # single-row-group scan would run the whole pass-1 sketch on one
+    # core. The Misra-Gries superset guarantee is per-partition, so the
+    # candidate set stays a superset under ANY partitioning and the
+    # exact verify pass yields identical output.
+    docs = spread(spark, docs, sf_dir, "documents", "doc_id")
     tok = docs.select(
         F.explode(F.expr(_SPARK_WTOKS)).alias("token")
     )

@@ -148,6 +148,10 @@ def approx_count_distinct_sketch(spark, sf_dir):
     fixed data (register maxima are merge-order-independent), so a sketch
     drifting outside its accuracy contract flips the flag and fails the
     hash. Tolerance = 3x the requested rsd (default 0.05 / 0.01)."""
+    # NOTE (r16-opt): a gated spread() repartition was measured here and
+    # REVERTED — the added exchange of the full lineitem (0.28 -> 0.53 s
+    # interleaved) costs more than parallelizing the cheap sketch
+    # partials buys on this input.
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return (
         li.groupBy("l_returnflag")

@@ -31,6 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..partitioning import spread
 from ..registry import register
 from ..sources import load
 
@@ -1342,7 +1343,16 @@ def multimodal_image_decode_stats(spark, sf_dir):
     Arrow batch — codecs are inherently per-file; the batch boundary is
     what keeps the pipeline vectorized end to end at scale.
     """
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
     npx = _IMG_W * _IMG_H * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1438,7 +1448,16 @@ def multimodal_image_resize_stats(spark, sf_dir):
     positions, so an off-by-one in the sampling grid (or any decoder bug
     upstream) breaks the value hash. Channel means are k/32 — exactly
     representable, bit-identical across engines."""
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
     npx = _IMG_W * _IMG_H * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1500,7 +1519,16 @@ def multimodal_video_frame_stats(spark, sf_dir):
     (`iter_ppm_frames`), samples every 2nd frame, and emits the decoded
     frame's pixel mean. Replaces nothing at scale: per-payload work stays
     inside the Arrow batch, exactly like a GPU-decode handoff would."""
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
     npx = _VID_W * _VID_H * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1556,7 +1584,16 @@ def multimodal_audio_frame_rms(spark, sf_dir):
     int64), so both engines do one identical double division (and one
     IEEE-exact sqrt) at the end — no float-summation-order divergence.
     """
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(_WAV_N, dtype=np.int64)
@@ -1672,7 +1709,16 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     """
     from .jpeg import decode_jpeg, encode_jpeg
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
     npx = _IMG_W * _IMG_H * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1748,7 +1794,16 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     the oracle predicts the sums in closed form — any LZW/palette/
     interlace regression changes a sum and breaks the value hash
     (unlike the measured-bound JPEG query, this one is pixel-exact)."""
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr, cc = np.mgrid[0:_IMG_H, 0:_IMG_W]
@@ -1815,7 +1870,16 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
     predictor strips, every second document writes big-endian (MM)
     headers, all decode through our own strip walker with the sums
     emitted from the DECODED array."""
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr, cc = np.mgrid[0:_IMG_H, 0:_IMG_W]
@@ -1917,7 +1981,16 @@ def multimodal_audio_vad(spark, sf_dir):
     bit-faithful (rint of the wave module's scaled floats, the
     audio_frame_rms contract), so the active flags and run lengths are
     integer-identical cross-engine."""
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # gate-spread before the Python codec (partitioning.spread): the
+    # single-row-group source would pin the whole mapInPandas batch loop
+    # to one core
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"].select("doc_id"),
+        sf_dir,
+        "documents",
+        "doc_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(_WAV_N, dtype=np.int64)

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..caching import scope_caches
+from ..partitioning import spread
 from ..registry import register
 from ..sources import load
 
@@ -514,10 +515,15 @@ def text_fingerprint_winnow(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     # persist the k-gram hash arrays: the winnow lambda slices `h` per window
     # index, and without a barrier CollapseProject would inline (and re-run)
-    # the md5 array construction once per window
-    h = d.where(F.length("text") >= _K + _W).select(
-        "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
-    ).persist()
+    # the md5 array construction once per window. Gate-spread first: the
+    # per-char hashing is the query's dominant CPU and the single-row-group
+    # source would pin it to one core (partitioning.spread).
+    h = (
+        spread(spark, d, sf_dir, "documents", "doc_id")
+        .where(F.length("text") >= _K + _W)
+        .select("doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h"))
+        .persist()
+    )
     w = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps"))
     return scope_caches(
         w.select(
@@ -1936,10 +1942,14 @@ def text_boilerplate_df_score(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")["documents"]
     n_docs = d.count()  # bounded driver-side scalar (pagerank convention)
-    # persist barrier before the winnow lambda (see text_fingerprint_winnow)
-    h = d.where(F.length("text") >= _K + _W).select(
-        "doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h")
-    ).persist()
+    # persist barrier before the winnow lambda (see text_fingerprint_winnow),
+    # gate-spread for the same single-row-group reason
+    h = (
+        spread(spark, d, sf_dir, "documents", "doc_id")
+        .where(F.length("text") >= _K + _W)
+        .select("doc_id", F.expr(_SPARK_KGRAM_HASHES).alias("h"))
+        .persist()
+    )
     e = h.select("doc_id", F.expr(_SPARK_WINNOW).alias("fps")).select(
         "doc_id", F.explode("fps").alias("fp")
     ).persist()

@@ -1110,6 +1110,8 @@ def tokenizer_fertility_stats(spark, sf_dir):
 # the tag byte cannot occur inside a symbol).
 _BPE_TRAIN_K = 8
 _BPE_WORD_RE = "^[a-z0-9]+$"
+#: checkpoint cadence for the training loop (see the in-loop comment)
+_BPE_CKPT = 4
 
 
 def _duck_bpe_train_sql(k: int) -> str:
@@ -1220,7 +1222,18 @@ def bpe_train_merges(spark, sf_dir):
                 ),
                 T + T,
             ),
-        ).localCheckpoint()
+        )
+        # Checkpoint every _BPE_CKPT rounds, not every round (r16-opt,
+        # guide §1.2 per-task work after shape): unlike the iterative
+        # join kernels (whose plans DOUBLE per round), each merge adds
+        # ONE narrow withColumn, so letting the next argmax re-apply up
+        # to _BPE_CKPT-1 merge maps over the vocab costs far less than
+        # an extra materialization job per round — the per-round job
+        # count drops from 2 to ~1.25. The merge-map reapplication is
+        # bounded (O(K * C) total map passes over the vocab frame, all
+        # pipelined into the argmax stage).
+        if rank % _BPE_CKPT == 0 and rank < _BPE_TRAIN_K:
+            vocab = vocab.localCheckpoint()
     return spark.createDataFrame(learned, "rank int, pair string, cnt bigint")
 
 

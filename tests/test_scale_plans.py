@@ -1022,9 +1022,19 @@ def test_abc_pareto_window_over_part_grain(spark, sf_dir):
 
 def test_audio_vad_zero_shuffle_row_local(spark, sf_dir):
     # a clip's frames never leave their row: the whole VAD pipeline is
-    # one batched mapInPandas over the doc scan — no Exchange at all
+    # one batched mapInPandas over the doc scan. r16-opt: the gated
+    # spread() repartition of the single-split source is the ONLY
+    # allowed exchange — it carries just the 8-byte doc_id BELOW the
+    # Python node (no payload ever crosses a shuffle; payloads are
+    # synthesized inside the kernel).
     plan = _physical(queries()["multimodal_audio_vad"](spark, sf_dir))
-    assert "Exchange" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("REPARTITION_BY_NUM" in ln for ln in exchanges), exchanges
+    assert len(exchanges) <= 1
+    if exchanges:
+        # the repartition must sit below the Python eval (input ids),
+        # never above it (which would shuffle kernel output rows)
+        assert plan.index("InPandas") < plan.index("REPARTITION_BY_NUM")
     assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped
 
 

@@ -590,14 +590,22 @@ def _kcore_peel_frame(spark, sf_dir, rounds: int):
         F.expr("CAST((SUM(d) * 3) DIV (COUNT(*) * 4) AS BIGINT)").alias("k")
     ).collect()[0].k
     edges = pairs
-    for _ in range(rounds):
+    for r in range(rounds):
         keep = degree(edges).where(F.col("d") >= k).select("node")
         edges = (
             edges.join(keep.withColumnRenamed("node", "i"), "i")
             .join(keep.withColumnRenamed("node", "j"), "j")
             .select("i", "j")
-            .localCheckpoint()
         )
+        # Every NON-final round is localCheckpoint-ed: two consumers
+        # (next round's degree + induction join) and a constant plan per
+        # round (r12 convention). The LAST round's edges feed exactly one
+        # consumer — the final degree aggregate — so its checkpoint was a
+        # pure extra materialization job + memory write; leaving the one
+        # remaining round inline keeps the plan bounded (r16-opt A/B:
+        # tools/ab_kcore_lastckpt_r16opt.py).
+        if r != rounds - 1:
+            edges = edges.localCheckpoint()
     out = degree(edges).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("d").alias("core_deg"),

@@ -18,6 +18,15 @@ from ..partitioning import spread
 from ..registry import register
 from ..sources import load
 
+# Size floor for the tokenize-battery spread gates (bm25 / tfidf /
+# lm_bigram / bpe x2 / logreg): an unconditional gate measured
+# neutral-to-WORSE on the 0.58 MB sf0.1 corpus (r16-opt interleaved A/B —
+# tokenizing 5k docs is cheaper than one added exchange) but the same
+# single starved split carries 10x the CPU at sf1 (5.9 MB), where the
+# gate wins multiples (A/B in tools/ab_textspread_sf1_r16opt.py). 2 MiB
+# sits between the two measured regimes.
+_SPREAD_MIN_BYTES = 2 << 20
+
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # Spark SQL string literals process backslash escapes; DuckDB's don't.
 _BPE_RE_SPARK = _BPE_RE.replace("\\", "\\\\")
@@ -120,7 +129,14 @@ def bm25_topk(spark, sf_dir):
     closed-over-scalar pattern), and the per-query top-k is a
     WindowGroupLimit — never a global sort. Candidates are only docs
     containing >= 1 query term."""
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     toks = d.select(
         "doc_id", F.explode(F.expr(_SPARK_WTOKS)).alias("tok")
     ).persist()
@@ -573,7 +589,14 @@ def text_tfidf_top_terms(spark, sf_dir):
     frequency cutoff) and a per-doc top-k window. The corpus count joins
     in as a broadcast literal, never a driver-side collect into the plan.
     """
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     # materialization barrier before explode (Generate re-evaluates fused
     # generator inputs per output row — see operators/dedup.py)
     toks = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks")).persist()
@@ -867,7 +890,14 @@ def lm_bigram_score(spark, sf_dir):
     SKEWED at corpus scale: AQE skew-join splitting handles moderate skew
     (asserted enabled in tests), and operators.skew has the two-phase
     salting kit if a corpus needs it."""
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     big = (
         d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
         .where(F.expr("size(toks)") >= 2)
@@ -1025,7 +1055,14 @@ def bpe_tokenize_counts(spark, sf_dir):
     both sides — without it every unlisted pair silently ranks 0
     (= best-possible!) and every word merges all the way to one token.
     """
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     d.createOrReplaceTempView("bpe_docs_src")
     return spark.sql(
         f"""
@@ -1074,7 +1111,14 @@ def tokenizer_fertility_stats(spark, sf_dir):
     stream); per-(source, word) counts are one corpus aggregation; the
     final join is vocabulary-sized on both sides. Ratios are single
     divisions of exact BIGINT sums."""
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     d.createOrReplaceTempView("bpe_docs_src")
     return spark.sql(
         f"""
@@ -1177,7 +1221,14 @@ def bpe_train_merges(spark, sf_dir):
     discipline). The DuckDB oracle is the same K rounds unrolled into a
     CTE chain — bit-exact, including tie-breaks."""
     T = "\x01"
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     vocab = (
         d.select(F.explode(F.expr(_SPARK_WTOKS)).alias("w"))
         .where(F.col("w").rlike(_BPE_WORD_RE) & (F.length("w") <= _BPE_MAXLEN))
@@ -1562,7 +1613,14 @@ def quality_train_logreg(spark, sf_dir):
     w + LR*((s/1e9)/n) is the same three IEEE ops in driver Python and
     in SQL, so learned weights, prediction counts, and accuracy are
     compared bit-exact, not approximately."""
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     n_chars = F.length("text")
     n_words = F.expr(f"size({_SPARK_WTOKS})")
     n_stop = F.expr(f"size(filter({_SPARK_WTOKS}, t -> t IN ({_SW_LIST_SQL})))")
@@ -2289,7 +2347,14 @@ def lm_kneser_ney_score(spark, sf_dir):
     is one driver-collected BIGINT (colbert's closed-over-scalar
     pattern). big and c12 persist (c12 feeds three consumers: the
     occurrence join + both continuation-count aggregates)."""
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     big = (
         d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
         .where(F.expr("size(toks)") >= 2)

@@ -6,6 +6,8 @@ round-2 scale-hardening (band-key cardinality, top-k without a global
 window, hash-key shuffles). The oracle can't see a plan regression, only a
 value regression — these tests can."""
 
+import os
+
 import pytest
 
 from spark_sql_flow_plugin_spark.operators import dedup, text
@@ -126,6 +128,29 @@ def test_augmented_documents_skips_repartition_when_splits_suffice(spark, sf_dir
     aug = dedup.augmented_documents(spark, sf_dir)
     assert aug.rdd.getNumPartitions() >= 1
     assert "Exchange" in _physical(aug)
+
+
+def test_spread_min_bytes_floor_gates_small_inputs(spark, sf_dir):
+    # r16-opt: the tokenize-battery spread gates carry a size floor — a
+    # split-starved source BELOW min_bytes keeps the ungated plan (the
+    # added exchange measured worse than single-task tokenize at sf0.1),
+    # while min_bytes=0 preserves the original always-fire gate.
+    from spark_sql_flow_plugin_spark.partitioning import spread
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    size = os.path.getsize(f"{sf_dir}/documents.parquet")
+    gated = spread(spark, d, sf_dir, "documents", "doc_id",
+                   min_bytes=size + 1)
+    assert gated is d, "below-floor source must not be repartitioned"
+    fired = spread(spark, d, sf_dir, "documents", "doc_id", min_bytes=0)
+    assert fired is not d and "REPARTITION" in _physical(fired)
+    # the six bench text queries gate at _SPREAD_MIN_BYTES (2 MiB): at
+    # test SFs (<= 0.6 MB) their plans must stay exchange-free at the
+    # corpus scan — bm25's first job is the toks persist off `d`
+    assert size < text._SPREAD_MIN_BYTES
+    plan = _physical(queries()["text_tfidf_top_terms"](spark, sf_dir))
+    assert "REPARTITION_BY_NUM" not in plan
+    spark.catalog.clearCache()
 
 
 # ---------------------------------------------------------------------------

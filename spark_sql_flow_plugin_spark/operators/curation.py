@@ -736,10 +736,16 @@ def dsir_importance_weights(spark, sf_dir):
     comment."""
     d = load(spark, sf_dir, "documents")["documents"]
     # spread before tokenize (single-row-group source would pin it to one
-    # core) and PERSIST: occb feeds three consumers (the corpus totals,
-    # the bucket model, and the scoring join) — unpersisted, each re-ran
-    # the tokenize+hash pipeline from the scan
-    occb = (
+    # core) and PERSIST at (doc, bucket) grain, not token grain (r16-opt
+    # continuation, guide §2.3 aggregate early): the corpus vocabulary is
+    # small, so per-doc bucket COUNTS carry ~4x fewer rows than token
+    # occurrences through the cache and all three consumer scans (the
+    # corpus totals, the bucket model, and the scoring join) — and the
+    # pre-aggregation is partition-local (the spread already hash-
+    # partitions by doc_id, which satisfies the (doc_id, is_t, b)
+    # clustering, so no exchange is added). Every downstream SUM over
+    # occurrences becomes the identical exact-BIGINT SUM(c * ...).
+    docb = (
         spread(spark, d, sf_dir, "documents", "doc_id")
         .select(
             "doc_id",
@@ -747,29 +753,41 @@ def dsir_importance_weights(spark, sf_dir):
             F.explode(F.expr(_SPARK_WTOKS)).alias("tok"),
         )
         .select("doc_id", "is_t", F.expr(_SPARK_DSIR_BUCKET).alias("b"))
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .persist()
     )
-    tot = occb.agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("n_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("n_r"),
+    tot = docb.agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("c")))
+        .cast("bigint")
+        .alias("n_r"),
     )
-    model = occb.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("c_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("c_r"),
+    model = docb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("c")))
+        .cast("bigint")
+        .alias("c_r"),
     )
     q = model.crossJoin(F.broadcast(tot)).select("b", F.expr(_DSIR_Q).alias("qv"))
     from ..caching import scope_caches
 
     return scope_caches(
-        occb.where(~F.col("is_t"))
+        docb.where(~F.col("is_t"))
         .join(F.broadcast(q), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_toks"),
-            F.sum("qv").cast("bigint").alias("dsir_q6"),
-            F.expr("CAST(SUM(qv) AS BIGINT) DIV COUNT(*)").alias("avg_q6"),
+            F.sum("c").cast("int").alias("n_toks"),
+            F.sum(F.col("c") * F.col("qv")).cast("bigint").alias("dsir_q6"),
+            F.expr(
+                "CAST(SUM(c * qv) AS BIGINT) DIV CAST(SUM(c) AS BIGINT)"
+            ).alias("avg_q6"),
         ),
-        occb,
+        docb,
     )
 
 

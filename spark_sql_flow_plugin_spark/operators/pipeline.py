@@ -14,9 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.tracking import auto_tracking
+from ..partitioning import spread
 from ..registry import register
 from ..sources import load
-from .text import _SPARK_WTOKS, _SW_LIST_SQL
+from .text import _SPARK_WTOKS, _SPREAD_MIN_BYTES, _SW_LIST_SQL
 
 _MIN_WORDS = 16
 _MIN_QUALITY = 0.30
@@ -91,6 +92,17 @@ def dedup_by_fingerprint(filtered: DataFrame) -> DataFrame:
     "bench",
 )
 def curate_corpus(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")["documents"]
+    # size-bounded spread (the text tokenize-battery gate): the whole
+    # score pipeline is fused into the scan and runs in BOTH fingerprint
+    # join branches — on a split-starved source past the floor that is
+    # 2x the corpus tokenize on one core
+    docs = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     curated = dedup_by_fingerprint(filter_quality(score_documents(docs)))
     return curated.select("doc_id", "lang", "n_words", "quality")

@@ -345,6 +345,10 @@ _SW_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
     "bench",
 )
 def text_quality_score(spark, sf_dir):
+    # NO spread gate here (measured, r16-opt continuation): this is one
+    # narrow fused pass with no downstream fanout — the added exchange
+    # measured WORSE even at sf1 (0.66 -> 0.79 s interleaved A/B), unlike
+    # the multi-consumer/explode batteries that gate at _SPREAD_MIN_BYTES
     d = load(spark, sf_dir, "documents")["documents"]
     c = d.select(
         "doc_id",
@@ -473,7 +477,14 @@ def text_vocab_stats(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     # materialization barrier before explode (Generate re-evaluates fused
     # generator inputs per output row — see operators/dedup.py)
     toks = d.select(F.expr(_SPARK_WTOKS).alias("toks")).persist()
@@ -1775,7 +1786,14 @@ _GOPHER_TOP_FOLD = (
     "bench",
 )
 def quality_gopher_rules(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = spread(
+        spark,
+        load(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     t = d.select("doc_id", F.expr(_SPARK_WTOKS).alias("toks"))
     bigrams, top_cnt_fold = _GOPHER_BIGRAMS, _GOPHER_TOP_FOLD
     c = t.where(F.size("toks") > 0).select(

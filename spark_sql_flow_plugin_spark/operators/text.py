@@ -137,9 +137,26 @@ def bm25_topk(spark, sf_dir):
         "doc_id",
         min_bytes=_SPREAD_MIN_BYTES,
     )
-    toks = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_WTOKS)).alias("tok")
-    ).persist()
+    qterms = spark.createDataFrame(
+        [(q, t) for q, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    # persist only QUERY-TERM occurrences, not the whole token stream
+    # (r16-opt continuation, guide §2.3/§2.4): both consumers (tf and df)
+    # restrict to the broadcast term set anyway, so joining BELOW the
+    # persist pushes the filter into the tokenize stage and shrinks the
+    # cache and both consumer scans to the matching occurrences; the
+    # (query_id, term) expansion stays above (a term can serve several
+    # queries — re-attached per consumer from the same broadcast)
+    toks = (
+        d.select("doc_id", F.explode(F.expr(_SPARK_WTOKS)).alias("tok"))
+        .join(
+            F.broadcast(qterms.select("term").distinct()),
+            F.col("tok") == F.col("term"),
+        )
+        .select("doc_id", "term")
+        .persist()
+    )
     dl = d.select(
         "doc_id",
         F.expr(f"size({_SPARK_WTOKS})").cast("bigint").alias("len_d"),
@@ -149,22 +166,13 @@ def bm25_topk(spark, sf_dir):
         F.sum("len_d").cast("bigint").alias("s"),
     ).collect()[0]
     n_docs, sum_len = int(stats.n), int(stats.s)
-    qterms = spark.createDataFrame(
-        [(q, t) for q, terms in _BM25_QUERIES for t in terms],
-        "query_id int, term string",
-    )
     tf = (
-        toks.join(F.broadcast(qterms), toks.tok == qterms.term)
+        toks.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    dfq = (
-        toks.join(
-            F.broadcast(qterms.select("term").distinct()),
-            toks.tok == F.col("term"),
-        )
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    dfq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
     )
     term = F.expr(
         _bm25_term_sql(

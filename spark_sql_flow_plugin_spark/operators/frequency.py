@@ -44,7 +44,7 @@ from ..caching import scope_caches
 from ..partitioning import spread
 from ..registry import register
 from ..sources import load
-from .text import _DUCK_WTOKS, _SPARK_WTOKS
+from .text import _DUCK_WTOKS, _SPARK_WTOKS, _SPREAD_MIN_BYTES
 
 # Misra-Gries counter capacity (pass-1 memory bound per task) and the final
 # heavy-hitter threshold divisor.  Correctness requires _HH_T < _MG_K + 1 so
@@ -97,8 +97,14 @@ def freq_heavy_hitters(spark, sf_dir):
     # single-row-group scan would run the whole pass-1 sketch on one
     # core. The Misra-Gries superset guarantee is per-partition, so the
     # candidate set stays a superset under ANY partitioning and the
-    # exact verify pass yields identical output.
-    docs = spread(spark, docs, sf_dir, "documents", "doc_id")
+    # exact verify pass yields identical output. Size-bounded like the
+    # tokenize-battery call sites: below _SPREAD_MIN_BYTES the two extra
+    # passes over the exchange cost more than the single-core sketch
+    # (close benches measured 0.63 -> 0.95 s at sf0.1 ungated).
+    docs = spread(
+        spark, docs, sf_dir, "documents", "doc_id",
+        min_bytes=_SPREAD_MIN_BYTES,
+    )
     tok = docs.select(
         F.explode(F.expr(_SPARK_WTOKS)).alias("token")
     )

@@ -526,6 +526,11 @@ def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # r16-opt continuation 3: the pass-1 spread carries the 2 MiB size
+    # floor — below it (every test SF) the plan stays exchange-free at
+    # the corpus scan (the ungated shape measured 0.63 -> 0.95 s at
+    # sf0.1 in the close benches).
+    assert "REPARTITION_BY_NUM" not in plan
 
 
 def test_bloom_probe_broadcasts_bitmap_words(spark, sf_dir):

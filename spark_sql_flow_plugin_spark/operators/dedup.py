@@ -108,27 +108,9 @@ def augmented_documents(spark, sf_dir) -> DataFrame:
     return out
 
 
-def _estimated_splits(spark, path: str) -> float:
-    """Input splits Spark would plan for ``path``: total bytes /
-    maxPartitionBytes. Non-statable paths (object stores) return +inf —
-    i.e. 'plenty of splits, don't add a shuffle', the correct default for
-    any multi-TB table."""
-    import os
-
-    try:
-        if os.path.isfile(path):
-            size = os.path.getsize(path)
-        else:
-            size = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith(("_", "."))
-            )
-    except OSError:
-        return float("inf")
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
-    return max(1.0, size / max_bytes)
+#: Shared with partitioning.spread's gate — one copy of the heuristic
+#: (r16 ADVICE: the two private copies would drift as call sites tune it).
+from ..partitioning import estimated_splits as _estimated_splits  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -41,10 +41,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..caching import scope_caches
+from ..partitioning import SPREAD_MIN_BYTES as _SPREAD_MIN_BYTES
 from ..partitioning import spread
 from ..registry import register
 from ..sources import load
-from .text import _DUCK_WTOKS, _SPARK_WTOKS, _SPREAD_MIN_BYTES
+from .text import _DUCK_WTOKS, _SPARK_WTOKS
 
 # Misra-Gries counter capacity (pass-1 memory bound per task) and the final
 # heavy-hitter threshold divisor.  Correctness requires _HH_T < _MG_K + 1 so

@@ -14,10 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.tracking import auto_tracking
+from ..partitioning import SPREAD_MIN_BYTES as _SPREAD_MIN_BYTES
 from ..partitioning import spread
 from ..registry import register
 from ..sources import load
-from .text import _SPARK_WTOKS, _SPREAD_MIN_BYTES, _SW_LIST_SQL
+from .text import _SPARK_WTOKS, _SW_LIST_SQL
 
 _MIN_WORDS = 16
 _MIN_QUALITY = 0.30

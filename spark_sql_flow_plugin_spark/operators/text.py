@@ -24,8 +24,10 @@ from ..sources import load
 # tokenizing 5k docs is cheaper than one added exchange) but the same
 # single starved split carries 10x the CPU at sf1 (5.9 MB), where the
 # gate wins multiples (A/B in tools/ab_textspread_sf1_r16opt.py). 2 MiB
-# sits between the two measured regimes.
-_SPREAD_MIN_BYTES = 2 << 20
+# sits between the two measured regimes. The constant lives next to
+# spread() itself since r17 (r16 ADVICE); re-exported here for the
+# existing in-module call sites.
+from ..partitioning import SPREAD_MIN_BYTES as _SPREAD_MIN_BYTES  # noqa: E402
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # Spark SQL string literals process backslash escapes; DuckDB's don't.

@@ -25,6 +25,44 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Size floor for the tokenize-battery spread call sites (text/frequency/
+#: pipeline): below it the starved scan's work is too cheap for the added
+#: exchange to pay for itself (r16-opt measurement, see ``spread``).
+SPREAD_MIN_BYTES = 2 << 20
+
+#: Spark byte-string suffix multipliers (JavaUtils.byteStringAsBytes).
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _byte_string_as_bytes(raw: str, default: int = 134217728) -> int:
+    """Parse a Spark size conf ('128m', '1g', '134217728b', plain digits)
+    with JavaUtils.byteStringAsBytes semantics: numeric value times the
+    suffix multiplier. Digit-stripping (the previous implementation)
+    parsed '128m' as 128 BYTES, exploding the estimated split count and
+    silently disabling the starvation gate on any session that sets the
+    conf with a size suffix."""
+    s = str(raw).strip().lower()
+    i = len(s)
+    while i > 0 and not s[: i][-1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIXES:
+        return default
+    return int(num) * _BYTE_SUFFIXES[suffix]
+
 
 def _size_and_splits(spark: SparkSession, path: str) -> tuple:
     """(total bytes, input splits Spark would plan) for ``path``.
@@ -35,15 +73,29 @@ def _size_and_splits(spark: SparkSession, path: str) -> tuple:
         if os.path.isfile(path):
             size = os.path.getsize(path)
         else:
-            size = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith(("_", "."))
-            )
+            # Recursive walk, regular files only: nested/partitioned
+            # parquet layouts would otherwise under-report (getsize on a
+            # subdirectory entry returns the dirent size, not its
+            # contents) and a genuinely large local table could be judged
+            # split-starved and get an unnecessary full-table shuffle.
+            os.stat(path)  # missing/remote paths raise -> (inf, inf);
+            # os.walk alone would silently yield nothing (size 0) and the
+            # gate would then shuffle every non-statable table
+            size = 0
+            for root, dirnames, files in os.walk(path):
+                dirnames[:] = [
+                    dn for dn in dirnames if not dn.startswith(("_", "."))
+                ]
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(root, f)
+                    if os.path.isfile(fp):
+                        size += os.path.getsize(fp)
     except OSError:
         return float("inf"), float("inf")
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+    max_bytes = _byte_string_as_bytes(raw)
     return float(size), max(1.0, size / max_bytes)
 
 

@@ -759,7 +759,7 @@ def stream_quality_gate(spark, sf_dir):
         _SW_LIST_SQL,
     )
 
-    from ..operators.dedup import _estimated_splits
+    from ..partitioning import estimated_splits as _estimated_splits
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -880,7 +880,7 @@ def stream_ivf_cell_counts(spark, sf_dir):
     ann_ivf_trained: highest rounded sim, then smallest cell id (the fold
     scans cells in ascending id order with a strict > comparison).
     """
-    from ..operators.dedup import _estimated_splits
+    from ..partitioning import estimated_splits as _estimated_splits
     from ..operators.similarity import embedding_centroids
 
     carr = (

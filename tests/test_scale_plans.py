@@ -153,6 +153,47 @@ def test_spread_min_bytes_floor_gates_small_inputs(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_spread_gate_parses_suffixed_maxpartitionbytes():
+    # r16 ADVICE: digit-stripping parsed '128m' as 128 BYTES, so suffixed
+    # conf values exploded the estimated split count and silently disabled
+    # the starvation gate. The parser must follow
+    # JavaUtils.byteStringAsBytes semantics (value x suffix multiplier).
+    from spark_sql_flow_plugin_spark.partitioning import _byte_string_as_bytes
+
+    assert _byte_string_as_bytes("134217728b") == 134217728
+    assert _byte_string_as_bytes("134217728") == 134217728
+    assert _byte_string_as_bytes("128m") == 128 << 20
+    assert _byte_string_as_bytes("128M") == 128 << 20
+    assert _byte_string_as_bytes("1g") == 1 << 30
+    assert _byte_string_as_bytes("2gb") == 2 << 30
+    assert _byte_string_as_bytes("512k") == 512 << 10
+    # unparseable input falls back to the Spark default, never raises
+    assert _byte_string_as_bytes("garbage") == 134217728
+    assert _byte_string_as_bytes("") == 134217728
+
+
+def test_size_and_splits_recurses_into_partitioned_layouts(spark, tmp_path):
+    # r16 ADVICE: directory sizing must recurse (partitioned parquet is
+    # nested: table/part=x/file.parquet) and skip _metadata/.hidden
+    # entries; the old getsize-on-subdir version under-reported nested
+    # layouts and could judge a large table split-starved.
+    from spark_sql_flow_plugin_spark.partitioning import _size_and_splits
+
+    root = tmp_path / "tbl.parquet"
+    (root / "part=a").mkdir(parents=True)
+    (root / "part=b").mkdir()
+    (root / "part=a" / "f0.bin").write_bytes(b"x" * 1000)
+    (root / "part=b" / "f1.bin").write_bytes(b"y" * 2000)
+    (root / "_SUCCESS").write_bytes(b"")
+    (root / "part=a" / ".crc").write_bytes(b"z" * 999)
+    size, splits = _size_and_splits(spark, str(root))
+    assert size == 3000.0
+    assert splits >= 1.0
+    # non-statable path: (inf, inf) = "plenty of splits, no shuffle"
+    size, splits = _size_and_splits(spark, "/nonexistent/path.parquet")
+    assert size == float("inf") and splits == float("inf")
+
+
 # ---------------------------------------------------------------------------
 # Round-2 additions: codebook / incremental-dedup / tf-idf plan gates
 # ---------------------------------------------------------------------------

@@ -104,6 +104,40 @@ def estimated_splits(spark: SparkSession, path: str) -> float:
     return _size_and_splits(spark, path)[1]
 
 
+def ids_fit_int(path: str, column: str) -> bool:
+    """True when ``column``'s parquet footer min/max statistics prove its
+    value domain fits a 32-bit signed INT — the scale-adaptive gate for
+    narrowing a BIGINT id through shuffles and cached adjacency arrays
+    (optimization guide §2.3 "narrower types ... only when provably
+    safe"). Driver-side metadata read only, no Spark job. Non-statable
+    paths, directory tables, or absent statistics return False: ids stay
+    BIGINT, the safe default for any table whose domain is unknown."""
+    try:
+        if not os.path.isfile(path):
+            return False
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = None
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == column:
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max:
+                return False
+            if not isinstance(st.min, int) or not isinstance(st.max, int):
+                return False
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo is not None and lo >= -(2**31) and hi < 2**31
+    except Exception:
+        return False
+
+
 def spread(
     spark: SparkSession,
     df: DataFrame,

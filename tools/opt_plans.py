@@ -1,10 +1,11 @@
 """Capture `.explain("formatted")` output for registry queries into
-plans/r16/<name>_<tag>.txt — the optimization-round before/after evidence
+plans/r<N>/<name>_<tag>.txt — the optimization-round before/after evidence
 (distinct from artifacts/plans_rN, which snapshots executedPlan toString
 for every bench query).
 
 Usage: python tools/opt_plans.py <tag> <query> [<query> ...]
-       tag is "before" or "after".
+       tag is "before" or "after"; the round defaults to 17 and can be
+       overridden with $SPARK_GRAFT_PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        f"r{os.environ.get('SPARK_GRAFT_PLANS_ROUND', '17')}",
     )
     os.makedirs(out_dir, exist_ok=True)
 

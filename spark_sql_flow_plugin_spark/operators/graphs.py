@@ -235,12 +235,26 @@ def _co_purchase_pairs(spark, sf_dir):
     so the exploded stream is bounded and the collect_set array tiny."""
     from pyspark.sql import functions as F
 
-    from ..partitioning import spread
+    from ..partitioning import ids_fit_int, spread
     from ..sources import load
 
     li = load(spark, sf_dir, "lineitem")["lineitem"].select(
         "l_orderkey", "l_partkey"
     )
+    # Narrower ids through every downstream exchange (guide §2.3 "a long
+    # that always fits in an int ... halve the column, halve its shuffle
+    # bytes — only when provably safe"): the co-purchase consumers shuffle
+    # part-id PAIRS, node-grain degree rows, and adjacency ARRAYS whose
+    # elements are these ids — at sf1 the triangle query's 2nd adjacency
+    # join alone shuffles 2.26 GB of id-array rows (r16 profile). The
+    # parquet footer min/max statistics prove driver-side whether the id
+    # domain fits a 32-bit INT; at 100 TB the key domain outgrows INT and
+    # the gate leaves BIGINT in place. Every query OUTPUT that exposes an
+    # id casts back to BIGINT, so result schema/values are invariant.
+    _src = f"{sf_dir}/lineitem.parquet"
+    for _k in ("l_orderkey", "l_partkey"):
+        if ids_fit_int(_src, _k):
+            li = li.withColumn(_k, F.col(_k).cast("int"))
     # Gate-repartition before the order-grain aggregate: the single-file
     # single-row-group source delivers every row in ONE scan task, so the
     # map-side collect_set partial aggregation — the heaviest stage of
@@ -438,7 +452,16 @@ def graph_triangle_count(spark, sf_dir):
     caches = []
     pairs = _co_purchase_pairs(spark, sf_dir).persist()
     caches.append(pairs)
-    edges = orient_edges_by_degree(pairs, caches=caches).persist()
+    # dord is the wedge join's comparison column; triangle_corners never
+    # reads it (the intersection form needs only the arcs), so project it
+    # away BEFORE the persist — the cached arc table and both adjacency
+    # collect_list shuffles carry 2 columns instead of 3 (guide §2.3
+    # "project before the exchange").
+    edges = (
+        orient_edges_by_degree(pairs, caches=caches)
+        .select("src", "dst")
+        .persist()
+    )
     caches.append(edges)
     from pyspark.sql import functions as F
 
@@ -1054,6 +1077,10 @@ def graph_common_neighbors_linkpred(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _LINKPRED_TOPK)
         .drop("rn")
+        # a/b flow from the (possibly INT-narrowed) pair ids; the declared
+        # output schema is BIGINT regardless of the narrowing gate
+        .withColumn("a", F.col("a").cast("bigint"))
+        .withColumn("b", F.col("b").cast("bigint"))
     )
     return scope_caches(out, pairs, capped)
 

@@ -432,10 +432,22 @@ def dedup_minhash_mllib(spark, sf_dir):
         "  (x, yz) -> concat(x, ' ', yz)"
         ")"
     )
+    # shingled feeds THREE full tokenize+3-gram passes without a cache:
+    # CountVectorizer.fit's vocabulary flatMap, the feats cache build,
+    # and (as the array_distinct'd variant) the independent exact-check
+    # sets `sh` below — at sf1 each pass is ~20 s CPU re-running the
+    # split/lower/zip_with pipeline from the corpus scan (r17 profile).
+    # Persist the (doc_id, shingles) frame once; `sh` is then a cheap
+    # array_distinct over the cache: _SPARK_SHINGLES is definitionally
+    # array_distinct(transform(...)) over the same token list, and
+    # array_distinct preserves first-occurrence order, so the derived
+    # array is element-for-element identical to the standalone
+    # expression (oracle digests pinned at 3 SFs).
     shingled = (
         aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.expr(_NGRAM3).alias("shingles"))
+        .persist()
     )
     # vocabSize far above the corpus' distinct-shingle count: truncation
     # would silently turn feature sets into a subset of the shingle sets
@@ -464,6 +476,17 @@ def dedup_minhash_mllib(spark, sf_dir):
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(feats)
+    # r17 measured-and-REJECTED (tools/ab_mllibfilter_r17opt.py): the r16
+    # verdict's suggested bucket-sharing pre-filter (restrict both join
+    # sides to docs sharing >= 1 LSH bucket — output-invariant since
+    # every emitted pair shares a bucket). On this corpus the filter
+    # keeps 11,000/11,000 docs at sf0.1 (the small shingle universe makes
+    # every doc collide somewhere across the 4 tables), so it is pure
+    # added work: 3.75 -> 5.79 s interleaved, identical output. The
+    # approxSimilarityJoin stage itself (hash + explode + bucket join +
+    # keyDistance over every bucket-sharing pair) is MLlib-internal and
+    # the query's documented floor — see
+    # artifacts/mllib_simjoin_floor_r17.md.
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
     found = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
@@ -476,13 +499,13 @@ def dedup_minhash_mllib(spark, sf_dir):
     )
     found.count()
 
-    # independent exact shingle sets (SQL expressions, no MLlib)
-    sh = (
-        aug.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
-        .persist()
-    )
+    # independent exact shingle sets (SQL expressions, no MLlib): the
+    # distinct'd form of the cached shingle lists (see the shingled
+    # persist note — identical arrays to the standalone _SPARK_SHINGLES
+    # expression, one tokenize pass saved)
+    sh = shingled.select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    ).persist()
 
     def exact_jacc(a, b):
         inter = F.size(F.array_intersect(a, b))
@@ -552,6 +575,7 @@ def dedup_minhash_mllib(spark, sf_dir):
             ),
             "precision_ok",
         ),
+        shingled,
         feats,
         found,
         sh,

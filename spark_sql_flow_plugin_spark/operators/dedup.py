@@ -1078,6 +1078,16 @@ _NGRAM_VOCAB_CAP = 4096
 # on top of pair mass: few strata -> one task per stratum).
 _NGRAM_GRID_B = 8
 
+#: Distinct char trigrams. r17 measured-and-REJECTED alternative: a
+#: zero-width-lookahead regexp_extract_all('(?s)(?=(...))') is
+#: element-identical (Matcher.find() advances one char past a zero-width
+#: match, so it captures overlapping trigrams) and codegen where
+#: transform(sequence...) is interpreted fallback — 1.8x faster on an
+#: isolated extraction microbench, but the FULL query measured ~1 s
+#: WORSE at sf0.1 and neutral at sf1 (tools/ab_cgrams_r17opt.py:
+#: RegExpExtractAll materializes a Java String copy of every text per
+#: row, and extraction is a minor share of the query next to the
+#: mask-build and driver round trips).
 _SPARK_CGRAMS = (
     "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"
 )
@@ -1190,30 +1200,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
             return spark.createDataFrame(
                 [], "doc_a bigint, doc_b bigint, jacc double"
             )
-        vocab = spark.createDataFrame(
-            [(gm, i) for i, gm in enumerate(grams_sorted)], "gram string, gid int"
-        )
         n_words = (n_vocab + 63) // 64
         mask_cols = [f"m{w}" for w in range(n_words)]
-        doc_masks = (
-            g.select(
-                "doc_id",
-                "source",
-                "lbucket",
-                F.size("grams").cast("int").alias("sz"),
-                F.explode("grams").alias("gram"),
-            )
-            .join(F.broadcast(vocab), "gram")
-            .groupBy("doc_id", "source", "lbucket", "sz")
-            .agg(
-                *[
-                    F.expr(
-                        f"bit_or(IF(gid DIV 64 = {w}, "
-                        "shiftleft(1L, CAST(gid % 64 AS INT)), 0L))"
-                    ).alias(c)
-                    for w, c in enumerate(mask_cols)
-                ]
-            )
+        # Per-doc mask build from a LITERAL gram->gid map (r17): the
+        # previous explode + broadcast-vocab join + doc-grain bit_or
+        # re-aggregation shuffled ~200 gram rows per doc back to doc
+        # grain — an exchange plus a hash re-aggregation that exist only
+        # to undo the explode. With the alphabet-bounded vocabulary
+        # (<= _NGRAM_VOCAB_CAP ids, already collected driver-side) the
+        # gid lookup is an element_at on a map literal and each mask
+        # word one aggregate() pass over the gids array: no explode, no
+        # join, no doc-grain exchange (guide §2.4). Measured 1.3-1.8 ->
+        # 0.8-1.0 s on the sets-build job at sf0.1 with identical sets.
+        _esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+        map_sql = (
+            "map("
+            + ",".join(f"'{_esc(gm)}',{i}" for i, gm in enumerate(grams_sorted))
+            + ")"
+        )
+        doc_masks = g.select(
+            "doc_id",
+            "source",
+            "lbucket",
+            F.size("grams").cast("int").alias("sz"),
+            F.expr(f"transform(grams, x -> element_at({map_sql}, x))").alias(
+                "gids"
+            ),
+        ).select(
+            "doc_id",
+            "source",
+            "lbucket",
+            "sz",
+            *[
+                F.expr(
+                    f"aggregate(gids, 0L, (acc, i) -> IF(i DIV 64 = {w}, "
+                    "acc | shiftleft(1L, CAST(i % 64 AS INT)), acc))"
+                ).alias(c)
+                for w, c in enumerate(mask_cols)
+            ],
         )
         # Distinct-set reduction over flat long keys; the stratum is part of
         # the key (equal sets in different strata never pair). set_id =

@@ -12,6 +12,45 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def local_values(spark, rows, schema: str):
+    """Literal DataFrame as a zero-task VALUES LocalRelation.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the rows into
+    defaultParallelism RDD slices, so EVERY job that consumes the frame
+    (it is an ExistingRDD scan, never constant-folded) runs a
+    32-task stage whose tasks each pay a fixed per-slice round trip —
+    measured ~0.5 s per consuming job at local[32] for a 22-row list
+    (r17 profile: the two heaviest bm25 stages were these ghost scans).
+    A SQL VALUES clause is a LocalRelation: evaluated driver-side, zero
+    tasks, broadcast- and fold-friendly. ``schema`` is the familiar
+    "name type, name type" string; every column is cast to the declared
+    type so inferred literal types (INT for small ints) never leak.
+    Rows must be non-empty (VALUES cannot be) — callers with a possibly
+    empty literal keep createDataFrame.
+    """
+
+    def _lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        return str(v)
+
+    fields = [f.strip().rsplit(None, 1) for f in schema.split(",")]
+    names = [n for n, _ in fields]
+    vals = ", ".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
+    )
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in fields)
+    return spark.sql(
+        f"SELECT {casts} FROM (VALUES {vals}) AS t({', '.join(names)})"
+    )
+
+
 def dsum(col: str | Column, alias: str) -> Column:
     """Exact decimal sum of a double column, surfaced as DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..caching import scope_caches
+from ..functions.exprs import local_values
 from ..partitioning import spread
 from ..registry import register
 from ..sources import load
@@ -139,7 +140,13 @@ def bm25_topk(spark, sf_dir):
         "doc_id",
         min_bytes=_SPREAD_MIN_BYTES,
     )
-    qterms = spark.createDataFrame(
+    # zero-task VALUES LocalRelation (r17): createDataFrame parallelized
+    # the 22-row term list into 32 RDD slices, and each consuming job
+    # (tf + df + both broadcasts) re-ran a 32-task ghost scan — the two
+    # heaviest stages of the whole query in the r17 profile (~0.5 s per
+    # job at local[32])
+    qterms = local_values(
+        spark,
         [(q, t) for q, terms in _BM25_QUERIES for t in terms],
         "query_id int, term string",
     )
@@ -270,7 +277,9 @@ def text_normalize_nfc(spark, sf_dir):
     import pandas as pd
 
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
-    planted = spark.createDataFrame(_NFC_PLANT, "doc_id bigint, text string")
+    # VALUES LocalRelation, not createDataFrame (zero-task literal — see
+    # functions.exprs.local_values)
+    planted = local_values(spark, _NFC_PLANT, "doc_id bigint, text string")
 
     # module has `from __future__ import annotations` (stringified hints
     # break pandas_udf signature inference) — attach real annotation
@@ -1306,7 +1315,10 @@ def bpe_train_merges(spark, sf_dir):
         # pipelined into the argmax stage).
         if rank % _BPE_CKPT == 0 and rank < _BPE_TRAIN_K:
             vocab = vocab.localCheckpoint()
-    return spark.createDataFrame(learned, "rank int, pair string, cnt bigint")
+    # VALUES LocalRelation, not createDataFrame: the learned-merge table is
+    # the query RESULT, and the RDD-parallelized form cost one 32-task
+    # ghost scan per consuming action (functions.exprs.local_values)
+    return local_values(spark, learned, "rank int, pair string, cnt bigint")
 
 
 # --- Unigram (SentencePiece-style) Viterbi tokenization ---------------------
